@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's flagship order-sensitive fold: running weighted-average
+  * cost basis + realized PnL per (user, ticker).
+  *
+  * Semantics (ref: /root/reference/app/services/portfolio.py:18-41 avg
+  * cost, :74-110 realized PnL): walk the ledger in (ts, id) order per
+  * key carrying (qty, avg_cost, realized);
+  *   BUY  -> q1 = q0 + qty; avg1 = (q0*avg0 + (qty*price + fee)) / q1
+  *           (0.0 when q1 <= 0)
+  *   SELL -> skipped when flat (q0 <= 0); else sell = min(qty, q0);
+  *           realized += (price - avg0) * sell; q0 -= sell; avg unchanged.
+  *
+  * This is non-associative (the divisor depends on the running qty and
+  * SELL clamps at the held qty), so it cannot be a window or a partial
+  * aggregate. The scalable shape is a shuffle on the group key followed
+  * by a *streaming* per-partition walk over secondary-sorted rows:
+  * `repartition(keys).sortWithinPartitions(keys, ts, id, ...)` then
+  * `mapPartitions` — one shuffle, no per-key materialization, no
+  * driver-side state, and group size is bounded only by what a single
+  * executor can stream (not hold).
+  */
+object CostBasis {
+
+  private val outSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ticker", LongType),
+    StructField("qty", DoubleType),
+    StructField("avg_cost", DoubleType),
+    StructField("realized", DoubleType)))
+
+  /** Fold a trades ledger with columns
+    * (user_id: Long, ticker: Long, ts, id: Long, side, qty, price, fee)
+    * into one row per (user_id, ticker): final qty, avg cost, realized PnL.
+    * Ordering within key: (ts, id, side, qty, price, fee) — `id` is not
+    * guaranteed unique in the fixtures, and rows fully tied on all fold
+    * inputs commute, so the result is deterministic.
+    */
+  def fold(trades: DataFrame): DataFrame = {
+    val sorted = trades
+      .select(col("user_id").cast(LongType), col("ticker").cast(LongType),
+        col("ts"), col("id").cast(LongType), col("side"),
+        col("qty").cast(DoubleType), col("price").cast(DoubleType),
+        coalesce(col("fee"), lit(0.0)).cast(DoubleType).as("fee"))
+      .repartition(col("user_id"), col("ticker"))
+      .sortWithinPartitions(col("user_id"), col("ticker"), col("ts"),
+        col("id"), col("side"), col("qty"), col("price"), col("fee"))
+
+    sorted.mapPartitions { iter =>
+      new Iterator[Row] {
+        private var pending: Option[Row] = None
+        private def nextGroupRow(): Option[Row] = {
+          if (pending.isDefined) { val r = pending; pending = None; r }
+          else if (iter.hasNext) Some(iter.next()) else None
+        }
+        private var lookahead: Option[Row] = nextGroupRow()
+        override def hasNext: Boolean = lookahead.isDefined
+        override def next(): Row = {
+          val first = lookahead.get
+          val user = first.getLong(0)
+          val ticker = first.getLong(1)
+          var q0 = 0.0; var avg0 = 0.0; var realized = 0.0
+          var cur: Option[Row] = lookahead
+          while (cur.isDefined && cur.get.getLong(0) == user && cur.get.getLong(1) == ticker) {
+            val r = cur.get
+            val side = r.getString(4)
+            val qty = r.getDouble(5); val price = r.getDouble(6); val fee = r.getDouble(7)
+            if (side == "BUY") {
+              val q1 = q0 + qty
+              avg0 = if (q1 > 0) (q0 * avg0 + (qty * price + fee)) / q1 else 0.0
+              q0 = q1
+            } else if (q0 > 0) {
+              val sell = math.min(qty, q0)
+              realized += (price - avg0) * sell
+              q0 -= sell
+            }
+            cur = if (iter.hasNext) Some(iter.next()) else None
+          }
+          lookahead = cur
+          Row(user, ticker, q0, avg0, realized)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** DuckDB mirror of [[fold]] as a `list_reduce` over the per-key sorted
+    * event list. The lambda applies bit-identical IEEE operations in the
+    * same order as the Scala fold, so results hash-match exactly.
+    * State is encoded as [qty, avg, realized, 0]; an event as
+    * [qty, price, fee, is_buy].
+    */
+  val foldSql: String =
+    """folded AS (
+      |  SELECT user_id, ticker,
+      |         st[1] AS qty, st[2] AS avg_cost, st[3] AS realized
+      |  FROM (
+      |    SELECT user_id, ticker,
+      |           list_reduce(
+      |             list_prepend(CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]), evs),
+      |             (acc, x) -> CASE
+      |               WHEN x[4] = 1 THEN CASE WHEN acc[1] + x[1] > 0
+      |                 THEN [acc[1] + x[1],
+      |                       (acc[1]*acc[2] + (x[1]*x[2] + x[3])) / (acc[1] + x[1]),
+      |                       acc[3], 0.0]
+      |                 ELSE [acc[1] + x[1], 0.0, acc[3], 0.0] END
+      |               WHEN acc[1] <= 0 THEN acc
+      |               ELSE [acc[1] - least(x[1], acc[1]), acc[2],
+      |                     acc[3] + (x[2] - acc[2]) * least(x[1], acc[1]), 0.0]
+      |             END) AS st
+      |    FROM (
+      |      SELECT user_id, ticker,
+      |             list(CAST([qty, price, fee,
+      |                        CASE WHEN side='BUY' THEN 1 ELSE 0 END] AS DOUBLE[])
+      |                  ORDER BY ts, id, side, qty, price, fee) AS evs
+      |      FROM trades GROUP BY user_id, ticker)))""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers over the driver-generated star schema (TESTDATA.md) plus the
+  * semantic views that re-express the reference's data model
+  * (ref: /root/reference/src/etl.py:51-58 `prices`,
+  * /root/reference/app/services/db.py:40-49 `trades`) on top of it.
+  *
+  * Scale notes: every reader is a plain parquet scan — Catalyst pushes
+  * filters/projections down to the scan, so callers should never
+  * pre-materialize. The `events` table is stored with nanosecond
+  * timestamps, which Spark 4 rejects by default; we read them as raw
+  * nano-longs (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds — bit-identical to what DuckDB's TIMESTAMP does, which
+  * keeps the oracle comparable.
+  */
+object Tables {
+
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = raw(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = raw(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = raw(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame   = raw(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "embeddings")
+
+  /** events with `ts` as a microsecond-truncated timestamp (matches DuckDB). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The reference's `trades` ledger (db.py:40-49) re-expressed over
+    * `lineitem`: suppkey plays `user`, partkey plays `ticker`, shipdate
+    * plays the trade date, returnflag R = SELL else BUY, unit price is
+    * derived. `id` is the intra-day ordering tie-breaker (portfolio.py:23);
+    * (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+    * consumers must tie-break with the full row (identical rows commute
+    * through every fold, so that is safe).
+    */
+  def trades(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_suppkey").as("user_id"),
+      col("l_partkey").as("ticker"),
+      to_date(col("l_shipdate")).as("ts"),
+      when(col("l_returnflag") === "R", lit("SELL")).otherwise(lit("BUY")).as("side"),
+      col("l_quantity").as("qty"),
+      (col("l_extendedprice") / col("l_quantity")).as("price"),
+      col("l_discount").as("fee"))
+
+  /** SQL mirror of [[trades]] for the DuckDB oracle. */
+  val tradesSql: String =
+    """trades AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS id,
+      |         l_suppkey AS user_id,
+      |         l_partkey AS ticker,
+      |         CAST(l_shipdate AS DATE) AS ts,
+      |         CASE WHEN l_returnflag='R' THEN 'SELL' ELSE 'BUY' END AS side,
+      |         l_quantity AS qty,
+      |         l_extendedprice/l_quantity AS price,
+      |         l_discount AS fee
+      |  FROM lineitem)""".stripMargin
+
+  /** The reference's `prices` series (etl.py:51-58) re-expressed over
+    * `events`: event_type plays `ticker`, `value` plays `close`.
+    */
+  def prices(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_type").as("ticker"),
+      col("ts"),
+      col("value").as("close"),
+      col("event_id"))
+
+  val pricesSql: String =
+    """prices AS (
+      |  SELECT event_type AS ticker, ts, value AS close, event_id
+      |  FROM events)""".stripMargin
+
+  /** Daily close per ticker: last observation in each day, tie-broken by
+    * event_id (ref semantic: prices are daily closes; here derived).
+    */
+  def dailyPrices(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ticker"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    prices(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ticker"), to_date(col("ts")).as("ts"), col("close"))
+  }
+
+  val dailyPricesSql: String =
+    """daily AS (
+      |  SELECT ticker, d AS ts, close FROM (
+      |    SELECT event_type AS ticker, CAST(ts AS DATE) AS d, value AS close,
+      |           row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1)""".stripMargin
+}
