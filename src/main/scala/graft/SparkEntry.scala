@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.PortfolioQueries
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` maps each implemented SURVEY §2 operator to a DataFrame
@@ -23,10 +23,21 @@ object SparkEntry {
     "q05_avg_cost"         -> (PortfolioQueries.avgCost _),
     "q06_realized_pnl"     -> (PortfolioQueries.realizedPnl _),
     "q07_overview"         -> (PortfolioQueries.overview _),
+    "q08_price_panel"      -> (DashboardQueries.q08PricePanel _),
+    "q09_position_series"  -> (DashboardQueries.q09PositionSeries _),
+    "q10_cash_series"      -> (DashboardQueries.q10CashSeries _),
+    "q11_twr_index"        -> (DashboardQueries.q11TwrIndex _),
+    "q12_benchmark_rebase" -> (DashboardQueries.q12BenchmarkRebase _),
+    "q13_universe_search"  -> (SearchQueries.q13UniverseSearch _),
+    "q14_etl_dedup_load"   -> (EtlQueries.q14EtlDedupLoad _),
     "q15_unrealized_totals" -> (PortfolioQueries.unrealizedTotals _),
+    "q16_pricing_summary"  -> (AnalyticsQueries.q16PricingSummary _),
+    "q17_top_customers"    -> (AnalyticsQueries.q17TopCustomers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = PortfolioQueries.oracle
+  def oracleSql: Map[String, String] =
+    PortfolioQueries.oracle ++ DashboardQueries.oracle ++
+      SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -18,6 +18,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
         elif np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]").astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
