@@ -33,11 +33,20 @@ object SparkEntry {
     "q15_unrealized_totals" -> (PortfolioQueries.unrealizedTotals _),
     "q16_pricing_summary"  -> (AnalyticsQueries.q16PricingSummary _),
     "q17_top_customers"    -> (AnalyticsQueries.q17TopCustomers _),
+    "q20_dedup_exact"        -> (PipelineQueries.q20DedupExact _),
+    "q21_dedup_ngram_jaccard" -> (PipelineQueries.q21NgramJaccard _),
+    "q22_dedup_minhash_lsh"  -> (PipelineQueries.q22MinhashLsh _),
+    "q23_dedup_simhash"      -> (PipelineQueries.q23Simhash _),
+    "q24_ann_bruteforce"     -> (PipelineQueries.q24AnnBruteForce _),
+    "q25_ann_ivf"            -> (PipelineQueries.q25AnnIvf _),
+    "q26_text_stats"         -> (PipelineQueries.q26TextStats _),
+    "q27_doc_fingerprint"    -> (PipelineQueries.q27DocFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     PortfolioQueries.oracle ++ DashboardQueries.oracle ++
-      SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle
+      SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines:
+  * exact (hash groupBy), n-gram Jaccard (shingle self-join), and
+  * MinHash+LSH (shingle -> k minhashes -> banded buckets -> candidate
+  * join -> exact verify).
+  *
+  * Scale shape: everything is shuffle-on-key; no driver-side state, no
+  * pairwise O(n^2) work outside LSH buckets. Hashes are md5-based so the
+  * DuckDB oracle can replicate results bit-for-bit (a production deploy
+  * would swap in xxhash64 — same plan shape, cheaper hash).
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document; docs with fewer than 3
+    * tokens have no shingles and drop out. Input cols: (id, text). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("tok", split(col(textCol), " "))
+      .filter(size(col("tok")) >= 3)
+      .select(col(idCol).as("doc"), explode(array_distinct(
+        expr("transform(sequence(0, size(tok)-3), i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))")))
+        .as("sh"))
+
+  /** Exact dedup: one row per distinct text with the surviving (minimum)
+    * id and the number of copies collapsed. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** All-pairs n-gram Jaccard via shingle self-join: pairs sharing at
+    * least one shingle, jac = |A∩B| / (|A|+|B|-|A∩B|), thresholded.
+    * The shingle join is the scalable shape: work is proportional to
+    * shared-shingle pairs, not n^2. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    val s = shingles(docs, idCol, textCol)
+    val counts = s.groupBy("doc").agg(count(lit(1)).as("ns"))
+    val common = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("ia"), col("b.doc").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(counts.withColumnRenamed("doc", "ia").withColumnRenamed("ns", "na"), "ia")
+      .join(counts.withColumnRenamed("doc", "ib").withColumnRenamed("ns", "nb"), "ib")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("ia", "ib", "jaccard")
+  }
+
+  /** MinHash signatures: for hash i in [0, k), mh_i = min over shingles
+    * of md5(i || ':' || shingle) (lexicographic min over hex strings). */
+  def minhashSignature(sh: DataFrame, k: Int): DataFrame =
+    sh.crossJoin(broadcast(spark_range_df(sh, k)))
+      .groupBy(col("doc"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+
+  private def spark_range_df(ref: DataFrame, k: Int): DataFrame =
+    ref.sparkSession.range(k).toDF("i")
+
+  /** MinHash + LSH banded near-dup detection: k minhashes in `bands`
+    * bands of k/bands rows; docs sharing any band bucket become
+    * candidate pairs; candidates are verified with exact Jaccard.
+    * Returns (ia, ib, jaccard) for verified pairs >= threshold. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val s = shingles(docs, idCol, textCol).cache()
+    val sig = minhashSignature(s, k)
+    // one row per (doc, band): band hash = md5 of the band's minhashes
+    // in row order (selected via conditional agg — exactly one i per slot)
+    val slotCols = (0 until r).map(j =>
+      max(when(col("i") % r === j, col("mh"))).as(s"s$j"))
+    val bandHash = sig
+      .withColumn("band", (col("i") / r).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(slotCols.head, slotCols.tail: _*)
+      .select(col("doc"), col("band"),
+        md5(concat((0 until r).map(j => col(s"s$j")): _*)).as("bh"))
+    val cand = bandHash.as("x").join(bandHash.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
+    // exact-Jaccard verify of candidates only
+    val counts = s.groupBy("doc").agg(count(lit(1)).as("ns"))
+    val common = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("ia"), col("b.doc").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    cand.join(common, Seq("ia", "ib"))
+      .join(counts.withColumnRenamed("doc", "ia").withColumnRenamed("ns", "na"), "ia")
+      .join(counts.withColumnRenamed("doc", "ib").withColumnRenamed("ns", "nb"), "ib")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("ia", "ib", "jaccard")
+  }
+
+  /** 60-bit SimHash over tokens (with multiplicity): per bit j, sum +1/-1
+    * by whether bit j of md5-derived token hash is set; simhash bit j =
+    * (sum > 0). md5's first 15 hex chars give 60 bits, replicable in
+    * DuckDB. Single aggregation pass — no per-bit explode. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val assembled = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), assembled.as("simhash"))
+  }
+}

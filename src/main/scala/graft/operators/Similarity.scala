@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Two paths: brute-force cosine top-k (the correctness baseline — a
+  * broadcast of the query set against a full corpus scan, O(|Q|·n) but
+  * embarrassingly parallel), and IVF (inverted-file) — vectors are
+  * bucketed by nearest centroid once, queries probe only the closest
+  * `nprobe` buckets, cutting the scan by ~|buckets|/nprobe. At 100 TB
+  * the IVF path is the only viable one; the bucket assignment is a
+  * narrow shuffle on centroid id and the probe is a semi-join.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with a sequential fold (deterministic order). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id). Self-matches excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid (argmax
+    * cosine, centroid-id tiebreak), probe the `nprobe` closest buckets
+    * per query, rank within the probed candidates only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // bucket assignment: one shuffle-free broadcast pass over the corpus
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = corpus.crossJoin(broadcast(c))
+      .withColumn("csim", cosine(col("cv"), col("embedding")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("qsim", cosine(col("cv"), col("qv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * via the IVF buckets (pairs in the same bucket only — the scalable
+    * near-dup shape; recall is bounded by bucketing like any LSH). */
+  def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
+                         threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = corpus.crossJoin(broadcast(c))
+      .withColumn("csim", cosine(col("cv"), col("embedding")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+  }
+}

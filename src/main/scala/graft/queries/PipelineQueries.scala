@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline queries (SURVEY §7.4 extension surface):
+  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+  * ANN similarity search (brute-force + IVF), text analysis, and
+  * document fingerprinting over the `documents` / `embeddings` tables.
+  *
+  * All hashes are md5-based and all arithmetic is order-controlled so
+  * each query has an exact DuckDB oracle twin.
+  */
+object PipelineQueries {
+
+  def q20DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("text_hash")
+
+  def q21NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
+      .orderBy("ia", "ib")
+
+  def q22MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.8)
+      .orderBy("ia", "ib")
+
+  def q23Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc")
+
+  def q24AnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 97 === 0), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def q25AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.languageId(
+        TextAnalysis.textStats(Tables.documents(spark, sfDir), "text"), "text")
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len",
+        "stop_ratio", "digit_ratio", "quality_score", "lang_pred")
+      .orderBy("doc_id")
+
+  def q27DocFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text", 5)
+      .orderBy("doc")
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle twins
+  // ------------------------------------------------------------------
+
+  /** Shared shingle CTEs (mirror Dedup.shingles). */
+  private val shingleCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |s AS (SELECT doc_id AS doc,
+      |             unnest(list_distinct(list_transform(range(len(tok)-2),
+      |               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+      |      FROM t WHERE len(tok) >= 3),
+      |ns AS (SELECT doc, count(*) AS ns FROM s GROUP BY doc),
+      |common AS (
+      |  SELECT a.doc AS ia, b.doc AS ib, count(*) AS c
+      |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc < b.doc
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSelect =
+    """SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
+      |FROM common
+      |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc""".stripMargin
+
+  private val simhashBits = (0 until 60)
+    .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+    .mkString(", ")
+  private val simhashAssemble = (0 until 60)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q21_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes
+         |$jaccardSelect
+         |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    "q22_dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |hs AS (
+         |  SELECT doc, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM s CROSS JOIN (SELECT range AS i FROM range(16)) GROUP BY doc, i),
+         |bh AS (
+         |  SELECT doc, CAST(i // 4 AS INT) AS band,
+         |         md5(max(CASE WHEN i % 4 = 0 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 1 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 2 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 3 THEN mh END)) AS bhv
+         |  FROM hs GROUP BY doc, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc AS ia, y.doc AS ib
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv AND x.doc < y.doc)
+         |SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
+         |FROM cand JOIN common USING (ia, ib)
+         |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+         |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    "q23_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |bits AS (SELECT doc, $simhashBits FROM h GROUP BY doc)
+         |SELECT doc, $simhashAssemble AS simhash FROM bits ORDER BY doc""".stripMargin,
+
+    "q24_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_cosine_similarity(qv, embedding) AS sim
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q25_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(c.cv, e.embedding) DESC, c.cid ASC) AS arn
+        |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+        |probes AS (
+        |  SELECT query_id, qv, cid FROM (
+        |    SELECT q.query_id, q.qv, c.cid,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC) AS prn
+        |    FROM q CROSS JOIN c) WHERE prn <= 2)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, a.embedding) DESC, a.vec_id ASC) AS rank
+        |  FROM assigned a JOIN probes USING (cid)
+        |  WHERE a.vec_id <> query_id) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q26_text_stats" -> {
+      val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      val langScores = TextAnalysis.stopwords.keys.toSeq.sorted.map { lang =>
+        val lst = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tok, x -> list_contains([$lst], x))) AS score_$lang"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val pred = langs.init.map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+         |st AS (
+         |  SELECT doc_id, text, tok,
+         |         CAST(len(tok) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens,
+         |         CAST(length(text) - (len(tok) - 1) AS DOUBLE)/len(tok) AS avg_token_len,
+         |         CAST(len(list_filter(tok, x -> list_contains([$en], x))) AS DOUBLE)/len(tok) AS stop_ratio,
+         |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/length(text) AS digit_ratio,
+         |         $langScores
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, digit_ratio,
+         |       stop_ratio*0.5 + 1.0/(1.0 + abs(avg_token_len - 5.0))*0.5 AS quality_score,
+         |       CASE $pred ELSE '${langs.last}' END AS lang_pred
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_doc_fingerprint" ->
+      s"""WITH $shingleCtes
+         |SELECT doc, array_to_string(list_sort(list(md5(sh)))[1:5], '') AS fingerprint
+         |FROM s GROUP BY doc ORDER BY doc""".stripMargin
+  )
+}
