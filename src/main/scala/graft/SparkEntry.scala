@@ -41,6 +41,8 @@ object SparkEntry {
     "q25_ann_ivf"            -> (PipelineQueries.q25AnnIvf _),
     "q26_text_stats"         -> (PipelineQueries.q26TextStats _),
     "q27_doc_fingerprint"    -> (PipelineQueries.q27DocFingerprint _),
+    "q30_stream_tumbling"    -> (graft.streaming.StreamingQueries.q30StreamTumbling _),
+    "q31_stream_dedup_merge" -> (graft.streaming.StreamingQueries.q31StreamDedupMerge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +50,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     PortfolioQueries.oracle ++ DashboardQueries.oracle ++
       SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.queries.EtlQueries
+
+/** Structured Streaming surface (SURVEY §2.9): the reference's
+  * scheduler-triggered batch ETL maps to `Trigger.AvailableNow`
+  * micro-batches over a file source. Two queries:
+  *
+  *  - q30: tumbling 1-day event-time windows with a watermark — the
+  *    incremental aggregation a periodic ETL would maintain.
+  *  - q31: the idempotent dedup-merge load (S5 / etl.py:46-65) run
+  *    *through the streaming engine*: two micro-batches (original +
+  *    replay-with-new-rows) merged by `foreachBatch` into a parquet
+  *    state dir with within-batch dedup + anti-join-against-existing,
+  *    exactly the reference's INSERT OR IGNORE.
+  *
+  * Both run synchronously (AvailableNow + awaitTermination) so the
+  * driver can treat them as ordinary queries.
+  */
+object StreamingQueries {
+
+  private val eventsLongTsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** q30: per-day, per-ticker tumbling-window counts and exact-decimal
+    * value sums over the event stream. */
+  def q30StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "graft_q30_out"
+    // the file streaming source wants a directory; stage a symlink dir
+    val dir = Files.createTempDirectory("graft_q30")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream.schema(eventsLongTsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("tv"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(to_date(col("window.start")).as("window_day"),
+        col("event_type").as("ticker"), col("n_events"),
+        (col("tv").cast("double") / 1e6).as("total_value"))
+      .orderBy("window_day", "ticker")
+  }
+
+  /** q31: streaming idempotent load. Builds a two-file source (original
+    * prices + a replay batch that is half duplicates / half new keys),
+    * streams it one file per micro-batch, and foreachBatch-merges into
+    * parquet state. The replay's duplicate rows are byte-identical to
+    * the originals, so the merged set is independent of batch order. */
+  def q31StreamDedupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+
+    val prices = Tables.prices(spark, sfDir) // ticker, ts, close, event_id
+    prices.coalesce(1).write.parquet(src)
+    val replay = prices.filter(col("event_id") % 3 === 0)
+      .withColumn("ts", when(col("event_id") % 2 === 0,
+        col("ts") + expr("INTERVAL 40 DAYS")).otherwise(col("ts")))
+      .withColumn("close", when(col("event_id") % 2 === 0,
+        col("close") + 1.0).otherwise(col("close")))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    replay.coalesce(1).write.mode("append").parquet(src)
+
+    val q = spark.readStream.schema(prices.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        val stateSchema = StructType(batch.schema.filter(_.name != "event_id"))
+        val existing =
+          if (new java.io.File(state).exists) ss.read.parquet(state)
+          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            stateSchema)
+        val merged = EtlQueries.dedupMerge(existing, batch).cache()
+        merged.count() // materialize before overwriting the state dir
+        merged.write.mode("overwrite").parquet(s"$state.next")
+        ss.read.parquet(s"$state.next").write.mode("overwrite").parquet(state)
+        merged.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(state).select("ticker", "ts", "close")
+      .orderBy("ticker", "ts", "close")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q30_stream_tumbling" ->
+      """SELECT CAST(ts AS DATE) AS window_day, event_type AS ticker,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_day, ticker""".stripMargin,
+
+    "q31_stream_dedup_merge" ->
+      """WITH existing AS (
+        |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),
+        |replay_new AS (
+        |  SELECT ticker, ts + INTERVAL 40 DAY AS ts, close + 1.0 AS close
+        |  FROM existing WHERE event_id % 6 = 0)
+        |SELECT ticker, ts, close FROM existing
+        |UNION ALL
+        |SELECT ticker, ts, close FROM replay_new
+        |ORDER BY ticker, ts, close""".stripMargin
+  )
+}

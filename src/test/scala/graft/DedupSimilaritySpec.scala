@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses identical texts to min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+  }
+
+  test("ngram jaccard finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers pairs that brute-force jaccard finds") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups are close") {
+    val m = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("cosine is exact on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk ranks the closest vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("text stats and language id on a known sentence") {
+    val d = Seq((1L, "the cat is on the mat with 42 others")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(TextAnalysis.textStats(d, "text"), "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 5.0 / 9.0) < 1e-12) // the,is,on,the,with
+    assert(r.getAs[Double]("digit_ratio") > 0)
+    assert(r.getAs[String]("lang_pred") == "en")
+  }
+
+  test("fingerprint is stable and equal for identical docs") {
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L).length == 96) // 3 md5 hex strings
+  }
+}
