@@ -51,15 +51,15 @@ object Dedup {
       .select("ia", "ib", "jaccard")
   }
 
-  /** MinHash signatures: for hash i in [0, k), mh_i = min over shingles
-    * of md5(i || ':' || shingle) (lexicographic min over hex strings). */
-  def minhashSignature(sh: DataFrame, k: Int): DataFrame =
-    sh.crossJoin(broadcast(spark_range_df(sh, k)))
-      .groupBy(col("doc"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
-
-  private def spark_range_df(ref: DataFrame, k: Int): DataFrame =
-    ref.sparkSession.range(k).toDF("i")
+  /** MinHash signatures, wide form: one row per doc with columns
+    * mh0..mh{k-1}, mh_i = min over shingles of md5(i || ':' || shingle)
+    * (lexicographic min over hex strings). Computed in a single
+    * aggregation pass — no k-way row blowup, one shuffle on doc. */
+  def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH banded near-dup detection: k minhashes in `bands`
     * bands of k/bands rows; docs sharing any band bucket become
@@ -69,18 +69,18 @@ object Dedup {
                       k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val s = shingles(docs, idCol, textCol).cache()
+    // no .cache(): the returned plan is lazy, so a cache here would pin
+    // memory for the session; Spark's exchange reuse covers the shared
+    // shingle scan within the single triggered plan.
+    val s = shingles(docs, idCol, textCol)
     val sig = minhashSignature(s, k)
     // one row per (doc, band): band hash = md5 of the band's minhashes
-    // in row order (selected via conditional agg — exactly one i per slot)
-    val slotCols = (0 until r).map(j =>
-      max(when(col("i") % r === j, col("mh"))).as(s"s$j"))
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("bh"))): _*)
     val bandHash = sig
-      .withColumn("band", (col("i") / r).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(slotCols.head, slotCols.tail: _*)
-      .select(col("doc"), col("band"),
-        md5(concat((0 until r).map(j => col(s"s$j")): _*)).as("bh"))
+      .select(col("doc"), explode(bandStructs).as("bs"))
+      .select(col("doc"), col("bs.band").as("band"), col("bs.bh").as("bh"))
     val cand = bandHash.as("x").join(bandHash.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.FloatVecDot.dot
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]).
@@ -16,23 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * with a sequential fold (deterministic order). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns: codegen'd dot
+    * product (FloatVecDot) accumulated sequentially in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force top-k cosine neighbors for each query vector.
-    * Output: (query_id, rank, neighbor_id). Self-matches excluded. */
+    * Norms are computed once per side, so the per-pair work is a single
+    * codegen'd dot product. Output: (query_id, rank, neighbor_id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("embedding")))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.withColumn("cn", sqrt(dot(col("embedding"), col("embedding"))))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("embedding")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -81,23 +81,25 @@ object StreamingQueries {
       .parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         val stateSchema = StructType(batch.schema.filter(_.name != "event_id"))
+        val prev = s"$state/v${batchId - 1}"
         val existing =
-          if (new java.io.File(state).exists) ss.read.parquet(state)
+          if (new java.io.File(prev).exists) ss.read.parquet(prev)
           else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             stateSchema)
-        val merged = EtlQueries.dedupMerge(existing, batch).cache()
-        merged.count() // materialize before overwriting the state dir
-        merged.write.mode("overwrite").parquet(s"$state.next")
-        ss.read.parquet(s"$state.next").write.mode("overwrite").parquet(state)
-        merged.unpersist()
+        // versioned state dirs: each batch writes a new version and reads
+        // the previous one — single write per batch, no read-while-write
+        EtlQueries.dedupMerge(existing, batch)
+          .write.mode("overwrite").parquet(s"$state/v$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(state).select("ticker", "ts", "close")
+    val latest = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toInt).max
+    spark.read.parquet(s"$state/v$latest").select("ticker", "ts", "close")
       .orderBy("ticker", "ts", "close")
   }
 
