@@ -41,6 +41,8 @@ object SparkEntry {
     "q25_ann_ivf"            -> (PipelineQueries.q25AnnIvf _),
     "q26_text_stats"         -> (PipelineQueries.q26TextStats _),
     "q27_doc_fingerprint"    -> (PipelineQueries.q27DocFingerprint _),
+    "q28_multimodal_decode"  -> (PipelineQueries.q28MultimodalDecode _),
+    "q29_frame_sample"       -> (PipelineQueries.q29FrameSample _),
     "q30_stream_tumbling"    -> (graft.streaming.StreamingQueries.q30StreamTumbling _),
     "q31_stream_dedup_merge" -> (graft.streaming.StreamingQueries.q31StreamDedupMerge _),
   )

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -85,6 +86,64 @@ object CostBasis {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** One trade event, ordered by (ts as epoch-day, id, side, qty, price,
+    * fee) — the same total order the streaming fold uses. */
+  case class TradeEv(ts: Int, id: Long, side: String, qty: Double,
+                     price: Double, fee: Double)
+  case class CostResult(qty: Double, avg_cost: Double, realized: Double)
+
+  /** The same fold as a typed `Aggregator` (SURVEY §2.10): `reduce`
+    * accumulates events, `merge` concatenates partial buffers, and
+    * `finish` restores the total order and folds — legal under Spark's
+    * partial aggregation because order is only imposed at the end.
+    * Use [[fold]] for large groups (it streams); this form is the
+    * drop-in `.agg()` column for composition with other aggregates.
+    */
+  object FoldAggregator extends Aggregator[TradeEv, List[TradeEv], CostResult] {
+    override def zero: List[TradeEv] = Nil
+    override def reduce(b: List[TradeEv], e: TradeEv): List[TradeEv] = e :: b
+    override def merge(a: List[TradeEv], b: List[TradeEv]): List[TradeEv] = a ::: b
+    override def finish(buf: List[TradeEv]): CostResult = {
+      implicit val ord: Ordering[TradeEv] =
+        Ordering.by(e => (e.ts, e.id, e.side, e.qty, e.price, e.fee))
+      var q0 = 0.0; var avg0 = 0.0; var realized = 0.0
+      buf.sorted.foreach { e =>
+        if (e.side == "BUY") {
+          val q1 = q0 + e.qty
+          avg0 = if (q1 > 0) (q0 * avg0 + (e.qty * e.price + e.fee)) / q1 else 0.0
+          q0 = q1
+        } else if (q0 > 0) {
+          val sell = math.min(e.qty, q0)
+          realized += (e.price - avg0) * sell
+          q0 -= sell
+        }
+      }
+      CostResult(q0, avg0, realized)
+    }
+    override def bufferEncoder: Encoder[List[TradeEv]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[CostResult] = Encoders.product[CostResult]
+  }
+
+  /** [[fold]] expressed through [[FoldAggregator]]; result-equivalent,
+    * used where a Column aggregate composes better than mapPartitions. */
+  def foldTyped(trades: DataFrame): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(col("user_id").cast(LongType), col("ticker").cast(LongType),
+        datediff(col("ts"), lit("1970-01-01")).as("ts"), col("id").cast(LongType),
+        col("side"), col("qty").cast(DoubleType), col("price").cast(DoubleType),
+        coalesce(col("fee"), lit(0.0)).cast(DoubleType).as("fee"))
+      .as[(Long, Long, Int, Long, String, Double, Double, Double)]
+      .groupByKey { case (u, t, _, _, _, _, _, _) => (u, t) }
+      .mapValues { case (_, _, ts, id, side, qty, price, fee) =>
+        TradeEv(ts, id, side, qty, price, fee) }
+      .agg(FoldAggregator.toColumn)
+      .map { case ((u, t), r) => (u, t, r.qty, r.avg_cost, r.realized) }
+      .toDF("user_id", "ticker", "qty", "avg_cost", "realized")
   }
 
   /** DuckDB mirror of [[fold]] as a `list_reduce` over the per-key sorted

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MultiModal, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (SURVEY §7.4 extension surface):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -55,6 +55,20 @@ object PipelineQueries {
   def q27DocFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text", 5)
       .orderBy("doc")
+
+  def q28MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val assets = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
+    MultiModal.byteFeatures(MultiModal.decodeMeta(assets))
+      .select("asset_id", "modality", "n_bytes", "width", "height",
+        "channels", "duration_ms", "byte_sum", "byte_max")
+      .orderBy("asset_id")
+  }
+
+  def q29FrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    MultiModal.sampleFrames(
+        MultiModal.syntheticAssets(Tables.documents(spark, sfDir)),
+        frameBytes = 64, stride = 2)
+      .orderBy("asset_id", "frame_idx")
 
   // ------------------------------------------------------------------
   // DuckDB oracle twins
@@ -190,6 +204,33 @@ object PipelineQueries {
     "q27_doc_fingerprint" ->
       s"""WITH $shingleCtes
          |SELECT doc, array_to_string(list_sort(list(md5(sh)))[1:5], '') AS fingerprint
-         |FROM s GROUP BY doc ORDER BY doc""".stripMargin
+         |FROM s GROUP BY doc ORDER BY doc""".stripMargin,
+
+    "q28_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |       CAST(length(text) AS BIGINT) AS n_bytes,
+        |       ('0x' || substr(md5(text), 1, 7))::BIGINT % 240 + 16 AS width,
+        |       ('0x' || substr(md5(text), 8, 7))::BIGINT % 240 + 16 AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS channels,
+        |       CASE WHEN doc_id % 3 = 0 THEN 0
+        |            ELSE CAST(length(text) AS BIGINT) * 20 END AS duration_ms,
+        |       CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_sum,
+        |       CAST(list_max(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_max
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q29_frame_sample" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS asset_id, text,
+        |         CAST(ceil(CAST(length(text) AS DOUBLE)/64) AS INT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |frames AS (
+        |  SELECT asset_id, CAST(i AS BIGINT) AS frame_idx,
+        |         substring(text, CAST(i*64 + 1 AS INT), 64) AS fb
+        |  FROM vids, LATERAL unnest(range(nf)) t(i)
+        |  WHERE i % 2 = 0)
+        |SELECT asset_id, frame_idx,
+        |       CAST(length(fb) AS BIGINT) AS frame_len, md5(fb) AS frame_md5
+        |FROM frames ORDER BY asset_id, frame_idx""".stripMargin
   )
 }

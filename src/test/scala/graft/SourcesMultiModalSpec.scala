@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{CostBasis, MultiModal}
+import graft.sources.{PriceSink, Tables, UniverseCsv}
+
+class SourcesMultiModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foldTyped (Aggregator) matches the streaming fold on real data") {
+    val tr = Tables.trades(spark, sf())
+    val a = CostBasis.fold(tr).orderBy("user_id", "ticker").collect()
+    val b = CostBasis.foldTyped(tr).orderBy("user_id", "ticker").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+      assert(x.getDouble(2) == y.getDouble(2)) // bit-equal qty
+      assert(x.getDouble(3) == y.getDouble(3)) // bit-equal avg
+      assert(x.getDouble(4) == y.getDouble(4)) // bit-equal realized
+    }
+  }
+
+  test("universe CSV loader: aliases, BOM, normalization, derived cols") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("u.csv")
+    // BOM + alias headers (ticker/name/list) + "(publ)" + extra spaces
+    Files.write(f, ("﻿name;ticker;list\n" +
+      "Investor  AB (publ);INVE-B.ST;Large\n" +
+      "Volvo AB;VOLV-B.ST;Mid\n").getBytes("UTF-8"))
+    val df = UniverseCsv.load(spark, f.toString)
+    assert(df.columns.toSeq ==
+      Seq("yf_symbol", "name_display", "segment", "search_blob", "display"))
+    val inv = df.filter($"yf_symbol" === "INVE-B.ST").collect().head
+    assert(inv.getAs[String]("name_display") == "Investor AB") // (publ) + spaces gone
+    assert(inv.getAs[String]("search_blob") == "investor ab inve-b.st inve-b")
+    assert(inv.getAs[String]("display") == "Investor AB — INVE-B.ST")
+  }
+
+  test("universe CSV loader: missing required column raises") {
+    val dir = Files.createTempDirectory("graft_csv2")
+    val f = dir.resolve("bad.csv")
+    Files.write(f, "name;list\nFoo;Large\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](UniverseCsv.load(spark, f.toString))
+    assert(e.getMessage.contains("yf_symbol"))
+  }
+
+  test("price sink: melt + idempotent partitioned append") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/prices"
+    val wide = Seq(
+      ("2024-01-05", Some(10.0), Some(20.0)),
+      ("2024-02-05", None, Some(21.0))).toDF("ts", "AAA", "BBB")
+      .withColumn("ts", to_date($"ts"))
+    val tidy = PriceSink.melt(wide)
+    assert(tidy.count() == 3) // null close dropped
+    val n1 = PriceSink.appendDedup(spark, dir, tidy)
+    assert(n1 == 3)
+    val n2 = PriceSink.appendDedup(spark, dir, tidy) // replay: all dups
+    assert(n2 == 0)
+    assert(PriceSink.read(spark, dir).count() == 3)
+    // new month partition only appends
+    val more = Seq(("BBB", "2024-03-05", 22.0)).toDF("ticker", "ts", "close")
+      .withColumn("ts", to_date($"ts"))
+    assert(PriceSink.appendDedup(spark, dir, more) == 1)
+    assert(PriceSink.read(spark, dir).count() == 4)
+  }
+
+  test("latestWithFallback prefers live, falls back to stored") {
+    val stored = Seq(("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
+      ("B", "2024-01-01", 5.0)).toDF("ticker", "ts", "close")
+      .withColumn("ts", to_date($"ts"))
+    val live = Seq(("A", "2024-01-03", 3.0)).toDF("ticker", "ts", "close")
+      .withColumn("ts", to_date($"ts"))
+    val out = PriceSink.latestWithFallback(live, stored).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("A" -> 3.0, "B" -> 5.0))
+  }
+
+  test("multimodal: decode meta is deterministic, frames cover the payload") {
+    val assets = MultiModal.syntheticAssets(Tables.documents(spark, sf()))
+    val dec = MultiModal.decodeMeta(assets)
+    val r = dec.filter($"asset_id" === 0).collect().head
+    assert(r.getAs[Long]("width") >= 16 && r.getAs[Long]("width") < 256)
+    assert(r.getAs[String]("modality") == "image")
+    assert(r.getAs[Long]("channels") == 3L)
+    val feat = MultiModal.byteFeatures(assets)
+    val f = feat.filter($"asset_id" === 0).collect().head
+    assert(f.getAs[Long]("byte_sum") > 0 && f.getAs[Long]("byte_max") <= 255)
+    val frames = MultiModal.sampleFrames(assets, 64, 2)
+    val fr = frames.filter($"asset_id" === 2).orderBy("frame_idx").collect()
+    assert(fr.nonEmpty)
+    assert(fr.map(_.getAs[Long]("frame_idx")).forall(_ % 2 == 0))
+    assert(fr.forall(_.getAs[Long]("frame_len") <= 64))
+    // resize halves dims
+    val rs = MultiModal.resize(dec, 2).filter($"asset_id" === 0).collect().head
+    assert(rs.getAs[Long]("width") == r.getAs[Long]("width") / 2)
+  }
+}
