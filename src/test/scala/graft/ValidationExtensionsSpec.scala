@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TradeValidation
+
+class ValidationExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTrades(rows: (Long, Long, String, Long, String, Double, Double, Double)*) =
+    rows.toSeq.toDF("user_id", "ticker", "tss", "id", "side", "qty", "price", "fee")
+      .withColumn("ts", to_date($"tss")).drop("tss")
+
+  test("validate rejects each constraint violation with a reason") {
+    val cands = Seq(
+      (1L, 1L, "2024-01-02", 1L, "buy", 1.0, 10.0, 0.0),   // lower side -> normalized, valid
+      (1L, 1L, "2024-01-02", 2L, "HOLD", 1.0, 10.0, 0.0),  // bad side
+      (1L, 1L, "2024-01-02", 3L, "SELL", 0.0, 10.0, 0.0),  // qty
+      (1L, 1L, "2024-01-02", 4L, "BUY", 1.0, -1.0, 0.0),   // price
+      (1L, 1L, "2024-01-02", 5L, "BUY", 1.0, 10.0, -0.5))  // fee
+      .toDF("user_id", "ticker", "tss", "id", "side", "qty", "price", "fee")
+      .withColumn("ts", to_date($"tss")).drop("tss")
+    val out = TradeValidation.validate(cands).orderBy("id").collect()
+    assert(out(0).getAs[String]("reject_reason") == null)
+    assert(out(0).getAs[String]("side") == "BUY")
+    assert(out(1).getAs[String]("reject_reason").contains("side"))
+    assert(out(2).getAs[String]("reject_reason").contains("qty"))
+    assert(out(3).getAs[String]("reject_reason").contains("price"))
+    assert(out(4).getAs[String]("reject_reason").contains("fee"))
+  }
+
+  test("oversell guard: reference scenario — SELL 15 holding 10 rejected") {
+    val existing = mkTrades((1L, 1L, "2024-01-02", 1L, "BUY", 10.0, 200.0, 0.0))
+    val cands = mkTrades(
+      (1L, 1L, "2024-01-03", 2L, "SELL", 15.0, 220.0, 0.0), // oversell
+      (1L, 1L, "2024-01-03", 3L, "SELL", 4.0, 220.0, 0.0))  // fine (checked vs signed sum)
+    val out = TradeValidation.flagOversell(existing, cands).orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("oversell"))
+    assert(!out(1).getAs[Boolean]("oversell"))
+  }
+
+  test("oversell guard allows selling exactly the held quantity") {
+    val existing = mkTrades((1L, 1L, "2024-01-02", 1L, "BUY", 10.0, 100.0, 0.0))
+    val cands = mkTrades((1L, 1L, "2024-01-03", 2L, "SELL", 10.0, 110.0, 0.0))
+    val out = TradeValidation.flagOversell(existing, cands).collect()
+    assert(!out.head.getAs[Boolean]("oversell"))
+  }
+
+  test("float_vec_dot is callable from SQL once registered") {
+    // same builder GraftExtensions injects, bound to the live session's
+    // registry (withExtensions only applies to fresh contexts)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vec_dot",
+      exprs => graft.functions.FloatVecDot(exprs.head, exprs(1)),
+      "scala_udf")
+    val r = spark.sql(
+      "SELECT float_vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").collect().head.getDouble(0)
+    assert(r == 11.0)
+    import graft.functions.FloatVecDot.dot
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).collect().head.getDouble(0) == 11.0)
+  }
+}
