@@ -33,6 +33,8 @@ object SparkEntry {
     "q15_unrealized_totals" -> (PortfolioQueries.unrealizedTotals _),
     "q16_pricing_summary"  -> (AnalyticsQueries.q16PricingSummary _),
     "q17_top_customers"    -> (AnalyticsQueries.q17TopCustomers _),
+    "q18_sessionize"       -> (EventsQueries.q18Sessionize _),
+    "q19_json_extract"     -> (EventsQueries.q19JsonExtract _),
     "q20_dedup_exact"        -> (PipelineQueries.q20DedupExact _),
     "q21_dedup_ngram_jaccard" -> (PipelineQueries.q21NgramJaccard _),
     "q22_dedup_minhash_lsh"  -> (PipelineQueries.q22MinhashLsh _),
@@ -52,5 +54,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     PortfolioQueries.oracle ++ DashboardQueries.oracle ++
       SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle ++
-      PipelineQueries.oracle ++ graft.streaming.StreamingQueries.oracle
+      EventsQueries.oracle ++ PipelineQueries.oracle ++
+      graft.streaming.StreamingQueries.oracle
 }

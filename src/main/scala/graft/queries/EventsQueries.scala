@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream queries beyond the reference surface: sessionization
+  * (gap-based session windows via lag + running sum — the standard
+  * partition-parallel shape) and semi-structured JSON extraction from
+  * the `props` column.
+  */
+object EventsQueries {
+
+  val SessionGapMicros: Long = 30L * 60 * 1000000 // 30 minutes
+
+  /** q18: per-user sessions split on >30-minute gaps. One shuffle on
+    * user_id; both windows share its sort. */
+  def q18Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag("us", 1).over(w) > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(cum))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** q19: typed extraction from the JSON props column, aggregated per
+    * event type (exact integer sums). */
+  def q19JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val oracle: Map[String, String] = Map(
+    "q18_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.sources.Tables
+
+class SkewEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum equals direct sum, including on a hot key") {
+    // hot key: one key holds 90% of rows
+    val df = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong % 7, i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val salted = Skew.saltedSum(df, Seq("k"), col("v"), buckets = 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("saltedSum matches on real lineitem quantities") {
+    val li = Tables.lineitem(spark, sf())
+    val direct = li.groupBy("l_returnflag").agg(sum("l_quantity").as("sum"))
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), col("l_quantity"), 16)
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // quantities are integer-valued doubles -> sums exact in any order
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("sessionize: gaps above threshold split sessions") {
+    val sessions = graft.queries.EventsQueries.q18Sessionize(spark, sf())
+    val byUser = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n"), count(lit(1)).as("ns")).collect()
+    // event counts are conserved across sessions
+    val total = byUser.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.events(spark, sf()).count())
+    // sessions are non-overlapping in time per user
+    val rows = sessions.orderBy("user_id", "session_idx").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(0) == b.getLong(0) =>
+        assert(!a.getAs[java.sql.Timestamp]("end_ts")
+          .after(b.getAs[java.sql.Timestamp]("start_ts")))
+      case _ => ()
+    }
+  }
+}
