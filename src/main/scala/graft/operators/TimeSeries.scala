@@ -56,6 +56,12 @@ object TimeSeries {
     c / firstVal * 100.0
   }
 
+  /** Presentation-edge pivot (SURVEY A7 / §1.4): long (ts, key, value)
+    * -> wide (ts, one column per key). Only for the final, small result —
+    * all engine math stays long-form. */
+  def toWide(df: DataFrame, tsCol: String, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(tsCol)).pivot(keyCol).agg(first(col(valueCol)))
+
   /** Linear interpolation in both directions, pandas
     * `interpolate(limit_direction="both")` semantics
     * (ref: 1_Dashboard.py:82): interior gaps are filled linearly *by row
