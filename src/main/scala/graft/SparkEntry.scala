@@ -47,6 +47,10 @@ object SparkEntry {
     "q29_frame_sample"       -> (PipelineQueries.q29FrameSample _),
     "q30_stream_tumbling"    -> (graft.streaming.StreamingQueries.q30StreamTumbling _),
     "q31_stream_dedup_merge" -> (graft.streaming.StreamingQueries.q31StreamDedupMerge _),
+    "q32_rollup"             -> (AnalyticsQueries.q32Rollup _),
+    "q33_percentiles"        -> (AnalyticsQueries.q33Percentiles _),
+    "q34_histogram"          -> (AnalyticsQueries.q34Histogram _),
+    "q35_window_funcs"       -> (AnalyticsQueries.q35WindowFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -58,7 +58,90 @@ object AnalyticsQueries {
       .orderBy("n_name", "rnk")
   }
 
+  /** Q32: rollup grouping sets — revenue + exact distinct counts at
+    * (returnflag, linestatus), (returnflag), and grand-total levels. */
+  def q32Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("rev_l").cast("double") / 1e6).as("revenue"),
+        col("n_parts"), col("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q33: exact percentiles of quantity per return flag (sorted-set
+    * interpolation — order-insensitive, so deterministic). */
+  def q33Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"),
+        min("l_quantity").as("min_q"), max("l_quantity").as("max_q"))
+      .orderBy("l_returnflag")
+
+  /** Q34: fixed-width histogram of event values (bucket = floor(v/20)). */
+  def q34Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / 20).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Q35: the window-ranking family over each customer's orders:
+    * row_number / rank / dense_rank / ntile / lead / lag. */
+  def q35WindowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        lag("o_orderkey", 1).over(w).as("prev_order"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q33_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.99) AS p99,
+        |       MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_histogram" ->
+      """SELECT CAST(FLOOR(value/20) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q35_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       lead(o_orderkey, 1) OVER w AS next_order,
+        |       lag(o_orderkey, 1) OVER w AS prev_order
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
     "q16_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity) AS sum_qty,
