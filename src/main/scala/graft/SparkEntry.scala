@@ -51,6 +51,8 @@ object SparkEntry {
     "q33_percentiles"        -> (AnalyticsQueries.q33Percentiles _),
     "q34_histogram"          -> (AnalyticsQueries.q34Histogram _),
     "q35_window_funcs"       -> (AnalyticsQueries.q35WindowFuncs _),
+    "q36_approx_stats"       -> (AnalyticsQueries.q36ApproxStats _),
+    "q37_stream_user_stats"  -> (graft.streaming.StreamingQueries.q37StreamUserStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -108,6 +108,20 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Q36: sketch-based approximations — the 100 TB scale path where
+    * exact distinct counts / percentiles are too expensive. No oracle
+    * (approximation internals differ across engines); the driver's
+    * rows-only check applies, and the spec bounds the error against
+    * exact values. */
+  def q36ApproxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"))
+      .orderBy("l_returnflag")
+
   val oracle: Map[String, String] = Map(
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

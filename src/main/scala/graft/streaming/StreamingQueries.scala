@@ -103,7 +103,60 @@ object StreamingQueries {
       .orderBy("ticker", "ts", "close")
   }
 
+  /** q37: arbitrary stateful streaming via mapGroupsWithState — per-user
+    * running (count, exact value sum) carried across micro-batches. The
+    * source is split into two files streamed one per batch, so state
+    * genuinely persists between batches; the final state equals the
+    * batch aggregation, which is the oracle. */
+  def q37StreamUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_q37").toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
+        col("event_id"))
+    // split by event parity so EVERY user spans both micro-batches and
+    // the per-user state genuinely carries across them
+    ev.filter(col("event_id") % 2 === 0).drop("event_id").coalesce(1).write.parquet(src)
+    ev.filter(col("event_id") % 2 === 1).drop("event_id").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val name = "graft_q37_out"
+    val q = spark.readStream.schema(StructType(ev.schema.filter(_.name != "event_id")))
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (uid, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_micro")
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update-mode memory sink appends one row per state change; the
+    // final state per user is the last emitted row
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        (col("sum_micro").cast("double") / 1e6).as("total_value"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q37_stream_user_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q30_stream_tumbling" ->
       """SELECT CAST(ts AS DATE) AS window_day, event_type AS ticker,
         |       COUNT(*) AS n_events,

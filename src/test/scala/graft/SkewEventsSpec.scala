@@ -28,6 +28,25 @@ class SkewEventsSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("approx sketches stay within tolerance of exact values") {
+    val approx = graft.queries.AnalyticsQueries.q36ApproxStats(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Tables.lineitem(spark, sf("sf0.01"))
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      val relDistinct = math.abs(a.getAs[Long]("approx_parts").toDouble - e.getAs[Long]("n")) /
+        e.getAs[Long]("n").toDouble
+      assert(relDistinct < 0.05, s"$flag HLL error $relDistinct")
+      val relP50 = math.abs(a.getAs[Double]("ap50") - e.getAs[Double]("p50")) /
+        e.getAs[Double]("p50")
+      assert(relP50 < 0.05, s"$flag approx p50 error $relP50")
+    }
+  }
+
   test("sessionize: gaps above threshold split sessions") {
     val sessions = graft.queries.EventsQueries.q18Sessionize(spark, sf())
     val byUser = sessions.groupBy("user_id")
