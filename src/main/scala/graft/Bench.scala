@@ -27,6 +27,11 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
+      // drop warmup session debris (memory-sink tables, cached relations,
+      // young-gen garbage) so it does not tax the timed runs
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
