@@ -58,7 +58,10 @@ object Dedup {
   def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
-    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+    // shingle count rides along in the same pass — LSH's Jaccard verify
+    // needs it and this saves a separate groupBy over the shingle set
+    val aggs = mins :+ count(lit(1)).as("ns")
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banded near-dup detection: k minhashes in `bands`
@@ -85,8 +88,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
-    // exact-Jaccard verify of candidates only
-    val counts = s.groupBy("doc").agg(count(lit(1)).as("ns"))
+    // exact-Jaccard verify of candidates only; counts come from the
+    // signature pass (no extra shuffle over the shingle set)
+    val counts = sig.select(col("doc"), col("ns"))
     val common = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("ia"), col("b.doc").as("ib"))
