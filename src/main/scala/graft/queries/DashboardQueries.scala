@@ -149,6 +149,44 @@ object DashboardQueries {
       .orderBy("ts")
   }
 
+  /** Period-start anchor arithmetic (P4; ref 1_Dashboard.py:30-31,41-50):
+    * None = unbounded ("Allt"), YTD = Jan 1 of the anchor year, else
+    * anchor minus the period's day count. Labels mirror the reference. */
+  val PeriodDays: Map[String, Int] =
+    Map("1 dag" -> 1, "1 vecka" -> 7, "3 månader" -> 90, "6 månader" -> 180, "1 år" -> 365)
+
+  def periodStart(anchor: java.time.LocalDate, period: String): Option[java.time.LocalDate] =
+    period match {
+      case "Allt" => None
+      case "YTD"  => Some(java.time.LocalDate.of(anchor.getYear, 1, 1))
+      case p      => Some(anchor.minusDays(PeriodDays(p).toLong))
+    }
+
+  /** Portfolio index with the reference's volume-gated fallback
+    * (ref 1_Dashboard.py:332-346): use the TWR series when it has at
+    * least `minPoints` rows; otherwise a static basket of the current
+    * holdings — pv_t = Σ qty_now(ticker) * close_t over the panel,
+    * positive days only, rebased to 100. The volume check is a tiny
+    * driver-side decision, exactly like the reference's. */
+  def portfolioIndexWithFallback(panel: DataFrame, qtyNow: DataFrame,
+                                 twr: DataFrame, minPoints: Int = 5): DataFrame = {
+    if (twr.limit(minPoints).count() >= minPoints) {
+      twr.select(col("ts"), col("twr_index").as("portfolio_index"))
+    } else {
+      val pv = panel.join(qtyNow, Seq("ticker"), "left")
+        .withColumn("qty", coalesce(col("qty"), lit(0.0)))
+        .groupBy("ts")
+        .agg(sum(round(col("qty") * col("close") * 1e6).cast("long")).as("pv_l"))
+        .withColumn("pv", col("pv_l").cast("double") / 1e6)
+        .filter(col("pv") > 0)
+      val wAsc = Window.orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pv.select(col("ts"),
+        (col("pv") / first("pv").over(wAsc) * 100.0).as("portfolio_index"))
+        .orderBy("ts")
+    }
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle twins — shared CTE prefix mirrors the Spark helpers.
   // ------------------------------------------------------------------
