@@ -53,6 +53,7 @@ object SparkEntry {
     "q35_window_funcs"       -> (AnalyticsQueries.q35WindowFuncs _),
     "q36_approx_stats"       -> (AnalyticsQueries.q36ApproxStats _),
     "q37_stream_user_stats"  -> (graft.streaming.StreamingQueries.q37StreamUserStats _),
+    "q38_asof_join"          -> (EventsQueries.q38AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -40,7 +40,33 @@ object EventsQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** q38: backward as-of join — for every sparse "trade" event, the
+    * most recent price observation (value >= 150 stream) at or before
+    * it, per ticker. The Spark side is the composed one-shuffle window
+    * form; the oracle uses DuckDB's native ASOF LEFT JOIN. */
+  def q38AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+    val right = ev.filter(col("value") >= 150)
+      .select(col("event_type").as("ticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+    graft.operators.AsofJoin.backward(left, right, "ticker", "ts", "rts",
+        "close", "asof_close", Seq("rid"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q38_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close
+        |  FROM events WHERE value >= 150)
+        |SELECT l.event_id, l.ticker, l.ts, r.close AS asof_close
+        |FROM l ASOF LEFT JOIN r ON l.ticker = r.ticker AND l.ts >= r.rts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q18_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
