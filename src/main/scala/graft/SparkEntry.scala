@@ -54,6 +54,7 @@ object SparkEntry {
     "q36_approx_stats"       -> (AnalyticsQueries.q36ApproxStats _),
     "q37_stream_user_stats"  -> (graft.streaming.StreamingQueries.q37StreamUserStats _),
     "q38_asof_join"          -> (EventsQueries.q38AsofJoin _),
+    "q39_dedup_ngram_capped" -> (PipelineQueries.q39NgramJaccardCapped _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

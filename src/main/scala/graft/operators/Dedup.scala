@@ -36,8 +36,27 @@ object Dedup {
     * The shingle join is the scalable shape: work is proportional to
     * shared-shingle pairs, not n^2. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
-    val s = shingles(docs, idCol, textCol)
+                        threshold: Double): DataFrame =
+    jaccardPairsFromShingles(shingles(docs, idCol, textCol), threshold)
+
+  /** n-gram Jaccard with a shingle document-frequency cutoff: shingles
+    * appearing in more than `maxDocFreq` docs are dropped from every
+    * document's shingle set BEFORE the self-join (both intersection and
+    * set sizes use the filtered sets). This bounds the self-join fan-out
+    * per shingle at maxDocFreq — without it, one boilerplate shingle
+    * shared by n docs produces O(n^2) join rows, which is fatal at the
+    * 100 TB scale this engine targets. Standard "stop-shingle" semantics.
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, maxDocFreq: Int): DataFrame = {
+    val s0 = shingles(docs, idCol, textCol)
+    val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("sh")
+    jaccardPairsFromShingles(s0.join(hot, Seq("sh"), "left_anti"), threshold)
+  }
+
+  private def jaccardPairsFromShingles(s: DataFrame, threshold: Double): DataFrame = {
     val counts = s.groupBy("doc").agg(count(lit(1)).as("ns"))
     val common = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
@@ -58,8 +77,8 @@ object Dedup {
   def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
-    // shingle count rides along in the same pass — LSH's Jaccard verify
-    // needs it and this saves a separate groupBy over the shingle set
+    // shingle count rides along in the same pass for callers that need
+    // set sizes without a separate groupBy over the shingle set
     val aggs = mins :+ count(lit(1)).as("ns")
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
@@ -88,17 +107,22 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
-    // exact-Jaccard verify of candidates only; counts come from the
-    // signature pass (no extra shuffle over the shingle set)
-    val counts = sig.select(col("doc"), col("ns"))
-    val common = s.as("a").join(s.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("ia"), col("b.doc").as("ib"))
-      .agg(count(lit(1)).as("c"))
-    cand.join(common, Seq("ia", "ib"))
-      .join(counts.withColumnRenamed("doc", "ia").withColumnRenamed("ns", "na"), "ia")
-      .join(counts.withColumnRenamed("doc", "ib").withColumnRenamed("ns", "nb"), "ib")
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    // exact-Jaccard verify restricted to LSH candidates: semi-join the
+    // shingle set down to docs that appear in some candidate pair, gather
+    // each doc's (distinct) shingles into one array, then join candidate
+    // pairs to the two arrays and intersect. Verify work is proportional
+    // to candidate pairs — NOT the all-pairs co-shingle join, which would
+    // redo the brute-force path and negate LSH at scale.
+    val candDocs = cand.select(col("ia").as("doc"))
+      .union(cand.select(col("ib").as("doc"))).distinct()
+    val docShingles = s.join(candDocs, Seq("doc"), "left_semi")
+      .groupBy("doc").agg(collect_list(col("sh")).as("shs"))
+    cand
+      .join(docShingles.select(col("doc").as("ia"), col("shs").as("sa")), "ia")
+      .join(docShingles.select(col("doc").as("ib"), col("shs").as("sb")), "ib")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sa")) + size(col("sb")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("ia", "ib", "jaccard")
   }

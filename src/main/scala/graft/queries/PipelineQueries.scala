@@ -28,6 +28,14 @@ object PipelineQueries {
         k = 16, bands = 4, threshold = 0.8)
       .orderBy("ia", "ib")
 
+  /** n-gram Jaccard with a shingle document-frequency cutoff (df <= 5 at
+    * this fixture's scale) — the scale-safe variant of q21: one hot
+    * boilerplate shingle can no longer drive a quadratic pair blowup. */
+  def q39NgramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.8, maxDocFreq = 5)
+      .orderBy("ia", "ib")
+
   def q23Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc")
@@ -109,6 +117,26 @@ object PipelineQueries {
          |$jaccardSelect
          |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
          |ORDER BY ia, ib""".stripMargin,
+
+    "q39_dedup_ngram_capped" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s0 AS (SELECT doc_id AS doc,
+        |             unnest(list_distinct(list_transform(range(len(tok)-2),
+        |               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+        |      FROM t WHERE len(tok) >= 3),
+        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s0 GROUP BY sh)
+        |         WHERE df <= 5),
+        |s AS (SELECT s0.doc, s0.sh FROM s0 JOIN keep USING (sh)),
+        |ns AS (SELECT doc, count(*) AS ns FROM s GROUP BY doc),
+        |common AS (
+        |  SELECT a.doc AS ia, b.doc AS ib, count(*) AS c
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
+        |FROM common
+        |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+        |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
+        |ORDER BY ia, ib""".stripMargin,
 
     "q22_dedup_minhash_lsh" ->
       s"""WITH $shingleCtes,

@@ -34,6 +34,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.contains((1L, 4L)))
   }
 
+  test("df-capped jaccard drops hot boilerplate shingles, bounding pair blowup") {
+    // 10 docs sharing ONLY the boilerplate 3-gram "click here now": the
+    // uncapped path pairs all of them through that one hot shingle
+    // (O(n^2) rows in the self-join); the capped path drops it (df=10 > 5)
+    // so the docs have nothing in common and produce zero pairs.
+    val boiler = (1 to 10).map(i =>
+        (100L + i, s"click here now unique$i token$i word$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 0.1).count()
+    val capped = Dedup.ngramJaccardPairsCapped(boiler, "doc_id", "text", 0.1, 5).count()
+    assert(uncapped == 45) // all 10-choose-2 pairs via the hot shingle
+    assert(capped == 0)
+    // and when no shingle exceeds the cutoff, capped == uncapped
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5).collect().toSet
+    val b = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 0.5, 5).collect().toSet
+    assert(a == b)
+  }
+
   test("simhash: identical docs get identical hashes, near-dups are close") {
     val m = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
