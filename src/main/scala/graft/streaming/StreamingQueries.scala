@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.queries.EtlQueries
 
 /** Structured Streaming surface (SURVEY §2.9): the reference's
   * scheduler-triggered batch ETL maps to `Trigger.AvailableNow`
@@ -31,14 +30,17 @@ object StreamingQueries {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** q30: per-day, per-ticker tumbling-window counts and exact-decimal
-    * value sums over the event stream. */
+    * value sums over the event stream. Complete-mode aggregate lands in
+    * a parquet sink via foreachBatch (each trigger overwrites with the
+    * full updated aggregate) — nothing is materialized on the driver,
+    * unlike a memory sink. */
   def q30StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "graft_q30_out"
     // the file streaming source wants a directory; stage a symlink dir
     val dir = Files.createTempDirectory("graft_q30")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     val stream = spark.readStream.schema(eventsLongTsSchema)
       .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -47,10 +49,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 1e6).cast("long")).as("tv"))
     val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+        ()
+      }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
       .select(to_date(col("window.start")).as("window_day"),
         col("event_type").as("ticker"), col("n_events"),
         (col("tv").cast("double") / 1e6).as("total_value"))
@@ -59,10 +65,16 @@ object StreamingQueries {
 
   /** q31: streaming idempotent load. Builds a two-file source (original
     * prices + a replay batch that is half duplicates / half new keys),
-    * streams it one file per micro-batch, and foreachBatch-merges into
-    * parquet state. The replay's duplicate rows are byte-identical to
-    * the originals, so the merged set is independent of batch order. */
+    * streams it one file per micro-batch, and foreachBatch-merges each
+    * batch into the month-partitioned price sink via
+    * [[graft.sources.PriceSink.appendDedup]]: within-batch dedup +
+    * month-pruned anti-join against existing keys, then APPEND of only
+    * the novel rows — never a full-state rewrite, so per-batch work is
+    * proportional to the batch (the shape that survives 100 TB of
+    * accumulated state). The replay's duplicate rows are byte-identical
+    * to the originals, so the merged set is independent of batch order. */
   def q31StreamDedupMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.PriceSink
     val tmp = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
     val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
 
@@ -81,26 +93,13 @@ object StreamingQueries {
       .parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val stateSchema = StructType(batch.schema.filter(_.name != "event_id"))
-        val prev = s"$state/v${batchId - 1}"
-        val existing =
-          if (new java.io.File(prev).exists) ss.read.parquet(prev)
-          else ss.createDataFrame(ss.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            stateSchema)
-        // versioned state dirs: each batch writes a new version and reads
-        // the previous one — single write per batch, no read-while-write
-        EtlQueries.dedupMerge(existing, batch)
-          .write.mode("overwrite").parquet(s"$state/v$batchId")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PriceSink.appendDedup(batch.sparkSession, state, batch)
         ()
       }
       .start()
     q.awaitTermination()
-    val latest = new java.io.File(state).listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName.drop(1).toInt).max
-    spark.read.parquet(s"$state/v$latest").select("ticker", "ts", "close")
-      .orderBy("ticker", "ts", "close")
+    PriceSink.read(spark, state).orderBy("ticker", "ts", "close")
   }
 
   /** q37: arbitrary stateful streaming via mapGroupsWithState — per-user
@@ -122,7 +121,7 @@ object StreamingQueries {
     ev.filter(col("event_id") % 2 === 1).drop("event_id").coalesce(1)
       .write.mode("append").parquet(src)
 
-    val name = "graft_q37_out"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val q = spark.readStream.schema(StructType(ev.schema.filter(_.name != "event_id")))
       .option("maxFilesPerTrigger", "1").parquet(src)
       .as[(Long, Long)]
@@ -137,14 +136,20 @@ object StreamingQueries {
       }
       .toDF("user_id", "n_events", "sum_micro")
       .writeStream.outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      // update stream appends each batch's state changes to parquet —
+      // an executor-side sink, not a driver-side memory table
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // Update-mode memory sink appends one row per state change; the
-    // final state per user is the last emitted row
+    // the update stream emits one row per state change; the final state
+    // per user is the one with the largest cumulative count
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
-    spark.table(name)
+    spark.read.parquet(out)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("n_events"),
         (col("sum_micro").cast("double") / 1e6).as("total_value"))
