@@ -55,6 +55,11 @@ object SparkEntry {
     "q37_stream_user_stats"  -> (graft.streaming.StreamingQueries.q37StreamUserStats _),
     "q38_asof_join"          -> (EventsQueries.q38AsofJoin _),
     "q39_dedup_ngram_capped" -> (PipelineQueries.q39NgramJaccardCapped _),
+    "q40_universe_csv"       -> (SourceQueries.q40UniverseCsv _),
+    "q41_price_sink_roundtrip" -> (SourceQueries.q41PriceSinkRoundtrip _),
+    "q42_latest_fallback"    -> (SourceQueries.q42LatestFallback _),
+    "q43_salted_sum"         -> (SourceQueries.q43SaltedSum _),
+    "q44_bucketed_join"      -> (SourceQueries.q44BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +68,5 @@ object SparkEntry {
     PortfolioQueries.oracle ++ DashboardQueries.oracle ++
       SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle ++
       EventsQueries.oracle ++ PipelineQueries.oracle ++
-      graft.streaming.StreamingQueries.oracle
+      SourceQueries.oracle ++ graft.streaming.StreamingQueries.oracle
 }

@@ -10,13 +10,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a managed table bucketed+sorted by `keys`. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  /** Persist `df` as a table bucketed+sorted by `keys`. With `path` the
+    * table is external (data at `path`), otherwise managed in the
+    * session warehouse — the warehouse dir is a static config, so
+    * callers that need a scratch location must pass `path`. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+                    path: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // Overwrite on an external bucketed table keeps the OLD location in
+    // the catalog; drop first so the new path and layout win.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** True when the executed plan of `df` contains no shuffle exchange —
     * the co-location check for bucket-aligned joins. */

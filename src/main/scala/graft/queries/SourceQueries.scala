@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{PriceSink, Tables, UniverseCsv}
+import graft.operators.{Bucketing, Skew}
+
+/** Driver-verified queries over the source/sink boundary and the scale
+  * helpers, so the oracle exercises them end-to-end rather than only
+  * through specs:
+  *
+  *  - q40: the universe CSV loader (S1/S2/S6; ref
+  *    app/services/universe.py:25-60) over a committed BOM-prefixed,
+  *    alias-headed, whitespace-messy fixture.
+  *  - q41: the idempotent month-partitioned price sink round-trip
+  *    (S5; ref src/etl.py:46-65) through the batch API.
+  *  - q42: the fallback-chain latest price (S8; ref
+  *    app/pages/2_Trades.py:24-74).
+  *  - q43: two-phase salted aggregation (skew mitigation) — must equal
+  *    the plain groupBy sum.
+  *  - q44: bucketed co-located join — same answer as a plain join; the
+  *    shuffle-free plan property is asserted in AsofBucketingSpec.
+  */
+object SourceQueries {
+
+  /** Committed fixture; absolute so Verify's cwd does not matter. */
+  val UniverseFixture = "/root/repo/fixtures/universe.csv"
+
+  def q40UniverseCsv(spark: SparkSession, sfDir: String): DataFrame =
+    UniverseCsv.load(spark, UniverseFixture).orderBy("yf_symbol")
+
+  /** Round-trip: load prices into the partitioned sink, replay a batch
+    * that is half duplicate keys / half new keys (+40 days, close+1),
+    * read back. The anti-join must drop the duplicates and append only
+    * the new rows — the same merge contract as q14/q31, here exercised
+    * through the parquet sink with month pruning. */
+  def q41PriceSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_q41").toFile.getAbsolutePath + "/tbl"
+    val prices = Tables.prices(spark, sfDir)
+    PriceSink.appendDedup(spark, path, prices)
+    val replay = prices.filter(col("event_id") % 3 === 0)
+      .withColumn("ts", when(col("event_id") % 2 === 0,
+        col("ts") + expr("INTERVAL 40 DAYS")).otherwise(col("ts")))
+      .withColumn("close", when(col("event_id") % 2 === 0,
+        col("close") + 1.0).otherwise(col("close")))
+    PriceSink.appendDedup(spark, path, replay)
+    PriceSink.read(spark, path).orderBy("ticker", "ts", "close")
+  }
+
+  /** Latest close per ticker, preferring the (sparse) live frame and
+    * falling back to the stored table where a ticker has no live rows. */
+  def q42LatestFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    val stored = Tables.prices(spark, sfDir)
+    val live = stored.filter(col("event_id") % 5 === 0)
+    PriceSink.latestWithFallback(live, stored).orderBy("ticker")
+  }
+
+  /** Salted two-phase sum per supplier over the scaled-long quantity —
+    * exact (long merge order never matters), hot keys spread over 8
+    * salt buckets. Equals the plain groupBy sum, which is the oracle. */
+  def q43SaltedSum(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedSum(Tables.lineitem(spark, sfDir), Seq("l_suppkey"),
+        round(col("l_quantity") * 1e6).cast("long"), buckets = 8)
+      .select(col("l_suppkey"), col("sum").as("qty_micro"))
+      .orderBy("l_suppkey")
+
+  /** Order-priority revenue rollup through bucketed tables: both sides
+    * written bucketed+sorted by the join key, joined (no exchange on
+    * either side — see AsofBucketingSpec), then aggregated. */
+  def q44BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q44").toFile.getAbsolutePath
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e6)
+            .cast("long").as("rev_micro")),
+      "graft_q44_lineitem", buckets = 8, keys = Seq("l_orderkey"),
+      path = Some(s"$tmp/lineitem"))
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority"),
+      "graft_q44_orders", buckets = 8, keys = Seq("o_orderkey"),
+      path = Some(s"$tmp/orders"))
+    spark.table("graft_q44_lineitem")
+      .join(spark.table("graft_q44_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("rev_micro").as("rev_micro"))
+      .orderBy("o_orderpriority")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q40_universe_csv" ->
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('$UniverseFixture', delim=';', header=true,
+         |                         all_varchar=true)),
+         |norm AS (
+         |  SELECT trim(regexp_replace(regexp_replace(ticker, '\\(publ\\)', ' ', 'g'),
+         |              '\\s+', ' ', 'g')) AS yf_symbol,
+         |         trim(regexp_replace(regexp_replace(name, '\\(publ\\)', ' ', 'g'),
+         |              '\\s+', ' ', 'g')) AS name_display,
+         |         trim(regexp_replace(regexp_replace(list, '\\(publ\\)', ' ', 'g'),
+         |              '\\s+', ' ', 'g')) AS segment
+         |  FROM raw)
+         |SELECT yf_symbol, name_display, segment,
+         |       lower(name_display || ' ' || yf_symbol || ' ' ||
+         |             regexp_replace(yf_symbol, '\\.ST', '', 'g')) AS search_blob,
+         |       name_display || ' — ' || yf_symbol AS display
+         |FROM norm ORDER BY yf_symbol""".stripMargin,
+
+    "q41_price_sink_roundtrip" ->
+      """WITH existing AS (
+        |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),
+        |replay_new AS (
+        |  SELECT ticker, ts + INTERVAL 40 DAY AS ts, close + 1.0 AS close
+        |  FROM existing WHERE event_id % 6 = 0)
+        |SELECT ticker, ts, close FROM existing
+        |UNION ALL
+        |SELECT ticker, ts, close FROM replay_new
+        |ORDER BY ticker, ts, close""".stripMargin,
+
+    "q42_latest_fallback" ->
+      """WITH prices AS (
+        |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),
+        |live AS (SELECT * FROM prices WHERE event_id % 5 = 0),
+        |ls AS (SELECT ticker, close FROM (
+        |  SELECT ticker, close,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY ts DESC) AS rn
+        |  FROM prices) WHERE rn = 1),
+        |ll AS (SELECT ticker, close FROM (
+        |  SELECT ticker, close,
+        |         row_number() OVER (PARTITION BY ticker ORDER BY ts DESC) AS rn
+        |  FROM live) WHERE rn = 1)
+        |SELECT COALESCE(ll.ticker, ls.ticker) AS ticker,
+        |       COALESCE(ll.close, ls.close) AS last_close
+        |FROM ls FULL OUTER JOIN ll ON ls.ticker = ll.ticker
+        |ORDER BY ticker""".stripMargin,
+
+    "q43_salted_sum" ->
+      """SELECT l_suppkey,
+        |       CAST(SUM(CAST(ROUND(l_quantity*1000000.0) AS BIGINT)) AS BIGINT) AS qty_micro
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q44_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
