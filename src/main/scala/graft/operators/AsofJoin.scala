@@ -46,7 +46,12 @@ object AsofJoin {
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(asOfCol, last(col("_p"), ignoreNulls = true).over(w))
+      // fill with a struct tagged per right ROW (non-null even when the
+      // payload is null) so the most recent right row wins — a null
+      // payload must yield null, not resurrect an older right row
+      .withColumn("_m",
+        last(when(col("_side") === 0, struct(col("_p"))), ignoreNulls = true).over(w))
+      .withColumn(asOfCol, col("_m").getField("_p"))
       .filter(col("_side") === 1)
       .select((leftCols.map(col) :+ col(asOfCol)): _*)
   }

@@ -40,16 +40,32 @@ object CostBasis {
     * Ordering within key: (ts, id, side, qty, price, fee) — `id` is not
     * guaranteed unique in the fixtures, and rows fully tied on all fold
     * inputs commute, so the result is deterministic.
+    *
+    * `init` (used by [[foldCheckpointed]]) carries per-key starting state
+    * (user_id, ticker, qty, avg_cost, realized); it is injected as a
+    * synthetic side="INIT" row that sorts before every event of its key.
     */
-  def fold(trades: DataFrame): DataFrame = {
-    val sorted = trades
+  def fold(trades: DataFrame, init: Option[DataFrame] = None): DataFrame = {
+    val events = trades
       .select(col("user_id").cast(LongType), col("ticker").cast(LongType),
         col("ts"), col("id").cast(LongType), col("side"),
         col("qty").cast(DoubleType), col("price").cast(DoubleType),
         coalesce(col("fee"), lit(0.0)).cast(DoubleType).as("fee"))
+      .withColumn("_pri", lit(1))
+    val tsType = events.schema("ts").dataType
+    val withInit = init.fold(events) { st =>
+      events.unionByName(st.select(
+        col("user_id").cast(LongType), col("ticker").cast(LongType),
+        lit(null).cast(tsType).as("ts"), lit(0L).as("id"),
+        lit("INIT").as("side"), col("qty").cast(DoubleType),
+        col("avg_cost").cast(DoubleType).as("price"),
+        col("realized").cast(DoubleType).as("fee"),
+        lit(0).as("_pri")))
+    }
+    val sorted = withInit
       .repartition(col("user_id"), col("ticker"))
-      .sortWithinPartitions(col("user_id"), col("ticker"), col("ts"),
-        col("id"), col("side"), col("qty"), col("price"), col("fee"))
+      .sortWithinPartitions(col("user_id"), col("ticker"), col("_pri"),
+        col("ts"), col("id"), col("side"), col("qty"), col("price"), col("fee"))
 
     sorted.mapPartitions { iter =>
       new Iterator[Row] {
@@ -70,7 +86,9 @@ object CostBasis {
             val r = cur.get
             val side = r.getString(4)
             val qty = r.getDouble(5); val price = r.getDouble(6); val fee = r.getDouble(7)
-            if (side == "BUY") {
+            if (side == "INIT") {
+              q0 = qty; avg0 = price; realized = fee
+            } else if (side == "BUY") {
               val q1 = q0 + qty
               avg0 = if (q1 > 0) (q0 * avg0 + (qty * price + fee)) / q1 else 0.0
               q0 = q1
@@ -88,6 +106,30 @@ object CostBasis {
     }(Encoders.row(outSchema))
   }
 
+  /** SURVEY §7.4.1 segment checkpointing: the fold for keys too large to
+    * stream through one executor pass comfortably — or ledgers that grow
+    * forever. `segment` must be coarser than or aligned with `ts` order
+    * (e.g. `date_trunc("month", ts)`): all rows of segment s_i sort
+    * before all rows of s_{i+1} within every key. Segments are folded
+    * sequentially as independent distributed jobs; between jobs only the
+    * 3-double per-key state survives (checkpointed eagerly to break
+    * lineage). Event-order per key is identical to [[fold]], so results
+    * are bit-equal. The driver loop holds only the segment id list
+    * (months/years — bounded), never data.
+    */
+  def foldCheckpointed(trades: DataFrame, segment: org.apache.spark.sql.Column): DataFrame = {
+    val segs = trades.select(segment.as("_seg")).distinct()
+      .orderBy("_seg").collect().map(_.get(0))
+    var state: Option[DataFrame] = None
+    for (s <- segs) {
+      val next = fold(trades.filter(segment === lit(s)), state)
+      next.persist().count() // eager: fold the segment once, cut lineage
+      state.foreach(_.unpersist())
+      state = Some(next)
+    }
+    state.getOrElse(fold(trades.limit(0)))
+  }
+
   /** One trade event, ordered by (ts as epoch-day, id, side, qty, price,
     * fee) — the same total order the streaming fold uses. */
   case class TradeEv(ts: Int, id: Long, side: String, qty: Double,
@@ -98,8 +140,10 @@ object CostBasis {
     * accumulates events, `merge` concatenates partial buffers, and
     * `finish` restores the total order and folds — legal under Spark's
     * partial aggregation because order is only imposed at the end.
-    * Use [[fold]] for large groups (it streams); this form is the
-    * drop-in `.agg()` column for composition with other aggregates.
+    * The buffer holds the key's full event list, so this form is for
+    * moderate group sizes where `.agg()` composition is worth that cost;
+    * [[fold]] streams with O(1) state, and [[foldCheckpointed]] bounds
+    * even a single giant key by folding time segments sequentially.
     */
   object FoldAggregator extends Aggregator[TradeEv, List[TradeEv], CostResult] {
     override def zero: List[TradeEv] = Nil

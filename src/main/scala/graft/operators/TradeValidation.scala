@@ -54,8 +54,12 @@ object TradeValidation {
     val outSchema = StructType(tagged.schema.fields :+ StructField("oversell", BooleanType))
     tagged
       .repartition(col("user_id"), col("ticker"))
+      // is_cand last (false < true): a candidate row byte-identical to an
+      // existing ledger row walks AFTER it — total order, and the
+      // reference's existing-ledger-first semantics on ties
       .sortWithinPartitions(col("user_id"), col("ticker"), col("ts"),
-        col("id"), col("side"), col("qty"), col("price"), col("fee"))
+        col("id"), col("side"), col("qty"), col("price"), col("fee"),
+        col("is_cand"))
       .mapPartitions { iter =>
         var curUser = Long.MinValue; var curTicker = Long.MinValue
         var held = 0.0
@@ -65,6 +69,9 @@ object TradeValidation {
           val side = r.getString(4); val qty = r.getDouble(5)
           val isCand = r.getBoolean(8)
           val oversell = isCand && side == "SELL" && qty > held + OversellEps
+          // existing rows apply as a plain signed sum (no clamp), matching
+          // the reference's current-qty check — a pre-existing oversold
+          // ledger keeps its negative holding rather than being repaired
           if (!oversell) held += (if (side == "BUY") qty else -qty)
           Row.fromSeq(r.toSeq :+ oversell)
         }

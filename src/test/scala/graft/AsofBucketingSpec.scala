@@ -30,6 +30,19 @@ class AsofBucketingSpec extends SparkSpec {
     assert(out(3).getDouble(3) == 20.0) // >= semantics: equal time matches
   }
 
+  test("asof matches a right row whose payload is null (yields null, not an older row)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "A", t("2024-01-01 12:00:00")))
+      .toDF("event_id", "ticker", "ts")
+    val right = Seq(
+      ("A", t("2024-01-01 09:00:00"), Some(10.0)),
+      ("A", t("2024-01-01 11:00:00"), None)) // most recent, null payload
+      .toDF("ticker", "rts", "close")
+    val out = AsofJoin.backward(left, right, "ticker", "ts", "rts",
+      "close", "asof_close").collect()
+    assert(out.head.isNullAt(3)) // NOT 10.0
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

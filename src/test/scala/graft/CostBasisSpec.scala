@@ -29,6 +29,44 @@ class CostBasisSpec extends SparkSpec {
     assert(r.getDouble(4) == 80.0)    // realized
   }
 
+  test("segment-checkpointed fold is bit-equal to the streaming fold on a giant key") {
+    import org.apache.spark.sql.functions._
+    // one hot (user, ticker) key with 30k events spanning ~10 months
+    // (plus a second normal key), segmented by month: every segment
+    // boundary respects ts order, so the event sequence — and therefore
+    // every IEEE operation — is identical to the single-pass fold
+    val df = spark.range(30000).select(
+      when(col("id") % 100 === 0, 2L).otherwise(1L).as("user_id"),
+      lit(7L).as("ticker"),
+      col("id").as("id"),
+      date_add(lit(Date.valueOf("2024-01-01")), (col("id") / 100).cast("int")).as("ts"),
+      when(col("id") % 3 === 0, "SELL").otherwise("BUY").as("side"),
+      (col("id") % 5 + 1).cast("double").as("qty"),
+      (col("id") % 97 + 1).cast("double").as("price"),
+      ((col("id") % 3).cast("double") * 0.1).as("fee"))
+    val direct = CostBasis.fold(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val seg = CostBasis.foldCheckpointed(df, date_trunc("month", col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(direct.sameElements(seg)) // exact, not approximate
+  }
+
+  test("checkpointed fold carries state for keys absent from later segments") {
+    import org.apache.spark.sql.functions._
+    // key (1,7) trades only in January, key (1,8) in both months —
+    // January's (1,7) state must survive February's job untouched
+    val df = trades(
+      (1L, 7L, 1L, "2024-01-02", "BUY", 10, 200.0, 0.0),
+      (1L, 8L, 2L, "2024-01-03", "BUY", 5, 50.0, 0.0),
+      (1L, 8L, 3L, "2024-02-04", "SELL", 2, 60.0, 0.0))
+    val out = CostBasis.foldCheckpointed(df, date_trunc("month", col("ts")))
+      .collect().map(r => (r.getLong(1), (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(7L) == ((10.0, 200.0, 0.0)))
+    assert(out(8L) == ((3.0, 50.0, 20.0)))
+  }
+
   test("fee is amortized into avg cost on BUY") {
     val df = trades((1L, 1L, 1L, "2024-01-02", "BUY", 10, 100.0, 10.0))
     val r = CostBasis.fold(df).collect().head
