@@ -60,6 +60,7 @@ object SparkEntry {
     "q42_latest_fallback"    -> (SourceQueries.q42LatestFallback _),
     "q43_salted_sum"         -> (SourceQueries.q43SaltedSum _),
     "q44_bucketed_join"      -> (SourceQueries.q44BucketedJoin _),
+    "q45_stream_sessionize"  -> (graft.streaming.StreamingQueries.q45StreamSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

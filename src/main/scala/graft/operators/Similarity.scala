@@ -38,6 +38,48 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** Lloyd-iteration (k-means) centroid training for the IVF index, all
+    * DataFrame ops: seed with the first `k` vectors by id, then
+    * `iters`× { assign every vector to its nearest centroid by cosine;
+    * recompute each centroid as the element-wise mean of its members }.
+    * The mean is computed by posexplode → groupBy(cid, pos) → avg →
+    * re-assemble, so no vector ever leaves the executors; the driver
+    * loop holds only the iteration counter. A centroid that loses all
+    * members keeps its previous position. Cosine is scale-invariant, so
+    * means are not re-normalized. Returns (cid, cv) ready for
+    * [[ivfTopK]] / [[cosineNearDupPairs]] `centroids` (as vec_id,
+    * embedding).
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
+      .persist()
+    cents.count()
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("cv"), col("embedding")))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cid"), col("embedding"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+          " s -> cast(s.m as float))").as("mv"))
+      val next = cents.as("c")
+        .join(means.as("m"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .persist()
+      next.count()
+      cents.unpersist()
+      cents = next
+    }
+    cents.select(col("cid").as("vec_id"), col("cv").as("embedding"))
+  }
+
   /** IVF top-k: assign every vector to its nearest centroid (argmax
     * cosine, centroid-id tiebreak), probe the `nprobe` closest buckets
     * per query, rank within the probed candidates only. */

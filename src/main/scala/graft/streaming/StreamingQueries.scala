@@ -156,7 +156,121 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** One event for the session walk; `us` is event-time micros; `ts`
+    * carries the watermark attribute through to the stateful operator. */
+  case class SessEv(user_id: Long, ts: java.sql.Timestamp, us: Long, event_id: Long)
+  /** Open-session state: index within user, start/end micros, count. */
+  case class SessState(idx: Long, start: Long, end: Long, n: Long)
+  case class SessOut(user_id: Long, session_idx: Long, n_events: Long,
+                     start_us: Long, end_us: Long)
+
+  private val SessionGapMicros = 1800L * 1000000L // 30 min, as q18
+
+  /** q45: streaming sessionization — the streaming twin of batch q18.
+    * Events are split into two micro-batches at the median event time,
+    * so sessions genuinely span batches and per-user state carries
+    * across. flatMapGroupsWithState walks each user's batch in
+    * (ts, event_id) order: a >30-min gap closes the open session
+    * (emitted final), the open session is emitted as a snapshot each
+    * batch, and EventTimeTimeout fires once the watermark passes
+    * end+gap, closing idle sessions from state. The sink keeps every
+    * update; the final per-(user, session) row is the one with the
+    * largest count — identical to the batch result, which is the
+    * oracle. */
+  def q45StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_q45").toFile.getAbsolutePath
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val mid = (Row2.getLong(0) + Row2.getLong(1)) / 2
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(src)
+    // the file source orders batches by modification time (ms); make the
+    // second half strictly later so the session walk sees time order
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > mid).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+          OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessEv], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the open session can never grow —
+            // emit it closed and drop the state
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(uid, s.idx, s.n, s.start, s.end))
+          } else {
+            val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
+            val outRows = Seq.newBuilder[SessOut]
+            var st = state.getOption
+            for (e <- evs) {
+              st match {
+                case Some(s) if e.us - s.end > SessionGapMicros =>
+                  outRows += SessOut(uid, s.idx, s.n, s.start, s.end) // closed
+                  st = Some(SessState(s.idx + 1, e.us, e.us, 1))
+                case Some(s) =>
+                  st = Some(s.copy(end = e.us, n = s.n + 1))
+                case None =>
+                  st = Some(SessState(0, e.us, e.us, 1))
+              }
+            }
+            for (s <- st) {
+              outRows += SessOut(uid, s.idx, s.n, s.start, s.end) // snapshot
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + SessionGapMicros) / 1000 + 1)
+            }
+            outRows.result().iterator
+          }
+      }
+      .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("n_events").desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        timestamp_micros(col("start_us")).as("start_ts"),
+        timestamp_micros(col("end_us")).as("end_ts"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q45_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     "q37_stream_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value

@@ -79,6 +79,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("k-means-trained IVF centroids reach recall@5 >= 0.9 on clustered data") {
+    // 8 well-separated unit clusters x 60 vectors in 64-d; seeds are the
+    // first 8 vectors, which all sit in cluster 0 — the worst case that
+    // untrained IVF (q25's shape) cannot recover from
+    val rng = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; i <- 0 until 60) yield
+      (c * 60L + i, centers(c).map(v => v + 0.15f * rng.nextGaussian().toFloat))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val bf = topSets(Similarity.bruteForceTopK(emb, queries, 5))
+    def recall(ivf: Map[Long, Set[Long]]): Double =
+      bf.map { case (q, s) => ivf.getOrElse(q, Set.empty[Long]).intersect(s).size / 5.0 }
+        .sum / bf.size
+
+    val untrained = emb.orderBy("vec_id").limit(8)
+    val rUntrained = recall(topSets(Similarity.ivfTopK(emb, queries, untrained, 5, 2)))
+    val trained = Similarity.trainCentroids(emb, 8, 2)
+    val rTrained = recall(topSets(Similarity.ivfTopK(emb, queries, trained, 5, 2)))
+    info(s"recall@5 untrained=$rUntrained trained=$rTrained")
+    assert(rTrained >= 0.9)
+    assert(rTrained > rUntrained)
+  }
+
   test("text stats and language id on a known sentence") {
     val d = Seq((1L, "the cat is on the mat with 42 others")).toDF("doc_id", "text")
     val r = TextAnalysis.languageId(TextAnalysis.textStats(d, "text"), "text").collect().head
