@@ -188,11 +188,17 @@ object StreamingQueries {
     val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val mid = (Row2.getLong(0) + Row2.getLong(1)) / 2
     ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(src)
-    // the file source orders batches by modification time (ms); make the
-    // second half strictly later so the session walk sees time order
-    Thread.sleep(1100)
+    val firstFiles = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
     ev.filter(unix_micros(col("ts")) > mid).coalesce(1)
       .write.mode("append").parquet(src)
+    // the file source orders batches by modification time (ms); bump the
+    // second half strictly later so the session walk sees time order
+    val t0 = new java.io.File(src).listFiles()
+      .filter(f => firstFiles.contains(f.getAbsolutePath)).map(_.lastModified).max
+    new java.io.File(src).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !firstFiles.contains(f.getAbsolutePath))
+      .foreach(_.setLastModified(t0 + 2000))
 
     val q = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
