@@ -7,12 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.FloatVecDot
 
 /** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions for SQL callers. Activate with
+  * expressions, planner strategies and optimizer rules. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   *
-  * SQL surface: `float_vec_dot(a, b)` — the codegen'd float-vector dot
-  * product behind cosine similarity search.
+  * Surface: `float_vec_dot(a, b)` (codegen'd float-vector dot product,
+  * SQL-callable) and the native as-of join
+  * (graft.plans.AsofJoinNode/Exec + its right-side pruning rule).
+  * `AsofJoin.backwardNative` also self-registers through
+  * `spark.experimental` for sessions built without this class.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "float_vec_dot(a, b) takes two arguments")
         FloatVecDot(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsofRightColumns)
   }
 }

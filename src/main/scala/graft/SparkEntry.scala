@@ -61,6 +61,8 @@ object SparkEntry {
     "q43_salted_sum"         -> (SourceQueries.q43SaltedSum _),
     "q44_bucketed_join"      -> (SourceQueries.q44BucketedJoin _),
     "q45_stream_sessionize"  -> (graft.streaming.StreamingQueries.q45StreamSessionize _),
+    "q46_embedding_neardup"  -> (PipelineQueries.q46EmbeddingNearDup _),
+    "q47_asof_native"        -> (EventsQueries.q47AsofNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

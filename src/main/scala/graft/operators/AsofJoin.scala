@@ -55,4 +55,41 @@ object AsofJoin {
       .filter(col("_side") === 1)
       .select((leftCols.map(col) :+ col(asOfCol)): _*)
   }
+
+  /** The same backward as-of join through the engine's native operator
+    * (graft.plans.AsofJoinExec — SURVEY ladder (c)): one streaming merge
+    * of the two sorted sides per partition instead of a union+window
+    * pass over a doubled row stream. Result-identical to [[backward]];
+    * key/time columns must be non-null. */
+  def backwardNative(leftDf: DataFrame, rightDf: DataFrame, key: String,
+                     leftTime: String, rightTime: String, payload: String,
+                     asOfCol: String, rightOrder: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import graft.plans.{AsofJoinNode, AsofJoinStrategy, PruneAsofRightColumns}
+    val spark = leftDf.sparkSession
+    // idempotent registration: the imperative path covers sessions built
+    // without spark.sql.extensions=graft.GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsofRightColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsofRightColumns
+    val l = leftDf.queryExecution.analyzed
+    // fresh exprIds on the right so self-joins (both sides from the same
+    // source) cannot alias-collide
+    val r0 = rightDf.queryExecution.analyzed
+    val r: LogicalPlan = Project(r0.output.map(a => Alias(a, a.name)()), r0)
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val pAttr = attr(r, payload)
+    val out = AttributeReference(asOfCol, pAttr.dataType, nullable = true)()
+    org.apache.spark.sql.graft.bridge.ofRows(spark,
+      AsofJoinNode(l, r, attr(l, key), attr(r, key),
+        attr(l, leftTime), attr(r, rightTime), pAttr,
+        rightOrder.map(attr(r, _)), out))
+  }
 }

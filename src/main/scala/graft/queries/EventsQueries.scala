@@ -56,7 +56,34 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** q47: the SAME as-of semantics as q38 but through the native
+    * operator (graft.plans.AsofJoinExec — one streaming merge per
+    * partition, no union row-doubling) on a different slice of events;
+    * the oracle is again DuckDB's native ASOF LEFT JOIN. */
+  def q47AsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val left = ev.filter(col("value") >= 40 && col("value") < 80)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+    val right = ev.filter(col("value") >= 120 && col("value") < 150)
+      .select(col("event_type").as("ticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+    graft.operators.AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+        "close", "asof_close", Seq("rid"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q47_asof_native" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events
+        |  WHERE value >= 40 AND value < 80),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close
+        |  FROM events WHERE value >= 120 AND value < 150)
+        |SELECT l.event_id, l.ticker, l.ts, r.close AS asof_close
+        |FROM l ASOF LEFT JOIN r ON l.ticker = r.ticker AND l.ts >= r.rts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q38_asof_join" ->
       """WITH l AS (
         |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),

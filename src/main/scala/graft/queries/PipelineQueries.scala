@@ -53,6 +53,17 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs, IVF-bucketed: only pairs
+    * sharing a centroid bucket are compared (the scalable near-dup
+    * shape — recall bounded by bucketing, like any LSH). Threshold 0.4
+    * sits >1e-4 from every actual pair similarity in the fixtures, so
+    * the float-vs-double engines agree on the pair set. */
+  def q46EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.4)
+      .orderBy("ia", "ib")
+  }
+
   def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.languageId(
         TextAnalysis.textStats(Tables.documents(spark, sfDir), "text"), "text")
@@ -201,6 +212,19 @@ object PipelineQueries {
         |  FROM assigned a JOIN probes USING (cid)
         |  WHERE a.vec_id <> query_id) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q46_embedding_neardup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(c.cv, e.embedding) DESC, c.cid ASC) AS arn
+        |    FROM embeddings e CROSS JOIN c) WHERE arn = 1)
+        |SELECT x.vec_id AS ia, y.vec_id AS ib
+        |FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        |ORDER BY ia, ib""".stripMargin,
 
     "q26_text_stats" -> {
       val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")

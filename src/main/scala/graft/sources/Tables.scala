@@ -85,6 +85,23 @@ object Tables {
       |  SELECT event_type AS ticker, ts, value AS close, event_id
       |  FROM events)""".stripMargin
 
+  /** The reference's `watchlist` table (db.py:51-56) — schema-only
+    * surface there (never queried); declared here so a user migrating
+    * holds the same shape. UNIQUE(user, ticker) becomes dedup-on-write
+    * (the engine's standard idempotent-load contract, see
+    * [[graft.queries.EtlQueries.dedupMerge]]). */
+  val watchlistSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("ticker", org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Schema-stable empty watchlist (same contract as
+    * [[UniverseCsv.emptyUniverse]]). */
+  def emptyWatchlist(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watchlistSchema)
+
   /** Daily close per ticker: last observation in each day, tie-broken by
     * event_id (ref semantic: prices are daily closes; here derived).
     */

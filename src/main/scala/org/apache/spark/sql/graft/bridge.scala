@@ -1,15 +1,19 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 
-/** Spark 4 removed the public Column(Expression) constructor; extension
-  * libraries bridge through the classic converters, which are
-  * private[sql]. This is the only file that lives inside Spark's
-  * namespace, and it only forwards.
+/** Spark 4 removed the public Column(Expression) constructor and moved
+  * Dataset.ofRows behind the classic implementation; extension
+  * libraries bridge through those converters, which are private[sql].
+  * This is the only file that lives inside Spark's namespace, and it
+  * only forwards.
   */
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

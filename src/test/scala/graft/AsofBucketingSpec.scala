@@ -43,6 +43,50 @@ class AsofBucketingSpec extends SparkSpec {
     assert(out.head.isNullAt(3)) // NOT 10.0
   }
 
+  test("native asof exec matches the composed form and plans as AsofJoinExec") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "A", t("2024-01-01 10:00:00")),
+      (2L, "A", t("2024-01-01 12:00:00")),
+      (3L, "A", t("2024-01-01 09:00:00")),
+      (4L, "B", t("2024-01-01 12:00:00")),
+      (5L, "C", t("2024-01-01 12:00:00"))) // no right rows for C -> null
+      .toDF("event_id", "ticker", "ts")
+    val right = Seq(
+      ("A", t("2024-01-01 09:30:00"), Some(10.0), 100L),
+      ("A", t("2024-01-01 11:00:00"), Some(11.0), 101L),
+      ("A", t("2024-01-01 11:00:00"), Some(11.5), 102L), // equal time: max rid wins
+      ("B", t("2024-01-01 12:00:00"), None, 103L),       // null payload still matches
+      ("D", t("2024-01-01 08:00:00"), Some(99.0), 104L)) // key absent on left
+      .toDF("ticker", "rts", "close", "rid")
+    val native = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+      "close", "asof_close", Seq("rid"))
+    // AQE wraps the exec (not via children), so match the plan string
+    assert(native.queryExecution.executedPlan.toString.contains("AsofJoin "))
+    val n = native.orderBy("event_id").collect()
+    val c = AsofJoin.backward(left, right, "ticker", "ts", "rts",
+      "close", "asof_close", Seq("rid")).orderBy("event_id").collect()
+    assert(n.map(_.toSeq).toSeq == c.map(_.toSeq).toSeq)
+    assert(n(1).getDouble(3) == 11.5) // tiebreak: last right row in rid order
+    assert(n(3).isNullAt(3))          // matched row with null payload
+    assert(n(4).isNullAt(3))          // no right key
+  }
+
+  test("native asof on real data equals the composed q38 result") {
+    val ev = Tables.events(spark, sf())
+    val left = ev.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+    val right = ev.filter(col("value") >= 150)
+      .select(col("event_type").as("ticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+    val native = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+      "close", "asof_close", Seq("rid")).orderBy("event_id").collect()
+    val composed = AsofJoin.backward(left, right, "ticker", "ts", "rts",
+      "close", "asof_close", Seq("rid")).orderBy("event_id").collect()
+    assert(native.length == composed.length && native.nonEmpty)
+    assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -76,6 +76,16 @@ class SourcesMultiModalSpec extends SparkSpec {
     assert(out == Map("A" -> 3.0, "B" -> 5.0))
   }
 
+  test("watchlist schema is declared and empty frame is schema-stable") {
+    val w = graft.sources.Tables.emptyWatchlist(spark)
+    assert(w.columns.toSeq == Seq("id", "user_id", "ticker"))
+    assert(w.count() == 0)
+    // unions against a populated frame keep the schema
+    import spark.implicits._
+    val one = Seq((1L, "u1", "ERIC-B.ST")).toDF("id", "user_id", "ticker")
+    assert(w.unionByName(one).count() == 1)
+  }
+
   test("multimodal: decode meta is deterministic, frames cover the payload") {
     val assets = MultiModal.syntheticAssets(Tables.documents(spark, sf()))
     val dec = MultiModal.decodeMeta(assets)
