@@ -63,6 +63,8 @@ object SparkEntry {
     "q45_stream_sessionize"  -> (graft.streaming.StreamingQueries.q45StreamSessionize _),
     "q46_embedding_neardup"  -> (PipelineQueries.q46EmbeddingNearDup _),
     "q47_asof_native"        -> (EventsQueries.q47AsofNative _),
+    "q48_dedup_clusters"     -> (PipelineQueries.q48DedupClusters _),
+    "q49_stratified_sample"  -> (PipelineQueries.q49StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -127,6 +127,47 @@ object Dedup {
       .select("ia", "ib", "jaccard")
   }
 
+  /** Connected components over an undirected pair list (ia, ib) —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS, so one
+    * canonical document per cluster can be kept. Iterative min-label
+    * propagation: every node starts as its own label; each round joins
+    * labels across edges and keeps the minimum; stops when a round
+    * changes nothing. Rounds needed = graph diameter (near-dup clusters
+    * are shallow — a handful of rounds even at 100 TB), each round is
+    * two shuffles, state is one (node, label) row per node — nothing on
+    * the driver but the convergence flag.
+    * Returns (doc, cluster) with cluster = min doc id in the component;
+    * isolated docs are not returned (they are their own cluster). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+      .persist()
+    labels.count()
+    var converged = false
+    while (!converged) {
+      // candidate label per node: its own, plus every neighbor's
+      val next = edges
+        .join(labels.withColumnRenamed("doc", "b")
+          .withColumnRenamed("cluster", "nb_cluster"), "b")
+        .groupBy(col("a").as("doc"))
+        .agg(min(col("nb_cluster")).as("prop"))
+        .join(labels, "doc")
+        .select(col("doc"), least(col("cluster"), col("prop")).as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 60-bit SimHash over tokens (with multiplicity): per bit j, sum +1/-1
     * by whether bit j of md5-derived token hash is set; simhash bit j =
     * (sum > 0). md5's first 15 hex chars give 60 bits, replicable in

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Spark's
+  * `sample`/`sampleBy` draw from per-partition RNG streams, so results
+  * change under repartitioning and cannot be reproduced by another
+  * engine; these operators derive the coin flip from a hash of a stable
+  * key instead — the same row set on every run, every layout, and in
+  * the DuckDB oracle. This is how large corpus pipelines keep
+  * train/eval splits stable across reprocessing.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from a key: the first 60 bits of md5(key) scaled.
+    * Exactly reproducible in DuckDB
+    * (`('0x' || substr(md5(k),1,15))::BIGINT / 2^60`). */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      .cast("double") / (1L << 60).toDouble
+
+  /** Keep each row with probability `rates(stratum)` (or `defaultRate`
+    * for unlisted strata), decided by the key hash — per-stratum
+    * down/up-weighting of a training mixture. Pure filter: no shuffle,
+    * pushes down to the scan where the stratum is a stored column. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate): Column) {
+      case ((s, r), rest) => when(stratum === s, lit(r)).otherwise(rest)
+    }
+    df.filter(hashUniform(key) < rate)
+  }
+
+  /** Deterministic train/eval split: rows hash below `evalFraction` go
+    * to eval. Returns (train, eval). Membership is a property of the
+    * KEY, so it survives reprocessing and dataset unions. */
+  def trainEvalSplit(df: DataFrame, key: Column,
+                     evalFraction: Double): (DataFrame, DataFrame) = {
+    val u = hashUniform(key)
+    (df.filter(u >= evalFraction), df.filter(u < evalFraction))
+  }
+}

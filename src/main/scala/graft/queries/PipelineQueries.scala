@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, MultiModal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MultiModal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline queries (SURVEY §7.4 extension surface):
   * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -36,6 +36,15 @@ object PipelineQueries {
         threshold = 0.8, maxDocFreq = 5)
       .orderBy("ia", "ib")
 
+  /** Near-dup pairs → dedup clusters: connected components over the
+    * df-capped n-gram pairs, labelling every member doc with the
+    * minimum doc id of its component (the canonical survivor). */
+  def q48DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
+          threshold = 0.8, maxDocFreq = 5))
+      .orderBy("doc")
+
   def q23Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc")
@@ -63,6 +72,19 @@ object PipelineQueries {
     Similarity.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.4)
       .orderBy("ia", "ib")
   }
+
+  /** Deterministic stratified sample of the documents corpus by
+    * predicted language: English halved, Chinese kept, everything else
+    * quartered — the mixture-reweighting step of a training-data
+    * pipeline, reproducible across runs/engines because the coin flip
+    * is a hash of the doc id. */
+  def q49StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.stratifiedSample(
+        TextAnalysis.languageId(Tables.documents(spark, sfDir), "text"),
+        stratum = col("lang_pred"), key = col("doc_id"),
+        rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+      .select("doc_id", "lang_pred")
+      .orderBy("doc_id")
 
   def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.languageId(
@@ -118,7 +140,32 @@ object PipelineQueries {
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
 
+  /** Shared language-ID SQL fragments (mirror TextAnalysis.languageId). */
+  private lazy val langScoresSql = TextAnalysis.stopwords.keys.toSeq.sorted.map { lang =>
+    val lst = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(tok, x -> list_contains([$lst], x))) AS score_$lang"
+  }.mkString(",\n         ")
+  private lazy val langPredCaseSql = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val pred = langs.init.map { lang =>
+      val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $pred ELSE '${langs.last}' END"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q49_stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |st AS (SELECT doc_id, $langScoresSql FROM t),
+         |l AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM st)
+         |SELECT doc_id, lang_pred FROM l
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        / 1152921504606846976.0
+         |      < CASE WHEN lang_pred = 'en' THEN 0.5
+         |             WHEN lang_pred = 'zh' THEN 1.0 ELSE 0.25 END
+         |ORDER BY doc_id""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
@@ -148,6 +195,34 @@ object PipelineQueries {
         |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
         |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
         |ORDER BY ia, ib""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s0 AS (SELECT doc_id AS doc,
+        |             unnest(list_distinct(list_transform(range(len(tok)-2),
+        |               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+        |      FROM t WHERE len(tok) >= 3),
+        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s0 GROUP BY sh)
+        |         WHERE df <= 5),
+        |s AS (SELECT s0.doc, s0.sh FROM s0 JOIN keep USING (sh)),
+        |ns AS (SELECT doc, count(*) AS ns FROM s GROUP BY doc),
+        |common AS (
+        |  SELECT a.doc AS ia, b.doc AS ib, count(*) AS c
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia, ib FROM common
+        |  JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+        |  WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs
+        |          UNION SELECT ib, ia FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
+        |SELECT doc, min(r) AS cluster FROM reach GROUP BY doc
+        |ORDER BY doc""".stripMargin,
 
     "q22_dedup_minhash_lsh" ->
       s"""WITH $shingleCtes,
@@ -228,15 +303,6 @@ object PipelineQueries {
 
     "q26_text_stats" -> {
       val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
-      val langScores = TextAnalysis.stopwords.keys.toSeq.sorted.map { lang =>
-        val lst = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(tok, x -> list_contains([$lst], x))) AS score_$lang"
-      }.mkString(",\n         ")
-      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
-      val pred = langs.init.map { lang =>
-        val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
-        s"WHEN $ge THEN '$lang'"
-      }.mkString(" ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
          |st AS (
          |  SELECT doc_id, text, tok,
@@ -245,11 +311,11 @@ object PipelineQueries {
          |         CAST(length(text) - (len(tok) - 1) AS DOUBLE)/len(tok) AS avg_token_len,
          |         CAST(len(list_filter(tok, x -> list_contains([$en], x))) AS DOUBLE)/len(tok) AS stop_ratio,
          |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/length(text) AS digit_ratio,
-         |         $langScores
+         |         $langScoresSql
          |  FROM t)
          |SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, digit_ratio,
          |       stop_ratio*0.5 + 1.0/(1.0 + abs(avg_token_len - 5.0))*0.5 AS quality_score,
-         |       CASE $pred ELSE '${langs.last}' END AS lang_pred
+         |       $langPredCaseSql AS lang_pred
          |FROM st ORDER BY doc_id""".stripMargin
     },
 

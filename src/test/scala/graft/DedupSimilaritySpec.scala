@@ -52,6 +52,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("connected components: multi-hop chains collapse to the min label") {
+    // components: {1,2,3,9} via chain 9-3-2-1 (diameter 3 — needs
+    // multiple propagation rounds), {5,6}, isolated 8 (not returned)
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L))
+      .toDF("ia", "ib")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs get identical hashes, near-dups are close") {
     val m = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -105,6 +115,20 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"recall@5 untrained=$rUntrained trained=$rTrained")
     assert(rTrained >= 0.9)
     assert(rTrained > rUntrained)
+  }
+
+  test("hash sampling: split partitions exactly, is layout-independent, rates hold") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).select(col("id").as("doc_id"))
+    val (train, eval) = Sampling.trainEvalSplit(df, col("doc_id"), 0.1)
+    assert(train.count() + eval.count() == 20000)
+    assert(train.intersect(eval).count() == 0)
+    val evalN = eval.count().toDouble
+    assert(math.abs(evalN / 20000 - 0.1) < 0.02) // hash-uniformity, not RNG
+    // membership is a property of the key: repartitioning changes nothing
+    val (_, eval2) = Sampling.trainEvalSplit(df.repartition(13), col("doc_id"), 0.1)
+    assert(eval2.collect().map(_.getLong(0)).sorted
+      .sameElements(eval.collect().map(_.getLong(0)).sorted))
   }
 
   test("text stats and language id on a known sentence") {
