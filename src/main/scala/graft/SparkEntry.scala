@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_asof_native"        -> (EventsQueries.q47AsofNative _),
     "q48_dedup_clusters"     -> (PipelineQueries.q48DedupClusters _),
     "q49_stratified_sample"  -> (PipelineQueries.q49StratifiedSample _),
+    "q50_merge_upsert"       -> (EtlQueries.q50MergeUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

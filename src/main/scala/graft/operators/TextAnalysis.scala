@@ -67,10 +67,12 @@ object TextAnalysis {
   /** Bottom-k fingerprint: the k lexicographically smallest md5 values
     * of the document's distinct 3-gram shingles, concatenated. Stable
     * under shingle order, replicable in SQL, and usable as a cheap
-    * containment sketch. */
+    * containment sketch. The aggregation is the custom BottomK
+    * TypedImperativeAggregate — O(k) state per document with map-side
+    * partials, instead of collecting every shingle hash and slicing. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     Dedup.shingles(docs, idCol, textCol)
       .select(col("doc"), md5(col("sh")).as("h"))
       .groupBy("doc")
-      .agg(concat_ws("", slice(array_sort(collect_list(col("h"))), 1, k)).as("fingerprint"))
+      .agg(concat_ws("", graft.functions.BottomK.bottomK(col("h"), k)).as("fingerprint"))
 }

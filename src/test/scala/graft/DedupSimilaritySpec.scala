@@ -140,6 +140,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[String]("lang_pred") == "en")
   }
 
+  test("BottomK aggregate equals sort-and-take over many partitions") {
+    import graft.functions.BottomK.bottomK
+    // values spread over 16 partitions force partial-aggregate merges
+    val df = spark.range(5000).repartition(16)
+      .select((col("id") % 7).as("g"), md5(col("id").cast("string")).as("h"))
+    val viaAgg = df.groupBy("g").agg(bottomK(col("h"), 5).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaSort = df.groupBy("g")
+      .agg(slice(array_sort(collect_list(col("h"))), 1, 5).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaAgg == viaSort)
+    // groups smaller than k return everything, sorted
+    val small = spark.range(3).select(lit(0L).as("g"), md5(col("id").cast("string")).as("h"))
+    val bk = small.groupBy("g").agg(bottomK(col("h"), 10).as("bk"))
+      .collect().head.getSeq[String](1)
+    assert(bk.length == 3 && bk == bk.sorted)
+  }
+
   test("fingerprint is stable and equal for identical docs") {
     val fp = TextAnalysis.fingerprint(docs, "doc_id", "text", 3).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
