@@ -66,6 +66,7 @@ object SparkEntry {
     "q48_dedup_clusters"     -> (PipelineQueries.q48DedupClusters _),
     "q49_stratified_sample"  -> (PipelineQueries.q49StratifiedSample _),
     "q50_merge_upsert"       -> (EtlQueries.q50MergeUpsert _),
+    "q51_corpus_curation"    -> (PipelineQueries.q51CorpusCuration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -86,6 +86,30 @@ object PipelineQueries {
       .select("doc_id", "lang_pred")
       .orderBy("doc_id")
 
+  /** The full corpus-curation pipeline as ONE declarative query:
+    * near-dup clusters (df-capped n-gram Jaccard → connected
+    * components) pick a canonical survivor per cluster; survivors are
+    * quality-filtered and then language-rebalanced with the
+    * deterministic sampler. Every stage is the oracle-checked operator
+    * from its own query (q39/q48/q26/q49) — this composes them the way
+    * a 100 TB pre-training data job would. */
+  def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextAnalysis.languageId(TextAnalysis.textStats(docs, "text"), "text")
+    val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
+          threshold = 0.8, maxDocFreq = 5))
+      .withColumnRenamed("doc", "doc_id")
+    val canonical = scored.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .filter(col("quality_score") >= 0.35)
+    Sampling.stratifiedSample(canonical,
+        stratum = col("lang_pred"), key = col("doc_id"),
+        rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
+      .select("doc_id", "lang_pred", "quality_score")
+      .orderBy("doc_id")
+  }
+
   def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.languageId(
         TextAnalysis.textStats(Tables.documents(spark, sfDir), "text"), "text")
@@ -155,6 +179,52 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q51_corpus_curation" -> {
+      val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, text, string_split(text, ' ') AS tok FROM documents),
+         |st AS (SELECT doc_id, tok,
+         |       CAST(length(text) - (len(tok) - 1) AS DOUBLE)/len(tok) AS avg_token_len,
+         |       CAST(len(list_filter(tok, x -> list_contains([$en], x))) AS DOUBLE)/len(tok) AS stop_ratio,
+         |       $langScoresSql
+         |       FROM t),
+         |q AS (SELECT doc_id,
+         |      stop_ratio*0.5 + 1.0/(1.0 + abs(avg_token_len - 5.0))*0.5 AS quality_score,
+         |      $langPredCaseSql AS lang_pred FROM st),
+         |s0 AS (SELECT doc_id AS doc,
+         |             unnest(list_distinct(list_transform(range(len(tok)-2),
+         |               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+         |      FROM t WHERE len(tok) >= 3),
+         |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s0 GROUP BY sh)
+         |         WHERE df <= 5),
+         |s AS (SELECT s0.doc, s0.sh FROM s0 JOIN keep USING (sh)),
+         |ns AS (SELECT doc, count(*) AS ns FROM s GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS ia, b.doc AS ib, count(*) AS c
+         |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM common
+         |  JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+         |  WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8),
+         |edges AS (SELECT ia AS a, ib AS b FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc),
+         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+         |SELECT q.doc_id, lang_pred, quality_score
+         |FROM q LEFT JOIN cc ON q.doc_id = cc.doc
+         |WHERE (cc.cluster IS NULL OR cc.cluster = q.doc_id)
+         |  AND quality_score >= 0.35
+         |  AND ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        / 1152921504606846976.0
+         |      < CASE WHEN lang_pred = 'en' THEN 0.5
+         |             WHEN lang_pred = 'zh' THEN 1.0 ELSE 0.25 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q49_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
          |st AS (SELECT doc_id, $langScoresSql FROM t),
