@@ -67,6 +67,7 @@ object SparkEntry {
     "q49_stratified_sample"  -> (PipelineQueries.q49StratifiedSample _),
     "q50_merge_upsert"       -> (EtlQueries.q50MergeUpsert _),
     "q51_corpus_curation"    -> (PipelineQueries.q51CorpusCuration _),
+    "q52_stream_interval_join" -> (graft.streaming.StreamingQueries.q52StreamIntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -260,7 +260,55 @@ object StreamingQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q52: stream-stream interval join — sparse "trade" events joined to
+    * every price observation in the 2 hours at or before them, per
+    * ticker. Both sides carry watermarks and the join has a closed time
+    * constraint, so the state store can evict: the shape that runs
+    * forever at 100 TB. Inner join; all matching pairs are emitted
+    * (unlike the as-of join's latest-only pick). */
+  def q52StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft_q52")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def src = spark.readStream.schema(eventsLongTsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val l = src.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val r = src.filter(col("value") >= 150)
+      .select(col("event_type").as("rticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+      .withWatermark("rts", "1 hour")
+    val q = l.join(r,
+        col("ticker") === col("rticker") &&
+          col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") <= col("ts"))
+      .select("event_id", "ticker", "ts", "rts", "close", "rid")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("event_id", "rid")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q52_stream_interval_join" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close, event_id AS rid
+        |  FROM events WHERE value >= 150)
+        |SELECT l.event_id, l.ticker, l.ts, r.rts, r.close, r.rid
+        |FROM l JOIN r ON l.ticker = r.ticker
+        |  AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts
+        |ORDER BY l.event_id, r.rid""".stripMargin,
+
     "q45_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

@@ -26,6 +26,25 @@ class EtlSearchSpec extends SparkSpec {
       once.orderBy("ticker", "ts").collect().map(_.toSeq).toSeq)
   }
 
+  test("mergeUpsert updates matched keys, inserts new ones, and is idempotent") {
+    val existing = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("B", Timestamp.valueOf("2024-01-01 00:00:00"), 20.0))
+      .toDF("ticker", "ts", "close")
+    val batch = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 15.0, 1L), // update
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 99.0, 2L), // dup key -> id 1 wins
+      ("C", Timestamp.valueOf("2024-01-02 00:00:00"), 30.0, 3L)) // insert
+      .toDF("ticker", "ts", "close", "event_id")
+    val once = EtlQueries.mergeUpsert(existing, batch)
+    val rows = once.orderBy("ticker").collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(rows == Seq(("A", 15.0), ("B", 20.0), ("C", 30.0)))
+    val twice = EtlQueries.mergeUpsert(once, batch)
+    assert(twice.orderBy("ticker").collect().map(_.toSeq).toSeq ==
+      once.orderBy("ticker").collect().map(_.toSeq).toSeq)
+  }
+
   test("search ranks name-prefix above ticker-prefix above substring position") {
     val hits = SearchQueries.search(spark, sf(), "ol").collect()
     assert(hits.nonEmpty)
