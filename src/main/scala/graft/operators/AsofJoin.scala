@@ -66,7 +66,7 @@ object AsofJoin {
                      asOfCol: String, rightOrder: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
-    import graft.plans.{AsofJoinNode, AsofJoinStrategy, PruneAsofRightColumns}
+    import graft.plans.{AsofJoinNode, AsofJoinStrategy, PruneAsofRightColumns, PushFilterThroughAsof}
     val spark = leftDf.sparkSession
     // idempotent registration: the imperative path covers sessions built
     // without spark.sql.extensions=graft.GraftExtensions
@@ -76,6 +76,9 @@ object AsofJoin {
     if (!spark.experimental.extraOptimizations.contains(PruneAsofRightColumns))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsofRightColumns
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsof))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsof
     val l = leftDf.queryExecution.analyzed
     // fresh exprIds on the right so self-joins (both sides from the same
     // source) cannot alias-collide

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -53,6 +53,25 @@ object PruneAsofRightColumns extends Rule[LogicalPlan] {
         Seq(n.rightKey, n.rightTime, n.payload) ++ n.rightTieBreak)
       if (n.right.output.forall(needed.contains)) n
       else n.copy(right = Project(n.right.output.filter(needed.contains), n.right))
+  }
+}
+
+/** The as-of join emits exactly one output row per left row, so a
+  * deterministic predicate over left-side attributes commutes with the
+  * join: push it below the node and its rows never reach the shuffle.
+  * (Built-in PushDownPredicates skips unknown nodes.) Predicates
+  * touching the as-of column or mixing sides stay above. */
+object PushFilterThroughAsof extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

@@ -297,7 +297,46 @@ object StreamingQueries {
     spark.read.parquet(out).orderBy("event_id", "rid")
   }
 
+  /** q53: streaming dedup — dropDuplicatesWithinWatermark over a source
+    * that delivers every event twice. The duplicates arrive inside the
+    * watermark horizon (same event times, one AvailableNow batch), which
+    * is exactly the operator's contract: state for a key lives only
+    * until the watermark passes it, so the store stays bounded forever.
+    * The deduped stream lands in parquet; the readback aggregates per
+    * type and must equal the batch aggregate over the ORIGINAL events —
+    * proof no duplicate survived. */
+  def q53StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vmicro"))
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src) // every event twice
+    val q = spark.readStream.schema(ev.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vmicro")).cast("double") / 1e6).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q53_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q52_stream_interval_join" ->
       """WITH l AS (
         |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),

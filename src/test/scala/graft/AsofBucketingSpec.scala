@@ -72,6 +72,29 @@ class AsofBucketingSpec extends SparkSpec {
     assert(n(4).isNullAt(3))          // no right key
   }
 
+  test("left-side filters push below the native asof node") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "A", t("2024-01-01 10:00:00")),
+      (2L, "A", t("2024-01-01 12:00:00")))
+      .toDF("event_id", "ticker", "ts")
+    val right = Seq(("A", t("2024-01-01 09:30:00"), 10.0))
+      .toDF("ticker", "rts", "close")
+    val joined = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+        "close", "asof_close")
+      .filter(col("event_id") === 2L)       // left-only: must sink below
+      .filter(col("asof_close").isNotNull)  // touches asof col: must stay above
+    val opt = joined.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case n: graft.plans.AsofJoinNode => n }.get
+    assert(node.left.toString.contains("event_id"),
+      s"left-side filter not pushed:\n$opt")
+    assert(opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "asof_close") => f
+    }.isDefined, s"asof filter wrongly pushed:\n$opt")
+    assert(joined.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("native asof on real data equals the composed q38 result") {
     val ev = Tables.events(spark, sf())
     val left = ev.filter(col("value") < 40)
