@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Per-query oracle compare with subprocess isolation: one DuckDB
+crash (its list_reduce fold is memory-fragile at sf0.1 volume) or
+nondeterministic glitch doesn't kill the sweep. Same canonicalization
+as tools/compare.py.
+
+Usage: python3 tools/compare_each.py <verify_out_dir> <sf_dir>
+"""
+import sys, os, subprocess, tempfile
+
+ONE = r'''
+import duckdb, pandas as pd, numpy as np, glob, json, sys
+out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+oracle = json.load(open(out_dir + "/oracle_sql.json"))
+got = pd.concat([pd.read_parquet(f)
+                 for f in glob.glob(out_dir + "/" + name + "/*.parquet")],
+                ignore_index=True)
+if name not in oracle:
+    print("ROWS-ONLY", len(got)); sys.exit(0)
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+exp = con.execute(oracle[name]).fetchdf()
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object: df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating): df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer): df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+g, e = canon(got), canon(exp)
+if list(g.columns) != list(e.columns): print("SCHEMA", list(g.columns), list(e.columns))
+elif len(g) != len(e): print("ROWCOUNT", len(g), len(e))
+elif g.equals(e): print("OK", len(g))
+else: print("HASH")
+'''
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    with tempfile.NamedTemporaryFile('w', suffix='.py', delete=False) as f:
+        f.write(ONE)
+        one = f.name
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_ok = 0
+    for name in names:
+        r = subprocess.run([sys.executable, one, out_dir, sf_dir, name],
+                           capture_output=True, text=True, timeout=1800)
+        status = r.stdout.strip() if r.returncode == 0 else f"CRASH rc={r.returncode}"
+        if status.startswith(("OK", "ROWS-ONLY")): n_ok += 1
+        print(f"{status.split()[0]:10} {name}: {' '.join(status.split()[1:])}")
+    print(f"\n{n_ok}/{len(names)} queries match")
+
+if __name__ == "__main__":
+    main()
