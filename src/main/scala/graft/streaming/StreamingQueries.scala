@@ -268,21 +268,46 @@ object StreamingQueries {
     * (unlike the as-of join's latest-only pick). */
   def q52StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state-store partition count is fixed at query start from
+    // shuffle.partitions; both join sides keep a store per partition, so
+    // size it to the stateful work, not the batch default (a real
+    // deployment sets this per streaming job for the same reason)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      q52Inner(spark, sfDir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q52Inner(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = Files.createTempDirectory("graft_q52")
     Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     def src = spark.readStream.schema(eventsLongTsSchema).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the natural equi-key (ticker) has tiny cardinality, so state
+    // lookups would scan the key's whole history per probe. Bucketing
+    // time into the join key bounds each probe to two 2h windows: the
+    // right row sits in exactly one bucket, the left row probes its own
+    // bucket and the previous one (the range spans at most two), so no
+    // pair is matched twice and per-probe state work is O(window), not
+    // O(history) — the difference between a join that degrades as the
+    // stream ages and one that doesn't.
+    val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
       .withWatermark("ts", "1 hour")
+      .withColumn("bucket", explode(array(
+        floor(unix_micros(col("ts")) / bucketMicros),
+        floor(unix_micros(col("ts")) / bucketMicros) - 1)))
     val r = src.filter(col("value") >= 150)
       .select(col("event_type").as("rticker"), col("ts").as("rts"),
         col("value").as("close"), col("event_id").as("rid"))
       .withWatermark("rts", "1 hour")
+      .withColumn("rbucket", floor(unix_micros(col("rts")) / bucketMicros))
     val q = l.join(r,
-        col("ticker") === col("rticker") &&
+        col("ticker") === col("rticker") && col("bucket") === col("rbucket") &&
           col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
           col("rts") <= col("ts"))
       .select("event_id", "ticker", "ts", "rts", "close", "rid")
