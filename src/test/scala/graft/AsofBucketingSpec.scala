@@ -110,6 +110,30 @@ class AsofBucketingSpec extends SparkSpec {
     assert(native.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq)
   }
 
+  test("property: native and composed asof agree on random ledgers (5 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      key <- Gen.oneOf("A", "B", "C")
+      t <- Gen.choose(0, 5000)
+      v <- Gen.choose(0, 1000)
+    } yield (key, t, v)
+    for (seed <- 1L to 5L) {
+      val lRows = Gen.listOfN(60, genRow).pureApply(Gen.Parameters.default, Seed(seed))
+      val rRows = Gen.listOfN(60, genRow).pureApply(Gen.Parameters.default, Seed(seed + 100))
+      val left = lRows.zipWithIndex.map { case ((k, t, _), i) =>
+        (i.toLong, k, new Timestamp(t * 1000L)) }.toDF("event_id", "ticker", "ts")
+      val right = rRows.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, new Timestamp(t * 1000L), v.toDouble, i.toLong) }
+        .toDF("ticker", "rts", "close", "rid")
+      val a = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+        "close", "asof_close", Seq("rid")).orderBy("event_id").collect().map(_.toSeq)
+      val b = AsofJoin.backward(left, right, "ticker", "ts", "rts",
+        "close", "asof_close", Seq("rid")).orderBy("event_id").collect().map(_.toSeq)
+      assert(a.toSeq == b.toSeq, s"seed $seed diverged")
+    }
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
