@@ -69,6 +69,7 @@ object SparkEntry {
     "q51_corpus_curation"    -> (PipelineQueries.q51CorpusCuration _),
     "q52_stream_interval_join" -> (graft.streaming.StreamingQueries.q52StreamIntervalJoin _),
     "q53_stream_dedup"       -> (graft.streaming.StreamingQueries.q53StreamDedup _),
+    "q54_json_source"        -> (SourceQueries.q54JsonSource _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,7 +89,35 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** JSON-lines source round-trip: the event stream written as
+    * JSON-lines and read back with an EXPLICIT schema (schema inference
+    * is a full extra pass over the data — never at 100 TB), then
+    * aggregated per type and day. Timestamps and scaled-long sums
+    * round-trip exactly, which the oracle (aggregating the original
+    * parquet) proves. */
+  def q54JsonSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.coalesce(4).write.json(s"$tmp/json")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.read.schema(schema).json(s"$tmp/json")
+      .groupBy(col("event_type").as("ticker"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micro"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("ticker", "day")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q54_json_source" ->
+      """SELECT event_type AS ticker, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS value_micro,
+        |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1, 2 ORDER BY ticker, day""".stripMargin,
     "q40_universe_csv" ->
       s"""WITH raw AS (
          |  SELECT * FROM read_csv('$UniverseFixture', delim=';', header=true,
