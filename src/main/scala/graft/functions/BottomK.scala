@@ -61,6 +61,8 @@ case class BottomK(
     new GenericArrayData(
       buf.toArray.sorted.map(UTF8String.fromString(_): Any))
 
+  // writeUTF caps entries at 64 KiB — ample for the hash/token strings
+  // this sketch aggregates (md5 hex = 32 chars)
   override def serialize(buf: mutable.PriorityQueue[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)

