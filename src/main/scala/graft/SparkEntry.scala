@@ -70,6 +70,7 @@ object SparkEntry {
     "q52_stream_interval_join" -> (graft.streaming.StreamingQueries.q52StreamIntervalJoin _),
     "q53_stream_dedup"       -> (graft.streaming.StreamingQueries.q53StreamDedup _),
     "q54_json_source"        -> (SourceQueries.q54JsonSource _),
+    "q55_vocabulary"         -> (PipelineQueries.q55Vocabulary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -110,6 +110,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus vocabulary statistics — the seed of tokenizer training:
+    * term frequency and document frequency per token, deterministic
+    * top-100 (tf desc, token asc — token is the group key, so the
+    * order is total and the limit boundary is unambiguous). One
+    * explode + one groupBy: map-side combine then a single shuffle. */
+  def q55Vocabulary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(100)
+
   def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.languageId(
         TextAnalysis.textStats(Tables.documents(spark, sfDir), "text"), "text")
@@ -179,6 +192,12 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q55_vocabulary" ->
+      """SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 100""".stripMargin,
+
     "q51_corpus_curation" -> {
       val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
       s"""WITH RECURSIVE
