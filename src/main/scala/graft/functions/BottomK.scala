@@ -61,13 +61,18 @@ case class BottomK(
     new GenericArrayData(
       buf.toArray.sorted.map(UTF8String.fromString(_): Any))
 
-  // writeUTF caps entries at 64 KiB — ample for the hash/token strings
-  // this sketch aggregates (md5 hex = 32 chars)
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on values
+  // whose encoding exceeds 64 KiB, and bottomK(c, k) is a general Column
+  // API — callers may aggregate arbitrarily long strings
   override def serialize(buf: mutable.PriorityQueue[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach(out.writeUTF)
+    buf.foreach { s =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -76,7 +81,11 @@ case class BottomK(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.enqueue(in.readUTF()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.enqueue(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    }
     buf
   }
 

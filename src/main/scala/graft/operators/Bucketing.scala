@@ -28,9 +28,12 @@ object Bucketing {
   }
 
   /** True when the executed plan of `df` contains no shuffle exchange —
-    * the co-location check for bucket-aligned joins. */
+    * the co-location check for bucket-aligned joins. Finalizes any
+    * adaptive plan by running the query with a row-discarding foreach:
+    * all stages execute (so AQE settles), but nothing is pulled to the
+    * driver — safe to call on a fact-table-sized frame. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    df.collect() // finalize any adaptive plan first
+    df.foreach(_ => ()) // finalize any adaptive plan, driver-side-free
     val plan = df.queryExecution.executedPlan
     !plan.toString.contains("Exchange hashpartitioning")
   }

@@ -136,6 +136,15 @@ object Dedup {
     * are shallow — a handful of rounds even at 100 TB), each round is
     * two shuffles, state is one (node, label) row per node — nothing on
     * the driver but the convergence flag.
+    *
+    * Per round there is exactly ONE job: the round's frame (carrying a
+    * per-node changed flag) is materialized by an eager
+    * `localCheckpoint`, which also truncates lineage so plan depth and
+    * analysis cost stay O(1) in the round count instead of nesting one
+    * join deeper per round. The convergence flag is then a cheap
+    * aggregate over the checkpointed blocks — no second label-join, no
+    * extra shuffle. Superseded round RDDs are unreferenced on
+    * reassignment and reclaimed by the context cleaner.
     * Returns (doc, cluster) with cluster = min doc id in the component;
     * isolated docs are not returned (they are their own cluster). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
@@ -145,24 +154,26 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
-      .persist()
-    labels.count()
+      .localCheckpoint()
     var converged = false
     while (!converged) {
-      // candidate label per node: its own, plus every neighbor's
+      // candidate label per node: its own, plus every neighbor's; chg
+      // records whether the propagated minimum beats the current label
       val next = edges
         .join(labels.withColumnRenamed("doc", "b")
           .withColumnRenamed("cluster", "nb_cluster"), "b")
         .groupBy(col("a").as("doc"))
         .agg(min(col("nb_cluster")).as("prop"))
         .join(labels, "doc")
-        .select(col("doc"), least(col("cluster"), col("prop")).as("cluster"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .select(col("doc"), least(col("cluster"), col("prop")).as("cluster"),
+          (col("prop") < col("cluster")).as("chg"))
+        .localCheckpoint()
+      // read convergence off the already-materialized blocks; an empty
+      // label set (no pairs at all) converges immediately via coalesce
+      val changed = next.agg(coalesce(max(col("chg")), lit(false)))
+        .head.getBoolean(0)
+      labels = next.drop("chg")
+      converged = !changed
     }
     edges.unpersist()
     labels

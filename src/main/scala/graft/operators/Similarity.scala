@@ -22,6 +22,25 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Nearest-centroid assignment as a map-side-combinable aggregation:
+    * score the broadcast centroid set per vector, then take
+    * `max_by(struct(cid, embedding), struct(csim, -cid))` per vec_id.
+    * Partial aggregation folds the ×k centroid expansion back to one
+    * row per vector BEFORE any exchange, so the shuffle carries n rows,
+    * not n×k (a window-rank formulation would shuffle the expanded
+    * corpus just to rank it). Tiebreak at equal similarity: lowest
+    * centroid id, via the negated cid in the ordering struct — the same
+    * total order as (csim desc, cid asc). Expects `c` as (cid, cv);
+    * returns (vec_id, embedding, cid). */
+  private def assignToNearest(corpus: DataFrame, c: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(c))
+      .withColumn("csim", cosine(col("cv"), col("embedding")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("csim"), negate(col("cid")))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cid"))
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * Norms are computed once per side, so the per-pair work is a single
     * codegen'd dot product. Output: (query_id, rank, neighbor_id). */
@@ -51,17 +70,12 @@ object Similarity {
     * embedding).
     */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var cents = corpus.orderBy("vec_id").limit(k)
       .select(col("vec_id").cast("long").as("cid"), col("embedding").as("cv"))
       .persist()
     cents.count()
     for (_ <- 1 to iters) {
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("cv"), col("embedding")))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
+      val assigned = assignToNearest(corpus, cents.select(col("cid"), col("cv")))
         .select(col("cid"), col("embedding"))
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -87,14 +101,10 @@ object Similarity {
               k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // bucket assignment: one shuffle-free broadcast pass over the corpus
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = corpus.crossJoin(broadcast(c))
-      .withColumn("csim", cosine(col("cv"), col("embedding")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assignToNearest(corpus, c)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // probe ranking stays a window: it needs top-nprobe (not argmax) and
+    // runs over the tiny query set ×k only, never the corpus
     val wProbe = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(c))
       .withColumn("qsim", cosine(col("cv"), col("qv")))
@@ -115,14 +125,8 @@ object Similarity {
     * near-dup shape; recall is bounded by bucketing like any LSH). */
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
                          threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = corpus.crossJoin(broadcast(c))
-      .withColumn("csim", cosine(col("cv"), col("embedding")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val assigned = assignToNearest(corpus, c)
     assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
