@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, EmptyBlock, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** The full custom-operator ladder (SURVEY preference (c)) for the
@@ -88,7 +89,7 @@ case class AsofJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     payload: Expression, rightTieBreak: Seq[Expression],
-    asOfAttr: AttributeReference) extends BinaryExecNode {
+    asOfAttr: AttributeReference) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asOfAttr
   override def producedAttributes: AttributeSet = AttributeSet(asOfAttr)
@@ -107,6 +108,112 @@ case class AsofJoinExec(
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // ---- whole-stage codegen -------------------------------------------
+  // Like SortMergeJoinExec, this operator is a produce boundary: it
+  // reads both children's row iterators directly in generated code and
+  // runs the same O(1)-state merge walk as doExecute, but with key/time
+  // extraction, comparisons, the payload copy and the output projection
+  // all compiled into the WholeStageCodegen stage — no per-row
+  // interpreted `eval` on the hot path. doExecute below remains the
+  // interpreted fallback (codegen disabled / compile failure).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the reused left-iterator buffer; let the
+  // stage boundary copy them (same contract as SortMergeJoinExec)
+  override def needCopyResult: Boolean = true
+
+  // legitimate for a node that reads its input RDDs directly
+  override def canCheckLimitNotReached: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    // lookahead right row; null = consumed (fetch the next) or exhausted
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val hasPrev = ctx.addMutableState("boolean", "asofHasPrevKey")
+    val hasMatch = ctx.addMutableState("boolean", "asofHasMatch")
+    val payloadNull = ctx.addMutableState("boolean", "asofPayloadNull")
+
+    // left-side extractors + output columns, evaluated on the streamed row
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lk = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val lt = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    // addBufferedState copies across iterator buffer reuse (clone for
+    // UTF8String, copy for struct/array, plain assign for primitives)
+    val prevKey = ctx.addBufferedState(leftKey.dataType, "asofPrevKey", s"${lk.value}")
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    // right-side extractors, evaluated on the buffered lookahead row
+    ctx.INPUT_ROW = rightRow
+    val rk = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rt = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+    val p = BindReferences.bindReference(payload, right.output).genCode(ctx)
+    val lastPayload = ctx.addBufferedState(payload.dataType, "asofPayload", s"${p.value}")
+
+    val advancing = ctx.freshName("asofAdvancing")
+    val kc = ctx.freshName("asofKeyComp")
+    val take = ctx.freshName("asofTake")
+    val outIsNull = ctx.freshName("asofOutIsNull")
+    val outVal = ctx.freshName("asofOutVal")
+    val asofVar = ExprCode(EmptyBlock,
+      JavaCode.isNullVariable(outIsNull),
+      JavaCode.variable(outVal, payload.dataType))
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lk.code}
+       |  ${lt.code}
+       |  if (!$hasPrev || ${ctx.genComp(leftKey.dataType, s"${lk.value}", s"${prevKey.value}")} != 0) {
+       |    ${prevKey.code}
+       |    $hasPrev = true;
+       |    $hasMatch = false;
+       |    $payloadNull = true;
+       |  }
+       |  boolean $advancing = true;
+       |  while ($advancing) {
+       |    if ($rightRow == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $rightRow = (InternalRow) $rightInput.next();
+       |    }
+       |    ${rk.code}
+       |    int $kc = ${ctx.genComp(leftKey.dataType, s"${rk.value}", s"${lk.value}")};
+       |    boolean $take = false;
+       |    if ($kc < 0) {
+       |      $take = true;
+       |    } else if ($kc == 0) {
+       |      ${rt.code}
+       |      if (${ctx.genComp(leftTime.dataType, s"${rt.value}", s"${lt.value}")} <= 0) {
+       |        $take = true;
+       |        // the most recent right ROW wins, even with a null payload
+       |        ${p.code}
+       |        $payloadNull = ${p.isNull};
+       |        if (!$payloadNull) {
+       |          ${lastPayload.code}
+       |        }
+       |        $hasMatch = true;
+       |      }
+       |    }
+       |    if ($take) { $rightRow = null; } else { $advancing = false; }
+       |  }
+       |  $numOutput.add(1);
+       |  boolean $outIsNull = !$hasMatch || $payloadNull;
+       |  ${CodeGenerator.javaType(payload.dataType)} $outVal = ${lastPayload.value};
+       |  ${consume(ctx, leftVars :+ asofVar)}
+       |  $shouldStopCheckCode
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")

@@ -72,6 +72,35 @@ class AsofBucketingSpec extends SparkSpec {
     assert(n(4).isNullAt(3))          // no right key
   }
 
+  test("native asof runs inside a WholeStageCodegen fence (no silent fallback)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "A", t("2024-01-01 10:00:00")),
+      (2L, "A", t("2024-01-01 12:00:00")),
+      (3L, "B", t("2024-01-01 09:00:00")))
+      .toDF("event_id", "ticker", "ts")
+    val right = Seq(
+      ("A", t("2024-01-01 09:30:00"), Some(10.0), 100L),
+      ("A", t("2024-01-01 11:00:00"), None, 101L),
+      ("B", t("2024-01-01 10:00:00"), Some(20.0), 102L))
+      .toDF("ticker", "rts", "close", "rid")
+    // with fallback off, a codegen compile error fails the query instead
+    // of silently dropping to the interpreted doExecute path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val native = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+        "close", "asof_close", Seq("rid"))
+      val rows = native.collect().sortBy(_.getLong(0))
+      assert(rows(0).getDouble(3) == 10.0)
+      assert(rows(1).isNullAt(3))  // latest right row wins even with null payload
+      assert(rows(2).isNullAt(3))  // no right row at or before
+      // AQE finalizes the plan only after execution of THIS Dataset
+      val planStr = native.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) AsofJoin""".r.findFirstIn(planStr).isDefined,
+        s"AsofJoin not codegen'd:\n$planStr")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("left-side filters push below the native asof node") {
     def t(s: String) = Timestamp.valueOf(s)
     val left = Seq(
