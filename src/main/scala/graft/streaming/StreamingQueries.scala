@@ -29,6 +29,15 @@ object StreamingQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Stateful queries default to the RocksDB state-store provider: the
+    * only provider whose state spills to native memory/disk and
+    * checkpoints incrementally, i.e. the one a 100 TB deployment runs —
+    * the JVM-heap HDFS provider caps state at executor heap.
+    * StreamingStateSpec proves provider equivalence on the same queries. */
+  private def useRocksDbState(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** q30: per-day, per-ticker tumbling-window counts and exact-decimal
     * value sums over the event stream. Complete-mode aggregate lands in
     * a parquet sink via foreachBatch (each trigger overwrites with the
@@ -36,13 +45,18 @@ object StreamingQueries {
     * unlike a memory sink. */
   def q30StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file streaming source wants a directory; stage a symlink dir
-    val dir = Files.createTempDirectory("graft_q30")
-    Files.createSymbolicLink(dir.resolve("events.parquet"),
+    useRocksDbState(spark)
+    // the file streaming source wants a directory; stage a symlink dir.
+    // Sink and checkpoint live in SIBLING dirs, never under the streamed
+    // source path — a continuous or restarted run of a source-nested
+    // sink would ingest its own output.
+    val tmp = Files.createTempDirectory("graft_q30")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val stream = spark.readStream.schema(eventsLongTsSchema)
-      .parquet(dir.toString)
+      .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -110,6 +124,7 @@ object StreamingQueries {
   def q37StreamUserStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    useRocksDbState(spark)
     val tmp = Files.createTempDirectory("graft_q37").toFile.getAbsolutePath
     val src = s"$tmp/src"
     val ev = Tables.events(spark, sfDir)
@@ -159,9 +174,16 @@ object StreamingQueries {
   /** One event for the session walk; `us` is event-time micros; `ts`
     * carries the watermark attribute through to the stateful operator. */
   case class SessEv(user_id: Long, ts: java.sql.Timestamp, us: Long, event_id: Long)
-  /** Open-session state: index within user, start/end micros, count. */
-  case class SessState(idx: Long, start: Long, end: Long, n: Long)
-  case class SessOut(user_id: Long, session_idx: Long, n_events: Long,
+  /** Open-session state: start/end micros and event count. The session's
+    * IDENTITY is its start time — not a per-user counter, which would
+    * restart at 0 after an event-time timeout removes the user's state
+    * and collide with that user's earlier session 0. Start times of a
+    * user's sessions are strictly increasing (sessions are disjoint in
+    * time), so they key updates unambiguously across state expiry; the
+    * ordinal index the oracle wants is derived at readback by ranking
+    * start times per user. */
+  case class SessState(start: Long, end: Long, n: Long)
+  case class SessOut(user_id: Long, n_events: Long,
                      start_us: Long, end_us: Long)
 
   private val SessionGapMicros = 1800L * 1000000L // 30 min, as q18
@@ -180,6 +202,7 @@ object StreamingQueries {
   def q45StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    useRocksDbState(spark)
     val tmp = Files.createTempDirectory("graft_q45").toFile.getAbsolutePath
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
 
@@ -212,10 +235,12 @@ object StreamingQueries {
         (uid: Long, rows: Iterator[SessEv], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             // watermark passed end+gap: the open session can never grow —
-            // emit it closed and drop the state
+            // emit it closed and drop the state. A LATER session of this
+            // user cannot collide with it: sessions are keyed by start
+            // time, which only grows.
             val s = state.get
             state.remove()
-            Iterator(SessOut(uid, s.idx, s.n, s.start, s.end))
+            Iterator(SessOut(uid, s.n, s.start, s.end))
           } else {
             val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
             val outRows = Seq.newBuilder[SessOut]
@@ -223,23 +248,23 @@ object StreamingQueries {
             for (e <- evs) {
               st match {
                 case Some(s) if e.us - s.end > SessionGapMicros =>
-                  outRows += SessOut(uid, s.idx, s.n, s.start, s.end) // closed
-                  st = Some(SessState(s.idx + 1, e.us, e.us, 1))
+                  outRows += SessOut(uid, s.n, s.start, s.end) // closed
+                  st = Some(SessState(e.us, e.us, 1))
                 case Some(s) =>
                   st = Some(s.copy(end = e.us, n = s.n + 1))
                 case None =>
-                  st = Some(SessState(0, e.us, e.us, 1))
+                  st = Some(SessState(e.us, e.us, 1))
               }
             }
             for (s <- st) {
-              outRows += SessOut(uid, s.idx, s.n, s.start, s.end) // snapshot
+              outRows += SessOut(uid, s.n, s.start, s.end) // snapshot
               state.update(s)
               state.setTimeoutTimestamp((s.end + SessionGapMicros) / 1000 + 1)
             }
             outRows.result().iterator
           }
       }
-      .toDF("user_id", "session_idx", "n_events", "start_us", "end_us")
+      .toDF("user_id", "n_events", "start_us", "end_us")
       .writeStream.outputMode(OutputMode.Update)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -249,11 +274,16 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
+    // per (user, session-start): the final update is the one with the
+    // largest count; the oracle's ordinal session_idx is the rank of the
+    // session's start time within the user
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id", "session_idx")
+    val wLast = Window.partitionBy("user_id", "start_us")
       .orderBy(col("n_events").desc)
+    val wIdx = Window.partitionBy("user_id").orderBy(col("start_us").asc)
     spark.read.parquet(out)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .withColumn("session_idx", (row_number().over(wIdx) - 1).cast("long"))
       .select(col("user_id"), col("session_idx"), col("n_events"),
         timestamp_micros(col("start_us")).as("start_ts"),
         timestamp_micros(col("end_us")).as("end_ts"))
@@ -280,11 +310,14 @@ object StreamingQueries {
   }
 
   private def q52Inner(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q52")
-    Files.createSymbolicLink(dir.resolve("events.parquet"),
+    useRocksDbState(spark)
+    // sink/checkpoint as siblings of the source dir, not inside it
+    val tmp = Files.createTempDirectory("graft_q52")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
-    def src = spark.readStream.schema(eventsLongTsSchema).parquet(dir.toString)
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // the natural equi-key (ticker) has tiny cardinality, so state
     // lookups would scan the key's whole history per probe. Bucketing
@@ -331,6 +364,7 @@ object StreamingQueries {
     * type and must equal the batch aggregate over the ORIGINAL events —
     * proof no duplicate survived. */
   def q53StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    useRocksDbState(spark)
     val tmp = Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(spark, sfDir)
