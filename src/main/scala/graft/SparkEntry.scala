@@ -71,6 +71,7 @@ object SparkEntry {
     "q53_stream_dedup"       -> (graft.streaming.StreamingQueries.q53StreamDedup _),
     "q54_json_source"        -> (SourceQueries.q54JsonSource _),
     "q55_vocabulary"         -> (PipelineQueries.q55Vocabulary _),
+    "q56_session_window"     -> (EventsQueries.q56SessionWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -31,6 +31,32 @@ object EventsQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** q56: sessionization via Spark's BUILT-IN `session_window`
+    * aggregation — the codegen'd, merge-on-aggregate twin of q18 (and,
+    * in streaming, the simple alternative to q45's
+    * flatMapGroupsWithState walk, which remains necessary only for its
+    * per-batch snapshot emission). The gap is 30 minutes + 1
+    * microsecond: `session_window` opens a NEW session when the next
+    * event lands exactly at the open window's end (closed-open
+    * boundary), while q18's walk keeps an exact-gap event in the SAME
+    * session (strictly-greater test); at microsecond resolution the
+    * +1us makes the two conventions identical. start_ts/end_ts are
+    * aggregated as min/max(ts) (the window's own end includes the
+    * trailing gap); the ordinal session_idx is the per-user rank of the
+    * session start. Same oracle as q18. */
+  def q56SessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val wIdx = Window.partitionBy("user_id").orderBy(col("start_ts").asc)
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .withColumn("session_idx", (row_number().over(wIdx) - 1).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_ts"), col("end_ts"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** q19: typed extraction from the JSON props column, aggregated per
     * event type (exact integer sums). */
   def q19JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
@@ -95,6 +121,23 @@ object EventsQueries {
         |ORDER BY l.event_id""".stripMargin,
 
     "q18_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // same sessions as q18, computed by Spark's native session_window
+    "q56_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
         |m AS (
