@@ -72,6 +72,7 @@ object SparkEntry {
     "q54_json_source"        -> (SourceQueries.q54JsonSource _),
     "q55_vocabulary"         -> (PipelineQueries.q55Vocabulary _),
     "q56_session_window"     -> (EventsQueries.q56SessionWindow _),
+    "q57_cms_event_counts"   -> (AnalyticsQueries.q57CmsEventCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

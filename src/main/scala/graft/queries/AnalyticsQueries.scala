@@ -122,7 +122,40 @@ object AnalyticsQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"))
       .orderBy("l_returnflag")
 
+  /** q57: the mergeable-sketch pipeline — per-day count-min sketches of
+    * the event-type stream ([[graft.functions.CountMinAgg]]), unioned
+    * across days by element-wise addition ([[CountMinMergeAgg]]) without
+    * touching the raw stream again, then point-estimated per type with
+    * built-in column functions. The pre-aggregate-then-merge shape is
+    * the 100 TB telemetry pattern: each partition/day ships a
+    * depth×width Long array, never its rows.
+    *
+    * The estimates are oracle-checkable EXACTLY: the sketch's md5-derived
+    * buckets are deterministic, the estimate never under-counts, and at
+    * depth 4 × width 2048 the handful of event types do not collide in
+    * every row, so `min_i bucket_i` equals the true count and the DuckDB
+    * twin is a plain GROUP BY count. (CountMinSpec covers the lossy
+    * regime — high-cardinality keys with bounded over-count — where no
+    * exact oracle can exist.) */
+  def q57CmsEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin._
+    val depth = 4; val width = 2048
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(countMinSketch(col("event_type"), depth, width).as("sk"))
+    val merged = daily.agg(countMinMerge(col("sk"), depth, width).as("sk"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("event_type").as("ticker"),
+        estimate(col("sk"), col("event_type"), depth, width).as("est_n"))
+      .orderBy("ticker")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q57_cms_event_counts" ->
+      """SELECT event_type AS ticker, COUNT(*) AS est_n
+        |FROM events GROUP BY event_type ORDER BY ticker""".stripMargin,
+
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
