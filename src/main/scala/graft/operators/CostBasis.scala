@@ -122,9 +122,16 @@ object CostBasis {
       .orderBy("_seg").collect().map(_.get(0))
     var state: Option[DataFrame] = None
     for (s <- segs) {
-      val next = fold(trades.filter(segment === lit(s)), state)
-      next.persist().count() // eager: fold the segment once, cut lineage
-      state.foreach(_.unpersist())
+      // localCheckpoint (eager) materializes the segment's fold AND
+      // truncates lineage — persist() would not: each segment's plan
+      // would nest every previous segment's chain, growing analysis
+      // cost linearly and re-folding all history on cache eviction.
+      // After the checkpoint the next segment starts from the 3-double
+      // per-key state rows alone; superseded states are unreferenced on
+      // reassignment and reclaimed by the context cleaner. (A deployment
+      // that must survive executor loss uses checkpoint() to reliable
+      // storage — same shape, same O(1) plan depth.)
+      val next = fold(trades.filter(segment === lit(s)), state).localCheckpoint()
       state = Some(next)
     }
     state.getOrElse(fold(trades.limit(0)))

@@ -26,8 +26,16 @@ object ExplainDump {
       .filter { case (n, _) => names.forall(_.exists(n.startsWith)) }
       .foreach { case (n, fn) =>
         println(s"\n===== $n =====")
-        try println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
-        catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          if (sys.env.contains("SPARK_GRAFT_FINAL")) {
+            // drive THIS QueryExecution's RDD (a write/collect would plan
+            // a fresh one): AQE finalizes in place and runtime exchange
+            // reuse becomes visible, with nothing pulled to the driver
+            df.queryExecution.toRdd.foreach(_ => ())
+            println(df.queryExecution.executedPlan.toString)
+          } else println(df.queryExecution.explainString(FormattedMode))
+        } catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
       }
     spark.stop()
   }
