@@ -73,6 +73,7 @@ object SparkEntry {
     "q55_vocabulary"         -> (PipelineQueries.q55Vocabulary _),
     "q56_session_window"     -> (EventsQueries.q56SessionWindow _),
     "q57_cms_event_counts"   -> (AnalyticsQueries.q57CmsEventCounts _),
+    "q58_variant_json"       -> (EventsQueries.q58VariantJson _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

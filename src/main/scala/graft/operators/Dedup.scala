@@ -179,6 +179,80 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to [[connectedComponents]]'s
+    * min-label propagation, whose round count equals the graph
+    * DIAMETER. Near-dup clusters are usually shallow, but adversarial
+    * boilerplate CHAINS (each doc near-dups only its neighbors) make
+    * the diameter O(n); the star operations contract such chains in
+    * logarithmically many rounds, each round the same two-shuffle
+    * groupBy+join shape with an eager localCheckpoint truncating
+    * lineage.
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    *
+    * At fixpoint the edge set is a star forest centered at component
+    * minima; output matches [[connectedComponents]] exactly:
+    * (doc, cluster = min doc id), isolated docs omitted. Convergence is
+    * detected by an (edge-count, checksum) pair going stable — computed
+    * on the already-checkpointed round, no extra shuffle. */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // neighborhood minimum per node: m(u) = min(N(u) + {u})
+    def withMin(e: DataFrame): DataFrame = {
+      val m = bidir(e).groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      bidir(e).join(m, "u")
+    }
+    def normalize(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // xor-fold of row hashes: order-independent, overflow-free (the
+      // edge set is distinct, so no two rows cancel)
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = normalize(
+        pairs.select(col("ia").as("u"), col("ib").as("v")))
+      .localCheckpoint()
+    var prev = fingerprint(edges)
+    var converged = false
+    while (!converged) {
+      // large-star: (v, m) for v in N(u) with v > u
+      val large = normalize(withMin(edges)
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      // small-star: (v, m) for v in N(u) with v <= u, plus (u, m);
+      // (identical withMin subtrees -> one runtime exchange via reuse)
+      val wm = withMin(large)
+      val small = normalize(wm
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(wm.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      val cur = fingerprint(small)
+      edges = small
+      converged = cur == prev
+      prev = cur
+    }
+    // star forest; normalize orients (u < v), so u is each star's
+    // center = the component minimum and v its leaf
+    edges.select(col("v").as("doc"), col("u").as("cluster"))
+      .union(edges.select(col("u").as("doc"), col("u").as("cluster")))
+      .distinct()
+  }
+
   /** 60-bit SimHash over tokens (with multiplicity): per bit j, sum +1/-1
     * by whether bit j of md5-derived token hash is set; simhash bit j =
     * (sum > 0). md5's first 15 hex chars give 60 bits, replicable in

@@ -66,6 +66,21 @@ object EventsQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** q58: the q19 extraction through Spark 4's VariantType — props is
+    * parsed ONCE into the binary variant encoding and fields are read
+    * with `variant_get` path extraction. Against repeated
+    * `get_json_object` calls (each re-parses the string), the variant
+    * form parses once per row and reads fields from the encoded form —
+    * the right shape when a 100 TB pipeline extracts many fields from
+    * the same semi-structured column. Same oracle as q19. */
+  def q58VariantJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        try_variant_get(parse_json(col("props")), "$.k", "long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** q38: backward as-of join — for every sparse "trade" event, the
     * most recent price observation (value >= 150 stream) at or before
     * it, per ticker. The Spark side is the composed one-shuffle window
@@ -154,6 +169,13 @@ object EventsQueries {
         |ORDER BY user_id, session_idx""".stripMargin,
 
     "q19_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical values to q19 — the Spark side differs (variant encoding)
+    "q58_variant_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

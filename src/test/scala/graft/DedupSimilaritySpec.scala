@@ -62,6 +62,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("large-star/small-star components equal min-label propagation (incl. long chain)") {
+    // a 40-node chain (diameter 39: the adversarial case where min-label
+    // propagation needs ~40 rounds and the star algorithm O(log n)),
+    // plus random graphs across 3 seeds
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("ia", "ib")
+    val a = Dedup.connectedComponentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == (0L to 39L).map(_ -> 0L).toMap)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2).toDF("ia", "ib")
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val label = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == label)
+    }
+  }
+
   test("simhash: identical docs get identical hashes, near-dups are close") {
     val m = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
