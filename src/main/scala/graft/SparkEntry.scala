@@ -74,6 +74,7 @@ object SparkEntry {
     "q56_session_window"     -> (EventsQueries.q56SessionWindow _),
     "q57_cms_event_counts"   -> (AnalyticsQueries.q57CmsEventCounts _),
     "q58_variant_json"       -> (EventsQueries.q58VariantJson _),
+    "q59_dedup_clusters_star" -> (PipelineQueries.q59DedupClustersStar _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,6 +45,16 @@ object PipelineQueries {
           threshold = 0.8, maxDocFreq = 5))
       .orderBy("doc")
 
+  /** q59: the same clustering through the O(log n)-round
+    * large-star/small-star algorithm ([[Dedup.connectedComponentsStar]])
+    * — identical output to q48 by construction (components labelled with
+    * their minimum), checked against the same recursive-CTE oracle. */
+  def q59DedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
+          threshold = 0.8, maxDocFreq = 5))
+      .orderBy("doc")
+
   def q23Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc")
@@ -312,6 +322,35 @@ object PipelineQueries {
         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
         |SELECT doc, min(r) AS cluster FROM reach GROUP BY doc
         |ORDER BY doc""".stripMargin,
+
+    "q59_dedup_clusters_star" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |s0 AS (SELECT doc_id AS doc,
+        |             unnest(list_distinct(list_transform(range(len(tok)-2),
+        |               i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+        |      FROM t WHERE len(tok) >= 3),
+        |keep AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM s0 GROUP BY sh)
+        |         WHERE df <= 5),
+        |s AS (SELECT s0.doc, s0.sh FROM s0 JOIN keep USING (sh)),
+        |ns AS (SELECT doc, count(*) AS ns FROM s GROUP BY doc),
+        |common AS (
+        |  SELECT a.doc AS ia, b.doc AS ib, count(*) AS c
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc < b.doc
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia, ib FROM common
+        |  JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+        |  WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs
+        |          UNION SELECT ib, ia FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
+        |SELECT doc, min(r) AS cluster FROM reach GROUP BY doc
+        |ORDER BY doc""".stripMargin,
+
 
     "q22_dedup_minhash_lsh" ->
       s"""WITH $shingleCtes,
