@@ -75,6 +75,7 @@ object SparkEntry {
     "q57_cms_event_counts"   -> (AnalyticsQueries.q57CmsEventCounts _),
     "q58_variant_json"       -> (EventsQueries.q58VariantJson _),
     "q59_dedup_clusters_star" -> (PipelineQueries.q59DedupClustersStar _),
+    "q60_stream_outer_interval_join" -> (graft.streaming.StreamingQueries.q60StreamOuterIntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

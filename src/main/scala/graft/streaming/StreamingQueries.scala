@@ -355,6 +355,74 @@ object StreamingQueries {
     spark.read.parquet(out).orderBy("event_id", "rid")
   }
 
+  /** q60: stream-stream LEFT OUTER interval join — q52's shape plus the
+    * outer-join state machine: a left event with no price in its 2-hour
+    * window emits a null-extended row, but only once the RIGHT side's
+    * watermark passes its timestamp (no later right row could still
+    * match), i.e. unmatched lefts with ts inside the final watermark
+    * horizon never emit — that is the operator's contract, and the
+    * oracle encodes the same cutoff.
+    *
+    * The time-bucket trick keeps per-probe state O(window) as in q52;
+    * under an OUTER join it adds one wrinkle: each left row lives in two
+    * bucket keys, and a bucket-row that found nothing emits a spurious
+    * null even when the sibling bucket matched. A row is truly
+    * unmatched only if unmatched in ALL its probed buckets, so the
+    * readback keeps nulls only for event_ids with no matched row (and
+    * one null per event, not one per bucket) — plain post-filtering,
+    * proportional to the (sparse) null stream. */
+  def q60StreamOuterIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      q60Inner(spark, sfDir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q60Inner(spark: SparkSession, sfDir: String): DataFrame = {
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q60")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bucketMicros = 2L * 3600 * 1000000
+    val l = src.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("bucket", explode(array(
+        floor(unix_micros(col("ts")) / bucketMicros),
+        floor(unix_micros(col("ts")) / bucketMicros) - 1)))
+    val r = src.filter(col("value") >= 150)
+      .select(col("event_type").as("rticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+      .withWatermark("rts", "1 hour")
+      .withColumn("rbucket", floor(unix_micros(col("rts")) / bucketMicros))
+    val q = l.join(r,
+        col("ticker") === col("rticker") && col("bucket") === col("rbucket") &&
+          col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") <= col("ts"),
+        "left_outer")
+      .select("event_id", "ticker", "ts", "rts", "close", "rid")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+    val matched = sunk.filter(col("rid").isNotNull)
+    val unmatched = sunk.filter(col("rid").isNull)
+      .select("event_id", "ticker", "ts", "rts", "close", "rid").distinct()
+      .join(matched.select("event_id").distinct(), Seq("event_id"), "left_anti")
+    matched.unionByName(unmatched).orderBy("event_id", "rid")
+  }
+
   /** q53: streaming dedup — dropDuplicatesWithinWatermark over a source
     * that delivers every event twice. The duplicates arrive inside the
     * watermark horizon (same event times, one AvailableNow batch), which
@@ -398,6 +466,30 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // outer rows only for lefts evicted by the final watermark (the
+    // min of both sides' max-event-time minus the 1h delay, to millis):
+    // unmatched lefts inside the horizon never emit, per the operator's
+    // contract — the oracle encodes the same cutoff
+    "q60_stream_outer_interval_join" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close, event_id AS rid
+        |  FROM events WHERE value >= 150),
+        |wm AS (
+        |  SELECT LEAST((SELECT max(ts) FROM l), (SELECT max(rts) FROM r))
+        |         - INTERVAL 1 HOUR AS cut)
+        |SELECT l.event_id, l.ticker, l.ts, r.rts, r.close, r.rid
+        |FROM l JOIN r ON l.ticker = r.ticker
+        |  AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts
+        |UNION ALL
+        |SELECT l.event_id, l.ticker, l.ts, NULL, NULL, NULL
+        |FROM l, wm
+        |WHERE l.ts < wm.cut
+        |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.ticker = l.ticker
+        |    AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts)
+        |ORDER BY event_id, rid""".stripMargin,
 
     "q52_stream_interval_join" ->
       """WITH l AS (
