@@ -81,6 +81,36 @@ object EventsQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** q61: batch time-range join through bucketed equi-keys. The naive
+    * form — equi-join on ticker with the 2h range as a residual filter —
+    * is correct but degenerate at scale: ticker has a handful of values,
+    * so each join group is huge and the per-key work is
+    * O(|L_k| x |R_k|) pair enumeration before the filter. Folding
+    * floor(time / 2h) into the join key (the left probes its own bucket
+    * and the previous one — the range spans at most two) makes the
+    * equi-key fine-grained: per-bucket fan-out is bounded by the window,
+    * independent of how much history a key accumulates. Batch twin of
+    * q52's streaming join key; identical result and oracle. */
+  def q61RangeJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bucketMicros = 2L * 3600 * 1000000
+    val l = ev.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+      .withColumn("bucket", explode(array(
+        floor(unix_micros(col("ts")) / bucketMicros),
+        floor(unix_micros(col("ts")) / bucketMicros) - 1)))
+    val r = ev.filter(col("value") >= 150)
+      .select(col("event_type").as("rticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+      .withColumn("rbucket", floor(unix_micros(col("rts")) / bucketMicros))
+    l.join(r,
+        col("ticker") === col("rticker") && col("bucket") === col("rbucket") &&
+          col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") <= col("ts"))
+      .select("event_id", "ticker", "ts", "rts", "close", "rid")
+      .orderBy("event_id", "rid")
+  }
+
   /** q38: backward as-of join — for every sparse "trade" event, the
     * most recent price observation (value >= 150 stream) at or before
     * it, per ticker. The Spark side is the composed one-shuffle window
@@ -173,6 +203,18 @@ object EventsQueries {
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical values to q52's streaming join — the batch bucketed form
+    "q61_range_join_bucketed" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close, event_id AS rid
+        |  FROM events WHERE value >= 150)
+        |SELECT l.event_id, l.ticker, l.ts, r.rts, r.close, r.rid
+        |FROM l JOIN r ON l.ticker = r.ticker
+        |  AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts
+        |ORDER BY l.event_id, r.rid""".stripMargin,
 
     // identical values to q19 — the Spark side differs (variant encoding)
     "q58_variant_json" ->
