@@ -77,6 +77,7 @@ object SparkEntry {
     "q59_dedup_clusters_star" -> (PipelineQueries.q59DedupClustersStar _),
     "q60_stream_outer_interval_join" -> (graft.streaming.StreamingQueries.q60StreamOuterIntervalJoin _),
     "q61_range_join_bucketed" -> (EventsQueries.q61RangeJoinBucketed _),
+    "q62_shard_write"        -> (SourceQueries.q62ShardWrite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -112,7 +112,57 @@ object SourceQueries {
       .orderBy("ticker", "day")
   }
 
+  /** q62: hash-sharded training-data layout round-trip. Documents are
+    * assigned to 8 shards by the engine-replicable md5 hash (the
+    * deterministic coin of [[graft.operators.Sampling]]), written as one
+    * directory per shard (`partitionBy`), then shard 3 alone is
+    * REWRITTEN with a flagged token count under dynamic partition
+    * overwrite — the incremental-recompute shape of a 100 TB corpus
+    * store: replacing one shard's files must not touch the other seven
+    * (static overwrite mode would wipe them). The readback aggregates
+    * per shard; a shard-3 row carrying the flag in the other shards, or
+    * stale unflagged rows in shard 3, would break the hash-match.
+    * Reads with a shard predicate prune at the directory level
+    * (PartitionFilters, no data files of other shards opened). */
+  def q62ShardWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_q62").resolve("shards").toString
+    val docs = Tables.documents(spark, sfDir)
+    val sharded = docs.select(col("doc_id"), col("text"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(8L)).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(out)
+    // incremental shard recompute: token counts re-flagged (+1e6) for
+    // shard 3 only; dynamic mode replaces just that directory
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sharded.filter(col("shard") === 3)
+        .withColumn("n_tokens", col("n_tokens") + 1000000L)
+        .write.partitionBy("shard").mode("overwrite").parquet(out)
+    } finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc"))
+      .orderBy("shard")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q62_shard_write" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens + CASE WHEN shard = 3 THEN 1000000 ELSE 0 END) AS BIGINT) AS sum_tokens,
+        |       MIN(doc_id) AS min_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q54_json_source" ->
       """SELECT event_type AS ticker, CAST(ts AS DATE) AS day, COUNT(*) AS n,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS value_micro,
