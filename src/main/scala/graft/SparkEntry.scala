@@ -78,6 +78,8 @@ object SparkEntry {
     "q60_stream_outer_interval_join" -> (graft.streaming.StreamingQueries.q60StreamOuterIntervalJoin _),
     "q61_range_join_bucketed" -> (EventsQueries.q61RangeJoinBucketed _),
     "q62_shard_write"        -> (SourceQueries.q62ShardWrite _),
+    "q63_chunk_windows"      -> (PipelineQueries.q63ChunkWindows _),
+    "q64_token_packing"      -> (PipelineQueries.q64TokenPacking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

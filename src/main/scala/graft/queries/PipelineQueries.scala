@@ -133,6 +133,50 @@ object PipelineQueries {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(100)
 
+  /** q63: context-window chunking — every document split into 50-token
+    * windows on a 40-token stride (10-token overlap), the
+    * sequence-packing prep step of an LLM training pipeline. Pure
+    * column expressions: one `sequence`+`explode` for the window
+    * starts, `slice` for the window, md5 fingerprint per chunk so the
+    * oracle can hash-match content, not just counts. Work is
+    * proportional to output chunks; no shuffle at all before the
+    * presentation sort. */
+  def q63ChunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val win = 50; val stride = 40
+    Tables.documents(spark, sfDir)
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .withColumn("chunk", slice(col("tok"), col("start") + 1, lit(win)))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q64: token-budget packing — documents in doc_id order are packed
+    * greedily into 8192-token bins by the running token count
+    * (bin = floor(exclusive-cumsum / budget)): the deterministic
+    * sequential shape of batch assembly for training. The running
+    * total is [[graft.operators.Packing.withRunningTotal]]'s two-phase
+    * distributed prefix sum — NOT a global single-partition window —
+    * and the result is partition-count-independent, so the oracle is
+    * the plain SQL window. */
+  def q64TokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 8192L
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.operators.Packing.withRunningTotal(counts, "doc_id", "n_tokens", "cum")
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
   def q26TextStats(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.languageId(
         TextAnalysis.textStats(Tables.documents(spark, sfDir), "text"), "text")
@@ -202,6 +246,33 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q63_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |s AS (
+        |  SELECT doc_id, tok, unnest(range(0, len(tok), 40)) AS start FROM t),
+        |c AS (
+        |  SELECT doc_id, start, tok[start+1 : start+50] AS chunk FROM s)
+        |SELECT doc_id, CAST(start/40 AS BIGINT) AS chunk_idx,
+        |       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q64_token_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT CAST(FLOOR((cum - n_tokens) / 8192.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q55_vocabulary" ->
       """SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
