@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `cumCol` = inclusive running total of `valueCol` in
-    * `orderCol` order (order key must be unique, e.g. a doc id). */
+    * `orderCol` order (order key must be unique, e.g. a doc id).
+    *
+    * The `local` and `offsets` branches read the SAME range exchange —
+    * identical subtrees, so Spark's ReuseExchange (with or without AQE)
+    * computes the partitioning once and both branches see the same
+    * `spark_partition_id`. The final result is independent of where the
+    * sampled range boundaries fall in any case; only the pid-keyed join
+    * requires the two branches to agree, which reuse guarantees. */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
                        cumCol: String, partitions: Int = 32): DataFrame = {
     val parted = df.repartitionByRange(partitions, col(orderCol))

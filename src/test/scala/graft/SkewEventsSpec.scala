@@ -7,6 +7,21 @@ import graft.sources.Tables
 class SkewEventsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("distributed prefix sum equals the global window at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(100).toLong + 1))
+      .toDF("id", "v")
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", org.apache.spark.sql.functions.sum("v").over(w))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val got = graft.operators.Packing.withRunningTotal(df, "id", "v", "cum", parts)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts diverged")
+    }
+  }
+
   test("saltedSum equals direct sum, including on a hot key") {
     // hot key: one key holds 90% of rows
     val df = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong % 7, i.toLong))
