@@ -200,8 +200,6 @@ object StreamingQueries {
     * largest count — identical to the batch result, which is the
     * oracle. */
   def q45StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
     useRocksDbState(spark)
     val tmp = Files.createTempDirectory("graft_q45").toFile.getAbsolutePath
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
@@ -223,7 +221,21 @@ object StreamingQueries {
       .filter(f => f.getName.endsWith(".parquet") && !firstFiles.contains(f.getAbsolutePath))
       .foreach(_.setLastModified(t0 + 2000))
 
-    val q = spark.readStream.schema(ev.schema)
+    runSessionize(spark, src, out, ckpt, ev.schema)
+  }
+
+  /** The stateful sessionize pipeline over an already-staged source
+    * directory (one micro-batch per parquet file, modification-time
+    * order) — shared by q45 and the multi-batch timeout regression
+    * spec, which drives it with hand-built batches where a user's
+    * state times out and the user then RETURNS (the path a 2-batch
+    * split can never reach). */
+  private[graft] def runSessionize(spark: SparkSession, src: String,
+      out: String, ckpt: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .withWatermark("ts", "30 minutes")
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),

@@ -12,6 +12,47 @@ import graft.sources.Tables
   */
 class StreamingStateSpec extends SparkSpec {
 
+  test("a user returning after a session timeout gets a distinct session, not a collision") {
+    // three micro-batches: user 1's first session times out of state
+    // (watermark driven past end+gap by user 9's events), then user 1
+    // RETURNS. A per-user counter restarted at 0 here and collided with
+    // the earlier session 0; start-time identity cannot.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    def t(s: String) = Timestamp.valueOf(s)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sess3").toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    import spark.implicits._
+    val batches = Seq(
+      Seq((1L, t("2024-01-01 10:00:00"), 1L), (9L, t("2024-01-01 10:00:00"), 2L)),
+      Seq((9L, t("2024-01-01 12:00:00"), 3L)), // watermark -> 11:30 > 10:30+gap
+      Seq((1L, t("2024-01-01 13:00:00"), 4L), (9L, t("2024-01-01 13:00:00"), 5L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val dir = s"$tmp/b$i"
+      rows.toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(dir)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, s"b$i.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 10000) // strict mtime order
+    }
+    val outDf = StreamingQueries.runSessionize(spark, src, s"$tmp/out", s"$tmp/ckpt",
+      batches.head.toDF("user_id", "ts", "event_id").schema)
+    val user1 = outDf.filter(col("user_id") === 1L)
+      .select("session_idx", "n_events", "start_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    assert(user1.toSeq == Seq(
+      (0L, 1L, t("2024-01-01 10:00:00")),
+      (1L, 1L, t("2024-01-01 13:00:00"))), user1.toSeq.toString)
+    // user 9: one long session (12:00 is within 30min? no — 2h gaps) ->
+    // actually three separate sessions, each of one event
+    val user9 = outDf.filter(col("user_id") === 9L)
+      .select("session_idx", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(user9.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("mapGroupsWithState and sessionization run on the RocksDB state store") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
