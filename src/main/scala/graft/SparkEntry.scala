@@ -80,6 +80,7 @@ object SparkEntry {
     "q62_shard_write"        -> (SourceQueries.q62ShardWrite _),
     "q63_chunk_windows"      -> (PipelineQueries.q63ChunkWindows _),
     "q64_token_packing"      -> (PipelineQueries.q64TokenPacking _),
+    "q65_simhash_pairs"      -> (PipelineQueries.q65SimhashPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -179,6 +179,36 @@ object Dedup {
     labels
   }
 
+  /** SimHash near-dup JOIN via hamming-LSH band buckets: the 60-bit
+    * simhash splits into 4 bands of 15 bits; docs sharing any band
+    * value become candidate pairs; candidates are verified with the
+    * exact hamming distance (`bit_count(xor)`). By pigeonhole, a pair
+    * within hamming distance 3 differs in at most 3 bands, so at least
+    * one band matches — ZERO false negatives up to distance 3, and the
+    * self-join fans out per 15-bit bucket instead of all-pairs. The
+    * per-pair verify is two longs, the cheapest near-dup check in the
+    * engine (vs shingle-set intersection). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 15 bits guarantee recall only up to hamming distance 3")
+    val keys = simhash(docs, idCol, textCol)
+      .select(col("doc"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, band * 15) & 32767"))
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("ia"), col("y.doc").as("ib"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ia", "ib", "hamming")
+  }
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the O(log n)-round alternative to [[connectedComponents]]'s

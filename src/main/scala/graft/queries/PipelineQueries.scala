@@ -59,6 +59,13 @@ object PipelineQueries {
     Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("doc")
 
+  /** q65: simhash hamming-LSH near-dup pairs (band buckets + exact
+    * bit_count verify — recall-complete to distance 3 by pigeonhole). */
+  def q65SimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("ia", "ib")
+
   def q24AnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 97 === 0), k = 5)
@@ -450,6 +457,21 @@ object PipelineQueries {
          |h AS (SELECT doc, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
          |bits AS (SELECT doc, $simhashBits FROM h GROUP BY doc)
          |SELECT doc, $simhashAssemble AS simhash FROM bits ORDER BY doc""".stripMargin,
+
+    "q65_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+         |bits AS (SELECT doc, $simhashBits FROM h GROUP BY doc),
+         |sh AS (SELECT doc, CAST($simhashAssemble AS BIGINT) AS simhash FROM bits),
+         |b AS (SELECT doc, simhash, unnest([0, 1, 2, 3]) AS band FROM sh),
+         |k AS (SELECT doc, simhash, band, (simhash >> (band * 15)) & 32767 AS bv FROM b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc AS ia, x.simhash AS ha, y.doc AS ib, y.simhash AS hb
+         |  FROM k x JOIN k y ON x.band = y.band AND x.bv = y.bv AND x.doc < y.doc)
+         |SELECT ia, ib, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY ia, ib""".stripMargin,
 
     "q24_ann_bruteforce" ->
       """WITH q AS (
