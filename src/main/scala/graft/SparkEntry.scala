@@ -81,6 +81,7 @@ object SparkEntry {
     "q63_chunk_windows"      -> (PipelineQueries.q63ChunkWindows _),
     "q64_token_packing"      -> (PipelineQueries.q64TokenPacking _),
     "q65_simhash_pairs"      -> (PipelineQueries.q65SimhashPairs _),
+    "q66_repetition_stats"   -> (PipelineQueries.q66RepetitionStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -70,6 +70,44 @@ object TextAnalysis {
     * containment sketch. The aggregation is the custom BottomK
     * TypedImperativeAggregate — O(k) state per document with map-side
     * partials, instead of collecting every shingle hash and slicing. */
+  /** Gopher-style repetition metrics per document — the quality rules
+    * that catch boilerplate and degenerate generations: type-token
+    * ratio (distinct/total tokens), most-common-token mass, duplicate
+    * bigram fraction, and alphabetic-token fraction. One explode + two
+    * aggregations (token counts per doc, then doc rollup); bigram
+    * stats are pure array expressions on the already-split tokens —
+    * no UDFs, everything codegen'd. Thresholds are the caller's
+    * policy; this computes the signals. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .withColumn("tok", split(col(textCol), " "))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") >= 1)
+      // sequence(0, -1) would generate a DESCENDING [0, -1], not empty —
+      // guard single-token docs explicitly
+      .withColumn("bi", when(col("n") >= 2, expr(
+          "transform(sequence(0, size(tok)-2), i -> concat_ws(' ', tok[i], tok[i+1]))"))
+        .otherwise(expr("cast(array() as array<string>)")))
+      .withColumn("n_bi", size(col("bi")))
+    val perTok = base
+      .select(col(idCol).as("doc"), explode(col("tok")).as("t"))
+      .groupBy("doc", "t").agg(count(lit(1)).as("tf"))
+      .groupBy("doc").agg(
+        max(col("tf")).as("top_tf"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("t").rlike("^[A-Za-z]+$"), col("tf")).otherwise(0L)).as("n_alpha"))
+    base.select(col(idCol).as("doc"), col("n"), col("n_bi"),
+        size(array_distinct(col("bi"))).as("n_bi_distinct"))
+      .join(perTok, "doc")
+      .select(col("doc"),
+        (col("n_distinct").cast("double") / col("n")).as("type_token_ratio"),
+        (col("top_tf").cast("double") / col("n")).as("top_token_mass"),
+        when(col("n_bi") > 0,
+          lit(1.0) - col("n_bi_distinct").cast("double") / col("n_bi"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        (col("n_alpha").cast("double") / col("n")).as("alpha_ratio"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     Dedup.shingles(docs, idCol, textCol)
       .select(col("doc"), md5(col("sh")).as("h"))

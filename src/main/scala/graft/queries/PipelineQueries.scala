@@ -191,6 +191,13 @@ object PipelineQueries {
         "stop_ratio", "digit_ratio", "quality_score", "lang_pred")
       .orderBy("doc_id")
 
+  /** q66: Gopher-style repetition/quality signals per document
+    * ([[TextAnalysis.repetitionStats]]) — the boilerplate and
+    * degenerate-generation detectors a corpus filter thresholds on. */
+  def q66RepetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc")
+
   def q27DocFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text", 5)
       .orderBy("doc")
@@ -457,6 +464,33 @@ object PipelineQueries {
          |h AS (SELECT doc, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
          |bits AS (SELECT doc, $simhashBits FROM h GROUP BY doc)
          |SELECT doc, $simhashAssemble AS simhash FROM bits ORDER BY doc""".stripMargin,
+
+    "q66_repetition_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS doc, string_split(text, ' ') AS tok FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |tf AS (
+        |  SELECT doc, t, count(*) AS tf
+        |  FROM (SELECT doc, unnest(tok) AS t FROM d) GROUP BY doc, t),
+        |pt AS (
+        |  SELECT doc, max(tf) AS top_tf, count(*) AS n_distinct,
+        |         SUM(CASE WHEN regexp_matches(t, '^[A-Za-z]+$') THEN tf ELSE 0 END) AS n_alpha
+        |  FROM tf GROUP BY doc),
+        |bi AS (
+        |  SELECT doc, len(tok) AS n,
+        |         CASE WHEN len(tok) >= 2
+        |           THEN list_transform(range(0, len(tok) - 1), i -> tok[i+1] || ' ' || tok[i+2])
+        |           ELSE [] END AS bi
+        |  FROM d)
+        |SELECT b.doc AS doc,
+        |       CAST(pt.n_distinct AS DOUBLE) / b.n AS type_token_ratio,
+        |       CAST(pt.top_tf AS DOUBLE) / b.n AS top_token_mass,
+        |       CASE WHEN len(bi) > 0
+        |         THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+        |         ELSE 0.0 END AS dup_bigram_frac,
+        |       CAST(pt.n_alpha AS DOUBLE) / b.n AS alpha_ratio
+        |FROM bi b JOIN pt ON b.doc = pt.doc
+        |ORDER BY b.doc""".stripMargin,
 
     "q65_simhash_pairs" ->
       s"""WITH toks AS (
