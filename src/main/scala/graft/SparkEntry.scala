@@ -82,6 +82,7 @@ object SparkEntry {
     "q64_token_packing"      -> (PipelineQueries.q64TokenPacking _),
     "q65_simhash_pairs"      -> (PipelineQueries.q65SimhashPairs _),
     "q66_repetition_stats"   -> (PipelineQueries.q66RepetitionStats _),
+    "q67_cms_heavy_hitters"  -> (AnalyticsQueries.q67CmsHeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -151,7 +151,36 @@ object AnalyticsQueries {
       .orderBy("ticker")
   }
 
+  /** q67: heavy hitters by sketch-prefilter + exact verify — THE
+    * count-min deployment pattern at scale. Pass 1 builds one 4×65536
+    * sketch of the l_partkey stream (map-side partials, kilobytes
+    * shuffled). Pass 2 re-scans and filters each ROW by its key's
+    * estimate BEFORE the exact groupBy: the estimate never
+    * under-counts, so no heavy key is lost, and the shuffle carries
+    * only candidate-key rows instead of the full fact table — the
+    * exact HAVING then removes the few collision-inflated false
+    * positives. Output = exactly the true heavy keys, so the oracle is
+    * plain GROUP BY/HAVING. */
+  def q67CmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin._
+    val depth = 4; val width = 65536; val threshold = 45L
+    val keys = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("string").as("k"))
+    val sketch = keys.agg(countMinSketch(col("k"), depth, width).as("sk"))
+    keys.crossJoin(broadcast(sketch))
+      .filter(estimate(col("sk"), col("k"), depth, width) >= threshold)
+      .groupBy(col("k").cast("long").as("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy("l_partkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q67_cms_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) >= 45
+        |ORDER BY l_partkey""".stripMargin,
+
     "q57_cms_event_counts" ->
       """SELECT event_type AS ticker, COUNT(*) AS est_n
         |FROM events GROUP BY event_type ORDER BY ticker""".stripMargin,
