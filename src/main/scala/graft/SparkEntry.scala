@@ -83,6 +83,7 @@ object SparkEntry {
     "q65_simhash_pairs"      -> (PipelineQueries.q65SimhashPairs _),
     "q66_repetition_stats"   -> (PipelineQueries.q66RepetitionStats _),
     "q67_cms_heavy_hitters"  -> (AnalyticsQueries.q67CmsHeavyHitters _),
+    "q68_stream_session_window" -> (graft.streaming.StreamingQueries.q68StreamSessionWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -202,8 +202,17 @@ object StreamingQueries {
   def q45StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
     val tmp = Files.createTempDirectory("graft_q45").toFile.getAbsolutePath
-    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val (src, schema) = stageEventHalves(spark, sfDir, tmp)
+    runSessionize(spark, src, s"$tmp/out", s"$tmp/ckpt", schema)
+  }
 
+  /** Stage (user_id, ts, event_id) events as two parquet files split at
+    * the median event time, modification-times strictly ordered so the
+    * file source streams them as two time-ascending micro-batches —
+    * sessions genuinely span batches. Returns (srcDir, schema). */
+  private def stageEventHalves(spark: SparkSession, sfDir: String,
+      tmp: String): (String, StructType) = {
+    val src = s"$tmp/src"
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"))
     val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
@@ -220,8 +229,7 @@ object StreamingQueries {
     new java.io.File(src).listFiles()
       .filter(f => f.getName.endsWith(".parquet") && !firstFiles.contains(f.getAbsolutePath))
       .foreach(_.setLastModified(t0 + 2000))
-
-    runSessionize(spark, src, out, ckpt, ev.schema)
+    (src, ev.schema)
   }
 
   /** The stateful sessionize pipeline over an already-staged source
@@ -300,6 +308,40 @@ object StreamingQueries {
         timestamp_micros(col("start_us")).as("start_ts"),
         timestamp_micros(col("end_us")).as("end_ts"))
       .orderBy("user_id", "session_idx")
+  }
+
+  /** q68: STREAMING sessionization via the built-in `session_window`
+    * aggregation — the codegen'd, merge-on-aggregate alternative to
+    * q45's flatMapGroupsWithState walk (q56 is the batch form). Session
+    * windows only support APPEND output: a session emits exactly once,
+    * when the watermark passes its window end (last event + gap), so
+    * sessions still open inside the final watermark horizon never
+    * emit — the operator's contract, which the oracle encodes as the
+    * same cutoff. Same +1-microsecond gap as q56 to align the window's
+    * closed-open boundary with the batch walk's strictly-greater test. */
+  def q68StreamSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q68").toFile.getAbsolutePath
+    val (src, schema) = stageEventHalves(spark, sfDir, tmp)
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes 1 microsecond"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .select("user_id", "n_events", "start_ts", "end_ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("user_id", "start_ts")
   }
 
   /** q52: stream-stream interval join — sparse "trade" events joined to
@@ -529,6 +571,29 @@ object StreamingQueries {
         |       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // q18's sessions, restricted to those the append-mode session_window
+    // can emit: window end (last event + gap) before the final watermark
+    "q68_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |         MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |  FROM s GROUP BY user_id, session_idx),
+        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+        |SELECT user_id, n_events, start_ts, end_ts
+        |FROM sess, wm
+        |WHERE end_ts + INTERVAL 30 MINUTE < wm.wm
+        |ORDER BY user_id, start_ts""".stripMargin,
 
     "q37_stream_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,
