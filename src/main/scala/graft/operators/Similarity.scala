@@ -120,6 +120,72 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** Product-quantization codebooks: the d-dim vector splits into `m`
+    * subvectors of d/m dims and each subspace trains its own
+    * `ksub`-centroid codebook ([[trainCentroids]] over the sliced
+    * corpus). A vector then encodes as m small codes — m bytes instead
+    * of d floats at ksub<=256, the 16-32x memory compression that lets
+    * a 100 TB corpus' ANN index live in RAM. Returns (sub, cid, cv). */
+  def trainProductCodebooks(corpus: DataFrame, d: Int, m: Int, ksub: Int,
+                            iters: Int): DataFrame = {
+    require(d % m == 0, s"m=$m must divide d=$d")
+    val dsub = d / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+      trainCentroids(sliced, ksub, iters)
+        .select(lit(s).as("sub"), col("vec_id").as("cid"), col("embedding").as("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ top-k with asymmetric-distance scan + exact rerank — the
+    * production shape: the corpus is consulted as its CODE table
+    * (n x m small ints), each query's similarity to every codebook
+    * entry is a tiny broadcast lookup table, the approximate score is
+    * the sum of m table lookups, and only the top `rerankR` candidates
+    * per query are re-scored against their true vectors. Work per
+    * query: a codes-table scan + an R-row exact pass; the full float
+    * corpus is touched only for the short list (semi-join). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             d: Int, m: Int, k: Int, rerankR: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(d % m == 0, s"m=$m must divide d=$d")
+    val dsub = d / m
+    // corpus -> (vec_id, sub, code): the compressed representation
+    val encoded = (0 until m).map { s =>
+      assignToNearest(
+          corpus.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+          codebooks.filter(col("sub") === s).select(col("cid"), col("cv")))
+        .select(col("vec_id"), lit(s).as("sub"), col("cid"))
+    }.reduce(_ unionByName _)
+    // per-query ADC lookup tables: |Q| x m x ksub partial dot products
+    val tables = (0 until m).map { s =>
+      queries.select(col("vec_id").as("query_id"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("qs"))
+        .crossJoin(codebooks.filter(col("sub") === s))
+        .select(col("query_id"), col("sub"), col("cid"),
+          dot(col("qs"), col("cv")).as("pdot"))
+    }.reduce(_ unionByName _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val shortList = encoded.join(broadcast(tables), Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("approx"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerankR)
+      .select("query_id", "vec_id")
+    // exact rerank over the short list only
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    shortList
+      .join(corpus, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim", cosine(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF buckets (pairs in the same bucket only — the scalable
     * near-dup shape; recall is bounded by bucketing like any LSH). */

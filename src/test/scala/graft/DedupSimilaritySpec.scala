@@ -137,6 +137,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rTrained > rUntrained)
   }
 
+  test("PQ (ADC + rerank) reaches recall@5 >= 0.9 at 16x compression") {
+    // same clustered fixture as the IVF test: 8 separated clusters in
+    // 64-d; PQ codes collapse near-identical cluster members, so the
+    // ADC scan alone cannot rank WITHIN a cluster — the exact rerank
+    // over the short list recovers the true top-k (the production
+    // scan-codes-then-rerank shape)
+    val rng = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; i <- 0 until 60) yield
+      (c * 60L + i, centers(c).map(v => v + 0.15f * rng.nextGaussian().toFloat))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val bf = topSets(Similarity.bruteForceTopK(emb, queries, 5))
+    val books = Similarity.trainProductCodebooks(emb, d = 64, m = 4, ksub = 16, iters = 2)
+    val pq = topSets(Similarity.pqTopK(emb, queries, books, d = 64, m = 4, k = 5, rerankR = 100))
+    val recall = bf.map { case (q, s) =>
+      pq.getOrElse(q, Set.empty[Long]).intersect(s).size / 5.0 }.sum / bf.size
+    info(s"PQ recall@5 = $recall")
+    assert(recall >= 0.9)
+  }
+
   test("hash sampling: split partitions exactly, is layout-independent, rates hold") {
     import graft.operators.Sampling
     val df = spark.range(20000).select(col("id").as("doc_id"))
