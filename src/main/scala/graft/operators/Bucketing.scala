@@ -28,12 +28,14 @@ object Bucketing {
   }
 
   /** True when the executed plan of `df` contains no shuffle exchange —
-    * the co-location check for bucket-aligned joins. Finalizes any
-    * adaptive plan by running the query with a row-discarding foreach:
-    * all stages execute (so AQE settles), but nothing is pulled to the
+    * the co-location check for bucket-aligned joins. Drives THIS
+    * QueryExecution's RDD with a row-discarding foreach (a
+    * Dataset-level foreach/collect/write would plan a FRESH
+    * QueryExecution and leave this one's adaptive plan unfinalized):
+    * all stages execute so AQE settles, and nothing is pulled to the
     * driver — safe to call on a fact-table-sized frame. */
   def isShuffleFree(df: DataFrame): Boolean = {
-    df.foreach(_ => ()) // finalize any adaptive plan, driver-side-free
+    df.queryExecution.toRdd.foreach(_ => ())
     val plan = df.queryExecution.executedPlan
     !plan.toString.contains("Exchange hashpartitioning")
   }

@@ -8,33 +8,41 @@ import org.apache.spark.sql.functions._
   *
   * A naive global running total — `Window.orderBy(...)` with no
   * partition — collapses the whole dataset into ONE task, the classic
-  * scale killer. The textbook fix is the two-phase prefix sum: range
-  * partition on the order key, local window cumsum inside each
-  * partition, then add each partition's broadcast offset (the sum of
-  * all earlier partitions). The result is identical to the global
-  * window for any partition count — boundaries shift which rows share
-  * a task, never the running totals — while every phase stays
-  * parallel: the only global window runs over one row per PARTITION.
+  * scale killer. The textbook fix is the two-phase prefix sum: bin rows
+  * into order-key ranges, local window cumsum inside each bin, then add
+  * each bin's broadcast offset (the sum of all earlier bins). Every
+  * phase stays parallel: the only global window runs over one row per
+  * BIN.
   */
 object Packing {
 
   /** Adds `cumCol` = inclusive running total of `valueCol` in
-    * `orderCol` order (order key must be unique, e.g. a doc id).
+    * `orderCol` order. `orderCol` must be numeric and unique (e.g. a
+    * doc id).
     *
-    * The `local` and `offsets` branches read the SAME range exchange —
-    * identical subtrees, so Spark's ReuseExchange (with or without AQE)
-    * computes the partitioning once and both branches see the same
-    * `spark_partition_id`. The final result is independent of where the
-    * sampled range boundaries fall in any case; only the pid-keyed join
-    * requires the two branches to agree, which reuse guarantees. */
+    * The range bins are an explicit EXPRESSION over the order key,
+    * binned against approximate quantiles computed once on the driver
+    * (a bounded `partitions`-sized list). This keeps the bin id
+    * deterministic for a row no matter which plan branch evaluates it —
+    * a `repartitionByRange` + `spark_partition_id` formulation would
+    * silently depend on the optimizer reusing one exchange for both the
+    * cumsum and the offsets branch, and column pruning can break that
+    * subtree identity while each non-reused range exchange samples its
+    * boundaries with a different seed. */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
                        cumCol: String, partitions: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(partitions, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    val probs = (1 until partitions).map(_.toDouble / partitions).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
+    val bin = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val parted = df.withColumn("_pid", bin)
     val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_local", sum(col(valueCol)).over(wLocal))
-    // one row per partition; the global window here is over <= `partitions` rows
+    // one row per bin; the global window here is over <= `partitions` rows
     val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("_pid").agg(sum(col(valueCol)).as("_psum"))
       .withColumn("_off", coalesce(sum("_psum").over(wOff), lit(0L)))

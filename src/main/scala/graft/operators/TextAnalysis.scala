@@ -64,12 +64,6 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred).drop("tok")
   }
 
-  /** Bottom-k fingerprint: the k lexicographically smallest md5 values
-    * of the document's distinct 3-gram shingles, concatenated. Stable
-    * under shingle order, replicable in SQL, and usable as a cheap
-    * containment sketch. The aggregation is the custom BottomK
-    * TypedImperativeAggregate — O(k) state per document with map-side
-    * partials, instead of collecting every shingle hash and slicing. */
   /** Gopher-style repetition metrics per document — the quality rules
     * that catch boilerplate and degenerate generations: type-token
     * ratio (distinct/total tokens), most-common-token mass, duplicate
@@ -108,6 +102,12 @@ object TextAnalysis {
         (col("n_alpha").cast("double") / col("n")).as("alpha_ratio"))
   }
 
+  /** Bottom-k fingerprint: the k lexicographically smallest md5 values
+    * of the document's distinct 3-gram shingles, concatenated. Stable
+    * under shingle order, replicable in SQL, and usable as a cheap
+    * containment sketch. The aggregation is the custom BottomK
+    * TypedImperativeAggregate — O(k) state per document with map-side
+    * partials, instead of collecting every shingle hash and slicing. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     Dedup.shingles(docs, idCol, textCol)
       .select(col("doc"), md5(col("sh")).as("h"))

@@ -134,16 +134,14 @@ object SourceQueries {
     sharded.write.partitionBy("shard").mode("overwrite").parquet(out)
     // incremental shard recompute: token counts re-flagged (+1e6) for
     // shard 3 only; dynamic mode replaces just that directory
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // a registered SQL conf always reads back a value (STATIC default)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       sharded.filter(col("shard") === 3)
         .withColumn("n_tokens", col("n_tokens") + 1000000L)
         .write.partitionBy("shard").mode("overwrite").parquet(out)
-    } finally prevMode match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     spark.read.parquet(out)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),

@@ -56,8 +56,10 @@ object MicroBench {
         "close", "asof_close", Seq("rid"))
       val nv = AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
         "close", "asof_close", Seq("rid"))
-      c.write.mode("overwrite").format("noop").save()
-      nv.write.mode("overwrite").format("noop").save()
+      // drive each query's own QueryExecution so AQE finalizes in place
+      // (a write/collect plans a fresh one and leaves these unfinalized)
+      c.queryExecution.toRdd.foreach(_ => ())
+      nv.queryExecution.toRdd.foreach(_ => ())
       println("=== composed final plan ===\n" + c.queryExecution.executedPlan)
       println("=== native final plan ===\n" + nv.queryExecution.executedPlan)
     }

@@ -20,6 +20,13 @@ class SkewEventsSpec extends SparkSpec {
         .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"parts=$parts diverged")
     }
+    // frames with extra carried columns: column pruning diverges the
+    // offsets branch's plan from the cumsum branch's — bin assignment
+    // must not depend on the two branches sharing one physical exchange
+    val wide = df.withColumn("payload", concat_ws("-", col("id"), col("v")))
+    val gotWide = graft.operators.Packing.withRunningTotal(wide, "id", "v", "cum", 8)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotWide == expected, "wide frame diverged")
   }
 
   test("saltedSum equals direct sum, including on a hot key") {
