@@ -4,20 +4,30 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatVecDot
+import graft.functions.{BottomK, CountMinAgg, CountMinMergeAgg, FloatVecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions, planner strategies and optimizer rules. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)`.
   *
-  * Surface: `float_vec_dot(a, b)` (codegen'd float-vector dot product,
-  * SQL-callable) and the native as-of join
-  * (graft.plans.AsofJoinNode/Exec + its right-side pruning rule).
+  * SQL surface: `float_vec_dot(a, b)` (codegen'd float-vector dot
+  * product), `bottom_k(col, k)` (O(k) bottom-k sketch aggregate),
+  * `count_min_graft(col, depth, width)` / `count_min_merge_graft(sk,
+  * depth, width)` (mergeable count-min sketches; `_graft` suffix keeps
+  * clear of the built-in `count_min_sketch`); plus the native as-of
+  * join (graft.plans.AsofJoinNode/Exec + its pruning/pushdown rules).
   * `AsofJoin.backwardNative` also self-registers through
   * `spark.experimental` for sessions built without this class.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Constant int argument of a SQL call (k, depth, width). */
+  private def intArg(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a constant")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
@@ -25,6 +35,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_vec_dot(a, b) takes two arguments")
         FloatVecDot(children.head, children(1))
+      }))
+    // aggregate functions: the analyzer wraps a returned
+    // AggregateFunction into its AggregateExpression
+    ext.injectFunction((
+      new FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bottom_k(col, k) takes two arguments")
+        BottomK(children.head, intArg(children(1), "bottom_k", "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_graft"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min_graft"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "count_min_graft(col, depth, width) takes three arguments")
+        CountMinAgg(children.head,
+          intArg(children(1), "count_min_graft", "depth"),
+          intArg(children(2), "count_min_graft", "width"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_min_merge_graft"),
+      new ExpressionInfo(classOf[CountMinMergeAgg].getName, "count_min_merge_graft"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "count_min_merge_graft(sk, depth, width) takes three arguments")
+        CountMinMergeAgg(children.head,
+          intArg(children(1), "count_min_merge_graft", "depth"),
+          intArg(children(2), "count_min_merge_graft", "width"))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofRightColumns)

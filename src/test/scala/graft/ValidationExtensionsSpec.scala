@@ -62,4 +62,25 @@ class ValidationExtensionsSpec extends SparkSpec {
     val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(dot(col("a"), col("b"))).collect().head.getDouble(0) == 11.0)
   }
+
+  test("bottom_k and count_min aggregates are callable from SQL once registered") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k",
+      exprs => graft.functions.BottomK(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min_graft",
+      exprs => graft.functions.CountMinAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+    Seq("c", "a", "b", "a").toDF("v").createOrReplaceTempView("gx_vals")
+    val bk = spark.sql("SELECT bottom_k(v, 2) AS b FROM gx_vals")
+      .collect().head.getSeq[String](0)
+    assert(bk == Seq("a", "a"))
+    val sk = spark.sql("SELECT count_min_graft(v, 2, 16) AS sk FROM gx_vals")
+      .collect().head.getSeq[Long](0)
+    assert(sk.length == 32 && sk.sum == 8) // 4 values x 2 sketch rows
+  }
 }
