@@ -60,7 +60,8 @@ object AsofJoin {
     * (graft.plans.AsofJoinExec — SURVEY ladder (c)): one streaming merge
     * of the two sorted sides per partition instead of a union+window
     * pass over a doubled row stream. Result-identical to [[backward]];
-    * key/time columns must be non-null. */
+    * key/time columns must be non-null (a violating row fails fast
+    * with the same error on both execution paths). */
   def backwardNative(leftDf: DataFrame, rightDf: DataFrame, key: String,
                      leftTime: String, rightTime: String, payload: String,
                      asOfCol: String, rightOrder: Seq[String] = Nil): DataFrame = {

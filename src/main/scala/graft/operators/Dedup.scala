@@ -228,8 +228,10 @@ object Dedup {
     * At fixpoint the edge set is a star forest centered at component
     * minima; output matches [[connectedComponents]] exactly:
     * (doc, cluster = min doc id), isolated docs omitted. Convergence is
-    * detected by an (edge-count, checksum) pair going stable — computed
-    * on the already-checkpointed round, no extra shuffle. */
+    * screened by an (edge-count, checksum) pair going stable — computed
+    * on the already-checkpointed round, no extra shuffle — and then
+    * confirmed deterministically by a set-equality probe (so a checksum
+    * collision cannot end the loop with wrong clusters). */
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
     def bidir(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -251,6 +253,11 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
+    // the fingerprint is a cheap per-round screen; equality is confirmed
+    // deterministically (both sets are distinct and equal-sized per the
+    // fingerprint's exact count, so one-directional difference suffices)
+    def sameEdgeSet(cur: DataFrame, prevE: DataFrame): Boolean =
+      cur.exceptAll(prevE).isEmpty
 
     var edges = normalize(
         pairs.select(col("ia").as("u"), col("ib").as("v")))
@@ -272,8 +279,12 @@ object Dedup {
         .union(wm.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
       val cur = fingerprint(small)
+      // apparent convergence (fingerprint stable) is confirmed with a
+      // deterministic set-equality probe on the two checkpointed rounds —
+      // an xor collision across different same-size edge sets can no
+      // longer terminate the loop early (runs once, at convergence)
+      converged = cur == prev && sameEdgeSet(small, edges)
       edges = small
-      converged = cur == prev
       prev = cur
     }
     // star forest; normalize orients (u < v), so u is each star's

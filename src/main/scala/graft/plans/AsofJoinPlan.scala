@@ -27,7 +27,10 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * them) and sorted by (key, time[, tiebreaks]); at equal times the
   * last right row in tiebreak order wins, matching DuckDB ASOF `>=`
   * semantics. Join keys and times must be non-null (the engine's
-  * sources guarantee both).
+  * sources guarantee both); a violating row fails fast with
+  * [[AsofJoinExec.nullInputError]] in BOTH execution paths, instead of
+  * diverging into an NPE (codegen) or a silent sentinel conflation
+  * (interpreted).
   */
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -159,6 +162,11 @@ case class AsofJoinExec(
     val p = BindReferences.bindReference(payload, right.output).genCode(ctx)
     val lastPayload = ctx.addBufferedState(payload.dataType, "asofPayload", s"${p.value}")
 
+    // contract guard: a null key/time (only reachable via contract-
+    // violating input to AsofJoin.backwardNative) fails fast with the
+    // same error as the interpreted path — not an NPE from genComp, nor
+    // a silent first-row-sentinel conflation
+    val nullErrLit = "\"" + AsofJoinExec.nullInputError + "\""
     val advancing = ctx.freshName("asofAdvancing")
     val kc = ctx.freshName("asofKeyComp")
     val take = ctx.freshName("asofTake")
@@ -174,6 +182,9 @@ case class AsofJoinExec(
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  ${lk.code}
        |  ${lt.code}
+       |  if (${lk.isNull} || ${lt.isNull}) {
+       |    throw new RuntimeException($nullErrLit);
+       |  }
        |  if (!$hasPrev || ${ctx.genComp(leftKey.dataType, s"${lk.value}", s"${prevKey.value}")} != 0) {
        |    ${prevKey.code}
        |    $hasPrev = true;
@@ -187,12 +198,18 @@ case class AsofJoinExec(
        |      $rightRow = (InternalRow) $rightInput.next();
        |    }
        |    ${rk.code}
+       |    if (${rk.isNull}) {
+       |      throw new RuntimeException($nullErrLit);
+       |    }
        |    int $kc = ${ctx.genComp(leftKey.dataType, s"${rk.value}", s"${lk.value}")};
        |    boolean $take = false;
        |    if ($kc < 0) {
        |      $take = true;
        |    } else if ($kc == 0) {
        |      ${rt.code}
+       |      if (${rt.isNull}) {
+       |        throw new RuntimeException($nullErrLit);
+       |      }
        |      if (${ctx.genComp(leftTime.dataType, s"${rt.value}", s"${lt.value}")} <= 0) {
        |        $take = true;
        |        // the most recent right ROW wins, even with a null payload
@@ -242,18 +259,26 @@ case class AsofJoinExec(
 
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
+        val lt = lTime.eval(lRow)
+        if (lk == null || lt == null)
+          throw new RuntimeException(AsofJoinExec.nullInputError)
         if (prevKey == null || keyOrd.compare(lk, prevKey) != 0) {
           prevKey = InternalRow.copyValue(lk)
           lastPayload = null
           hasMatch = false
         }
-        val lt = lTime.eval(lRow)
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
           val rk = rKey.eval(head)
+          if (rk == null) throw new RuntimeException(AsofJoinExec.nullInputError)
           val kc = keyOrd.compare(rk, lk)
-          if (kc < 0 || (kc == 0 && timeOrd.compare(rTime.eval(head), lt) <= 0)) {
+          lazy val rt = {
+            val t = rTime.eval(head)
+            if (t == null) throw new RuntimeException(AsofJoinExec.nullInputError)
+            t
+          }
+          if (kc < 0 || (kc == 0 && timeOrd.compare(rt, lt) <= 0)) {
             val consumed = rBuf.next()
             if (kc == 0) {
               // the most recent right ROW wins, even with a null payload
@@ -272,4 +297,12 @@ case class AsofJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinExec {
+  /** Contract-violation message shared by the codegen and interpreted
+    * paths, so bad input fails the same way regardless of which path
+    * the planner picked. */
+  val nullInputError: String =
+    "graft as-of join: null key or time in input (contract: key and time are non-null)"
 }

@@ -522,9 +522,13 @@ object StreamingQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // outer rows only for lefts evicted by the final watermark (the
-    // min of both sides' max-event-time minus the 1h delay, to millis):
-    // unmatched lefts inside the horizon never emit, per the operator's
-    // contract — the oracle encodes the same cutoff
+    // min of both sides' max-event-time minus the 1h delay): unmatched
+    // lefts inside the horizon never emit, per the operator's contract —
+    // the oracle encodes the same cutoff. Spark tracks event-time stats
+    // in MILLISECONDS (EventTimeWatermarkExec floors µs→ms), so the
+    // cutoff is ms-truncated before subtracting the delay; without the
+    // trunc, a left event in the sub-ms window below the true cutoff
+    // would be null-emitted by the oracle but not by Spark.
     "q60_stream_outer_interval_join" ->
       """WITH l AS (
         |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
@@ -532,7 +536,8 @@ object StreamingQueries {
         |  SELECT event_type AS ticker, ts AS rts, value AS close, event_id AS rid
         |  FROM events WHERE value >= 150),
         |wm AS (
-        |  SELECT LEAST((SELECT max(ts) FROM l), (SELECT max(rts) FROM r))
+        |  SELECT date_trunc('milliseconds',
+        |           LEAST((SELECT max(ts) FROM l), (SELECT max(rts) FROM r)))
         |         - INTERVAL 1 HOUR AS cut)
         |SELECT l.event_id, l.ticker, l.ts, r.rts, r.close, r.rid
         |FROM l JOIN r ON l.ticker = r.ticker
@@ -573,7 +578,12 @@ object StreamingQueries {
         |ORDER BY user_id, session_idx""".stripMargin,
 
     // q18's sessions, restricted to those the append-mode session_window
-    // can emit: window end (last event + gap) before the final watermark
+    // can emit. The exact operator contract: the session's window end is
+    // end_ts + gap (gap = 30 min 1 µs), the final watermark is the
+    // ms-FLOORED max event time minus the 30-min delay (Spark tracks
+    // event-time stats in milliseconds), and eviction/emission uses
+    // window_end <= watermark (WatermarkSupport's LessThanOrEqual on
+    // the window-struct end).
     "q68_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
@@ -589,10 +599,11 @@ object StreamingQueries {
         |  SELECT user_id, session_idx, COUNT(*) AS n_events,
         |         MIN(ts) AS start_ts, MAX(ts) AS end_ts
         |  FROM s GROUP BY user_id, session_idx),
-        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+        |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS wm
+        |       FROM events)
         |SELECT user_id, n_events, start_ts, end_ts
         |FROM sess, wm
-        |WHERE end_ts + INTERVAL 30 MINUTE < wm.wm
+        |WHERE end_ts + INTERVAL 30 MINUTE + INTERVAL 1 MICROSECOND <= wm.wm
         |ORDER BY user_id, start_ts""".stripMargin,
 
     "q37_stream_user_stats" ->

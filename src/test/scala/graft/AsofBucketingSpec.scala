@@ -163,6 +163,33 @@ class AsofBucketingSpec extends SparkSpec {
     }
   }
 
+  test("null key/time fails fast with the same error on codegen and interpreted paths") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Some("A"), t("2024-01-01 10:00:00")),
+      (2L, None: Option[String], t("2024-01-01 12:00:00"))) // contract violation
+      .toDF("event_id", "ticker", "ts")
+    val right = Seq(("A", t("2024-01-01 09:30:00"), 10.0))
+      .toDF("ticker", "rts", "close")
+    def messages(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    def assertFailsWithContract(wholeStage: Boolean): Unit = {
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+      try {
+        val ex = intercept[Exception] {
+          AsofJoin.backwardNative(left, right, "ticker", "ts", "rts",
+            "close", "asof_close").collect()
+        }
+        assert(messages(ex).exists(_.contains(
+            graft.plans.AsofJoinExec.nullInputError)),
+          s"wholeStage=$wholeStage raised the wrong error: $ex")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    assertFailsWithContract(wholeStage = true)   // generated path
+    assertFailsWithContract(wholeStage = false)  // interpreted doExecute
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
