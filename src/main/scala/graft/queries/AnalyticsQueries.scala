@@ -175,7 +175,125 @@ object AnalyticsQueries {
       .orderBy("l_partkey")
   }
 
+  /** q69: shipping-priority top-k (TPC-H Q3 shape) — the canonical
+    * selective multi-way join: a filtered dimension (one market segment
+    * of `customer`) BROADCAST to the `orders` scan, the surviving
+    * orders joined to `lineitem` on the shuffle key both sides already
+    * need, revenue aggregated per order, and the top 10 taken via
+    * TakeOrderedAndProject (per-partition top-k, only k rows to the
+    * driver — no global sort). Date filters sit ON the scans (pushed
+    * through `to_date`), so at 100 TB the join sees only the
+    * late-shipping slice. Ordering ties break on the exact micro-long
+    * revenue + order key, so the top-10 *set* is engine-stable. */
+  def q69ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-06-30")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(to_date(col("o_orderdate")) < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(to_date(col("l_shipdate")) > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"))
+      .orderBy(col("rev_l").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), (col("rev_l").cast("double") / 1e6).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** q70: regional supplier volume (TPC-H Q5 shape) — the six-way
+    * star join. The dimension chain region→nation→supplier collapses
+    * into ONE broadcast (100 rows after the region filter); `customer`
+    * broadcasts whole. Only the two fact tables shuffle, and only on
+    * l_orderkey=o_orderkey — the year filter prunes `orders` at the
+    * scan first. The c_nationkey = s_nationkey "local supplier"
+    * condition rides along as a broadcast-side predicate, never a
+    * join explosion. */
+  def q70RegionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"))
+      .orderBy(col("rev_l").desc, col("n_name"))
+      .select(col("n_name"), (col("rev_l").cast("double") / 1e6).as("revenue"))
+  }
+
+  /** q72: exact distinct users via mergeable bitmap sketches — the
+    * pre-aggregate-then-merge pattern COUNT(DISTINCT) can't do. Pass 1
+    * builds one kilobyte-sized bitset per (event_type, day) with
+    * map-side partials; pass 2 ORs the daily sketches per type. At
+    * 100 TB the daily sketches are what you'd persist: any window's
+    * exact distinct count is then a merge of stored kilobytes, with no
+    * re-scan of the raw stream and no double shuffle. The oracle is
+    * plain COUNT(DISTINCT) — the sketch is exact on the bounded id
+    * domain. */
+  def q72BitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BitmapDistinct._
+    val maxId = 1 << 14
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(bitmapSketch(col("user_id"), maxId).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        cardinality(bitmapMerge(col("sk"), maxId)).as("distinct_users"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q69_ship_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
+        |       CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-30'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-30'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q70_regional_revenue" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) DESC, n_name""".stripMargin,
+
+    "q72_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       COUNT(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q67_cms_heavy_hitters" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) >= 45

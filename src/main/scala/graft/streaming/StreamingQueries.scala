@@ -515,7 +515,51 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** q71: stream-static join — the streaming enrichment shape. Each
+    * micro-batch of the event stream joins a STATIC dimension
+    * (`customer`, re-read per batch but broadcast, never shuffled and
+    * never stateful: no watermark, no state store), then lands
+    * append-only. At 100 TB/day this is how facts pick up slowly-
+    * changing dims: the stream side stays a pure pipeline stage, the
+    * dim refreshes for free on every batch, and the join adds zero
+    * streaming state. The readback aggregate proves every event got
+    * its segment. */
+  def q71StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Files.createTempDirectory("graft_q71")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream.schema(eventsLongTsSchema)
+      .parquet(srcDir.toString)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("value") * 1e6).cast("long").as("vmicro"))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("vmicro")).cast("double") / 1e6).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q71_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q53_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
