@@ -84,6 +84,10 @@ object SparkEntry {
     "q66_repetition_stats"   -> (PipelineQueries.q66RepetitionStats _),
     "q67_cms_heavy_hitters"  -> (AnalyticsQueries.q67CmsHeavyHitters _),
     "q68_stream_session_window" -> (graft.streaming.StreamingQueries.q68StreamSessionWindow _),
+    "q69_ship_priority"      -> (AnalyticsQueries.q69ShipPriority _),
+    "q70_regional_revenue"   -> (AnalyticsQueries.q70RegionalRevenue _),
+    "q71_stream_static_join" -> (graft.streaming.StreamingQueries.q71StreamStaticJoin _),
+    "q72_bitmap_distinct"    -> (AnalyticsQueries.q72BitmapDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

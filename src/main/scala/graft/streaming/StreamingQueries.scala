@@ -44,7 +44,6 @@ object StreamingQueries {
     * full updated aggregate) — nothing is materialized on the driver,
     * unlike a memory sink. */
   def q30StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     useRocksDbState(spark)
     // the file streaming source wants a directory; stage a symlink dir.
     // Sink and checkpoint live in SIBLING dirs, never under the streamed
@@ -351,7 +350,6 @@ object StreamingQueries {
     * forever at 100 TB. Inner join; all matching pairs are emitted
     * (unlike the as-of join's latest-only pick). */
   def q52StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // state-store partition count is fixed at query start from
     // shuffle.partitions; both join sides keep a store per partition, so
     // size it to the stateful work, not the batch default (a real
@@ -426,7 +424,6 @@ object StreamingQueries {
     * one null per event, not one per bucket) — plain post-filtering,
     * proportional to the (sparse) null stream. */
   def q60StreamOuterIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -525,7 +522,6 @@ object StreamingQueries {
     * streaming state. The readback aggregate proves every event got
     * its segment. */
   def q71StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Files.createTempDirectory("graft_q71")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
