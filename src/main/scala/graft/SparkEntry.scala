@@ -88,6 +88,7 @@ object SparkEntry {
     "q70_regional_revenue"   -> (AnalyticsQueries.q70RegionalRevenue _),
     "q71_stream_static_join" -> (graft.streaming.StreamingQueries.q71StreamStaticJoin _),
     "q72_bitmap_distinct"    -> (AnalyticsQueries.q72BitmapDistinct _),
+    "q73_stream_sliding_window" -> (graft.streaming.StreamingQueries.q73StreamSlidingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

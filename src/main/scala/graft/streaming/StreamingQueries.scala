@@ -210,10 +210,11 @@ object StreamingQueries {
     * file source streams them as two time-ascending micro-batches —
     * sessions genuinely span batches. Returns (srcDir, schema). */
   private def stageEventHalves(spark: SparkSession, sfDir: String,
-      tmp: String): (String, StructType) = {
+      tmp: String,
+      cols: Seq[String] = Seq("user_id", "ts", "event_id")): (String, StructType) = {
     val src = s"$tmp/src"
     val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"))
+      .select(cols.map(col): _*)
     val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val mid = (Row2.getLong(0) + Row2.getLong(1)) / 2
     ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(src)
@@ -341,6 +342,44 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.read.parquet(out).orderBy("user_id", "start_ts")
+  }
+
+  /** q73: sliding-window aggregation in APPEND mode — overlapping
+    * `window(ts, 10 min, 5 min)` assignment (each event lands in two
+    * windows), watermark-driven emission of CLOSED windows only. This is
+    * the dashboard shape tumbling can't express (smoothed rates need
+    * overlap), and append mode is the 100 TB discipline: a window is
+    * written exactly once, when the watermark passes its end, so the
+    * sink is append-only parquet and per-batch state stays bounded by
+    * the watermark horizon — no complete-mode rewrite of all history.
+    * Emission contract (mirrored by the oracle): Spark tracks event-time
+    * stats in MILLISECONDS, so a window emits iff
+    * `window.end <= ms-truncated(max ts) - 1 hour`. */
+  def q73StreamSlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q73").toFile.getAbsolutePath
+    val (src, schema) = stageEventHalves(spark, sfDir, tmp,
+      Seq("event_type", "ts", "value"))
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("tv"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"),
+        (col("tv").cast("double") / 1e6).as("total_value"))
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("w_start", "event_type")
   }
 
   /** q52: stream-stream interval join — sparse "trade" events joined to
@@ -624,6 +663,28 @@ object StreamingQueries {
     // event-time stats in milliseconds), and eviction/emission uses
     // window_end <= watermark (WatermarkSupport's LessThanOrEqual on
     // the window-struct end).
+    // each event belongs to exactly duration/slide = 2 overlapping
+    // windows (starts at slide-floor(ts) and one slide earlier, epoch-
+    // aligned like Spark's window()); append-mode emission keeps only
+    // windows closed by the final watermark, ms-truncated to mirror
+    // Spark's millisecond event-time stats
+    "q73_stream_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         make_timestamp(us - us % 300000000 - k.k * 300000000) AS w_start
+        |  FROM e, (SELECT UNNEST([0, 1]) AS k) k),
+        |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm
+        |       FROM events)
+        |SELECT w_start, w_start + INTERVAL 10 MINUTE AS w_end, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM w, wm
+        |WHERE w_start + INTERVAL 10 MINUTE <= wm.wm
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
     "q68_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
