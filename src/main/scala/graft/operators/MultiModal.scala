@@ -27,16 +27,46 @@ object MultiModal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("content"))
 
-  /** "Decode": metadata from an md5-derived pseudo-header plus exact
-    * byte statistics. Pure column expressions (codegen'd); the same
-    * values are replicable in SQL for the oracle. A real deploy
-    * replaces the md5-derived fields with codec output. */
+  /** PNG signature (8 bytes) — the one container format decoded for
+    * real: width/height/bit-depth/color-type live at fixed offsets in
+    * the IHDR chunk (bytes 17-26, 1-indexed), readable with pure column
+    * expressions — no codec needed for header metadata. */
+  private val PngSig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  private val IhdrTag = "IHDR".getBytes("US-ASCII")
+
+  /** Big-endian unsigned int from a binary slice, via hex — codegen'd. */
+  private def beLong(bytes: Column): Column =
+    conv(hex(bytes), 16, 10).cast("long")
+
+  /** True when the payload is a PNG: signature + IHDR as first chunk. */
+  def isPng(content: Column): Column =
+    length(content) >= 33 &&
+      substring(content, 1, 8) === lit(PngSig) &&
+      substring(content, 13, 4) === lit(IhdrTag)
+
+  /** "Decode": REAL header parse for PNG payloads (width/height/
+    * bit-depth/color-type straight from the IHDR bytes), md5-derived
+    * pseudo-header stub for formats whose decode needs a native codec
+    * (documented stub — this container ships none). Pure column
+    * expressions either way (codegen'd), and the stub arm stays
+    * replicable in SQL for the oracle; the PNG arm is checked against
+    * ground truth persisted independently of the parser
+    * (fixtures/png_assets.parquet, tools/gen_png_fixture.py). */
   def decodeMeta(assets: DataFrame): DataFrame = {
     val h = md5(col("content"))
+    val png = isPng(col("content"))
     assets
       .withColumn("n_bytes", length(col("content")).cast("long"))
-      .withColumn("width", conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16)
-      .withColumn("height", conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16)
+      .withColumn("width",
+        when(png, beLong(substring(col("content"), 17, 4)))
+          .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
+      .withColumn("height",
+        when(png, beLong(substring(col("content"), 21, 4)))
+          .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
+      .withColumn("bit_depth",
+        when(png, beLong(substring(col("content"), 25, 1))))
+      .withColumn("color_type",
+        when(png, beLong(substring(col("content"), 26, 1))))
       .withColumn("channels", when(col("modality") === "image", 3L).otherwise(1L))
       .withColumn("duration_ms",
         when(col("modality") === "image", 0L)

@@ -202,9 +202,16 @@ object PipelineQueries {
     TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text", 5)
       .orderBy("doc")
 
+  /** Real PNG assets with ground-truth header fields persisted at
+    * fixture-generation time (tools/gen_png_fixture.py) — the oracle
+    * reads the truth columns while Spark parses the bytes. */
+  val PngFixture = "/root/repo/fixtures/png_assets.parquet"
+
   def q28MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
-    val assets = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
-    MultiModal.byteFeatures(MultiModal.decodeMeta(assets))
+    val stub = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
+    val png = spark.read.parquet(PngFixture)
+      .select(col("asset_id"), lit("image").as("modality"), col("content"))
+    MultiModal.byteFeatures(MultiModal.decodeMeta(stub.unionByName(png)))
       .select("asset_id", "modality", "n_bytes", "width", "height",
         "channels", "duration_ms", "byte_sum", "byte_max")
       .orderBy("asset_id")
@@ -579,8 +586,17 @@ object PipelineQueries {
          |SELECT doc, array_to_string(list_sort(list(md5(sh)))[1:5], '') AS fingerprint
          |FROM s GROUP BY doc ORDER BY doc""".stripMargin,
 
+    // stub arm recomputed in SQL over documents; PNG arm checked against
+    // the fixture's independently-persisted ground truth (the Spark side
+    // parses the IHDR bytes, the oracle never looks at the bytes)
     "q28_multimodal_decode" ->
-      """SELECT doc_id AS asset_id,
+      s"""SELECT asset_id, 'image' AS modality, true_n_bytes AS n_bytes,
+        |       true_width AS width, true_height AS height,
+        |       CAST(3 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS duration_ms,
+        |       true_byte_sum AS byte_sum, true_byte_max AS byte_max
+        |FROM '$PngFixture'
+        |UNION ALL
+        |SELECT doc_id AS asset_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
         |       CAST(length(text) AS BIGINT) AS n_bytes,
         |       ('0x' || substr(md5(text), 1, 7))::BIGINT % 240 + 16 AS width,

@@ -105,4 +105,27 @@ class SourcesMultiModalSpec extends SparkSpec {
     val rs = MultiModal.resize(dec, 2).filter($"asset_id" === 0).collect().head
     assert(rs.getAs[Long]("width") == r.getAs[Long]("width") / 2)
   }
+
+  test("multimodal: PNG IHDR parse matches stored ground truth; non-PNG stays on stub") {
+    import org.apache.spark.sql.functions._
+    val png = spark.read.parquet(graft.queries.PipelineQueries.PngFixture)
+    val dec = MultiModal.decodeMeta(
+      png.select($"asset_id", lit("image").as("modality"), $"content",
+        $"true_width", $"true_height", $"true_bit_depth"))
+    assert(dec.filter($"width" =!= $"true_width" ||
+      $"height" =!= $"true_height" || $"bit_depth" =!= $"true_bit_depth" ||
+      $"color_type" =!= 2L).count() == 0)
+    assert(dec.count() == 300)
+    // big-endian multi-byte dims really exercised (width 257 and 300 exist)
+    assert(dec.filter($"width" > 255).count() > 0)
+    // a payload that merely starts with the 8-byte signature but lacks
+    // IHDR is NOT treated as PNG — falls back to the stub arm (null depth)
+    val fake = MultiModal.decodeMeta(
+      spark.range(1).select($"id".as("asset_id"), lit("image").as("modality"),
+        concat(lit(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+          lit("JUNKJUNKJUNKJUNKJUNKJUNKJUNKJUNK").cast("binary")).as("content")))
+    val f = fake.collect().head
+    assert(f.isNullAt(f.fieldIndex("bit_depth")))
+    assert(f.getAs[Long]("width") >= 16 && f.getAs[Long]("width") < 256)
+  }
 }
