@@ -89,6 +89,7 @@ object SparkEntry {
     "q71_stream_static_join" -> (graft.streaming.StreamingQueries.q71StreamStaticJoin _),
     "q72_bitmap_distinct"    -> (AnalyticsQueries.q72BitmapDistinct _),
     "q73_stream_sliding_window" -> (graft.streaming.StreamingQueries.q73StreamSlidingWindow _),
+    "q74_pq_topk"            -> (PipelineQueries.q74PqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

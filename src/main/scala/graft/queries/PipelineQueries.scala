@@ -79,6 +79,30 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Clustered embeddings with ground-truth cluster structure
+    * (tools/gen_clustered_embeddings.py): the regime where PQ's ADC
+    * short list provably contains the true top-k, so the exact rerank
+    * reproduces brute-force bit-for-bit and the query is
+    * oracle-checkable (the near-uniform testdata embeddings are not —
+    * ADC ordering there is uninformative; see COVERAGE.md). */
+  val ClusteredEmbFixture = "/root/repo/fixtures/clustered_embeddings.parquet"
+
+  /** q74: product-quantization ANN end to end — train per-subspace
+    * codebooks (k-means on slices), encode the corpus as m=4 codes
+    * (16x compression), ADC-scan the code table per query via a
+    * broadcast lookup table, exact-rerank the top-100 short list. The
+    * oracle is plain brute-force cosine top-k over the same fixture:
+    * on clustered data the short list covers the true top-5, so the
+    * reranked output must EQUAL brute force — approximate index,
+    * exact answer, verified. */
+  def q74PqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(ClusteredEmbFixture)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    val books = Similarity.trainProductCodebooks(emb, d = 64, m = 4, ksub = 16, iters = 2)
+    Similarity.pqTopK(emb, queries, books, d = 64, m = 4, k = 5, rerankR = 100)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: only pairs
     * sharing a centroid bucket are compared (the scalable near-dup
     * shape — recall bounded by bucketing, like any LSH). Threshold 0.4
@@ -521,6 +545,22 @@ object PipelineQueries {
         |  SELECT query_id, vec_id,
         |         list_cosine_similarity(qv, embedding) AS sim
         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // brute-force cosine top-k over the clustered fixture — the PQ
+    // pipeline must reproduce it exactly (ADC short list + exact rerank)
+    "q74_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_cosine_similarity(qv, embedding) AS sim
+        |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
