@@ -227,11 +227,11 @@ object Dedup {
     *
     * At fixpoint the edge set is a star forest centered at component
     * minima; output matches [[connectedComponents]] exactly:
-    * (doc, cluster = min doc id), isolated docs omitted. Convergence is
-    * screened by an (edge-count, checksum) pair going stable — computed
-    * on the already-checkpointed round, no extra shuffle — and then
-    * confirmed deterministically by a set-equality probe (so a checksum
-    * collision cannot end the loop with wrong clusters). */
+    * (doc, cluster = min doc id), isolated docs omitted. Convergence =
+    * an (edge-count, checksum, second-seed checksum) triple going stable
+    * — computed on the already-checkpointed round in one job, no extra
+    * shuffle; early termination on wrong clusters would need the two
+    * independent 64-bit xor-folds to collide simultaneously (~2^-128). */
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
     def bidir(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -246,18 +246,19 @@ object Dedup {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct()
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      // xor-fold of row hashes: order-independent, overflow-free (the
-      // edge set is distinct, so no two rows cancel)
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      // xor-folds of row hashes: order-independent, overflow-free (the
+      // edge set is distinct, so no two rows cancel). TWO independent
+      // 64-bit hashes (the second seeded by an extra literal) in the
+      // same single-job agg: ending the loop on wrong clusters needs a
+      // simultaneous collision in both folds across equal-sized sets
+      // (~2^-128) — the guarantee a set-equality probe buys, without
+      // its extra two-sided shuffle over the full edge set at 100 TB.
       val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(0x9e3779b9L), col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    // the fingerprint is a cheap per-round screen; equality is confirmed
-    // deterministically (both sets are distinct and equal-sized per the
-    // fingerprint's exact count, so one-directional difference suffices)
-    def sameEdgeSet(cur: DataFrame, prevE: DataFrame): Boolean =
-      cur.exceptAll(prevE).isEmpty
 
     var edges = normalize(
         pairs.select(col("ia").as("u"), col("ib").as("v")))
@@ -279,11 +280,7 @@ object Dedup {
         .union(wm.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
       val cur = fingerprint(small)
-      // apparent convergence (fingerprint stable) is confirmed with a
-      // deterministic set-equality probe on the two checkpointed rounds —
-      // an xor collision across different same-size edge sets can no
-      // longer terminate the loop early (runs once, at convergence)
-      converged = cur == prev && sameEdgeSet(small, edges)
+      converged = cur == prev
       edges = small
       prev = cur
     }
