@@ -120,22 +120,62 @@ object Similarity {
         col("vec_id").as("neighbor_id"))
   }
 
+  /** All m subvectors of every vector as one exploded frame
+    * (vec_id, sub, sv) — the layout that lets PQ train, encode, and
+    * build ADC tables in ONE pass over the corpus per step instead of
+    * m separate subspace passes (at 100 TB the encode scan dominates;
+    * m=8 separate passes would read the corpus 8 times). */
+  private def sliceSubs(df: DataFrame, vecCol: String, d: Int, m: Int): DataFrame = {
+    val dsub = d / m
+    df.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+  }
+
   /** Product-quantization codebooks: the d-dim vector splits into `m`
     * subvectors of d/m dims and each subspace trains its own
-    * `ksub`-centroid codebook ([[trainCentroids]] over the sliced
-    * corpus). A vector then encodes as m small codes — m bytes instead
-    * of d floats at ksub<=256, the 16-32x memory compression that lets
-    * a 100 TB corpus' ANN index live in RAM. Returns (sub, cid, cv). */
+    * `ksub`-centroid codebook. A vector then encodes as m small codes —
+    * m bytes instead of d floats at ksub<=256, the 16-32x memory
+    * compression that lets a 100 TB corpus' ANN index live in RAM.
+    * All m codebooks train JOINTLY, keyed by (sub, cid): each Lloyd
+    * step is one corpus pass + one (sub, cid, pos) mean aggregation for
+    * every subspace at once, not an m-way loop of separate jobs. Seeds,
+    * assignment tiebreaks, and empty-centroid handling are identical to
+    * [[trainCentroids]] per subspace. Returns (sub, cid, cv). */
   def trainProductCodebooks(corpus: DataFrame, d: Int, m: Int, ksub: Int,
                             iters: Int): DataFrame = {
     require(d % m == 0, s"m=$m must divide d=$d")
-    val dsub = d / m
-    (0 until m).map { s =>
-      val sliced = corpus.select(col("vec_id"),
-        slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
-      trainCentroids(sliced, ksub, iters)
-        .select(lit(s).as("sub"), col("vec_id").as("cid"), col("embedding").as("cv"))
-    }.reduce(_ unionByName _)
+    val sliced = sliceSubs(corpus, "embedding", d, m).persist()
+    // seeds: the ksub smallest vec_ids (each contributes its subvector
+    // to every subspace's codebook — same choice per-subspace training
+    // would make, since all subspaces share the id set)
+    val seedIds = corpus.select(col("vec_id")).orderBy("vec_id").limit(ksub)
+    var cents = sliced.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("vec_id").cast("long").as("cid"), col("sv").as("cv"))
+      .persist()
+    cents.count()
+    for (_ <- 1 to iters) {
+      val assigned = sliced.join(broadcast(cents), "sub")
+        .withColumn("csim", cosine(col("cv"), col("sv")))
+        .groupBy(col("sub"), col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("sv")),
+          struct(col("csim"), negate(col("cid")))).as("best"))
+        .select(col("sub"), col("best.cid").as("cid"), col("best.sv").as("sv"))
+      val means = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos").agg(avg(col("v")).as("mn"))
+        .groupBy("sub", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn)))," +
+          " s -> cast(s.mn as float))").as("mv"))
+      val next = cents.join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .persist()
+      next.count()
+      cents.unpersist()
+      cents = next
+    }
+    sliced.unpersist()
+    cents
   }
 
   /** PQ top-k with asymmetric-distance scan + exact rerank — the
@@ -150,22 +190,23 @@ object Similarity {
              d: Int, m: Int, k: Int, rerankR: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(d % m == 0, s"m=$m must divide d=$d")
-    val dsub = d / m
-    // corpus -> (vec_id, sub, code): the compressed representation
-    val encoded = (0 until m).map { s =>
-      assignToNearest(
-          corpus.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
-          codebooks.filter(col("sub") === s).select(col("cid"), col("cv")))
-        .select(col("vec_id"), lit(s).as("sub"), col("cid"))
-    }.reduce(_ unionByName _)
+    // corpus -> (vec_id, sub, code) in ONE pass: explode to subvectors,
+    // broadcast-join ALL codebooks on sub, map-side max_by folds the
+    // ×ksub expansion back before the exchange — the single corpus scan
+    // that replaces m per-subspace scans
+    val encoded = sliceSubs(corpus, "embedding", d, m)
+      .join(broadcast(codebooks), "sub")
+      .withColumn("csim", cosine(col("cv"), col("sv")))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cid"))
+      .select(col("vec_id"), col("sub"), col("cid"))
     // per-query ADC lookup tables: |Q| x m x ksub partial dot products
-    val tables = (0 until m).map { s =>
-      queries.select(col("vec_id").as("query_id"),
-          slice(col("embedding"), s * dsub + 1, dsub).as("qs"))
-        .crossJoin(codebooks.filter(col("sub") === s))
-        .select(col("query_id"), col("sub"), col("cid"),
-          dot(col("qs"), col("cv")).as("pdot"))
-    }.reduce(_ unionByName _)
+    val tables = sliceSubs(
+        queries.select(col("vec_id"), col("embedding")), "embedding", d, m)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(codebooks, "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        dot(col("sv"), col("cv")).as("pdot"))
     val wAdc = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
     val shortList = encoded.join(broadcast(tables), Seq("sub", "cid"))
       .groupBy(col("query_id"), col("vec_id"))
