@@ -90,6 +90,7 @@ object SparkEntry {
     "q72_bitmap_distinct"    -> (AnalyticsQueries.q72BitmapDistinct _),
     "q73_stream_sliding_window" -> (graft.streaming.StreamingQueries.q73StreamSlidingWindow _),
     "q74_pq_topk"            -> (PipelineQueries.q74PqTopK _),
+    "q75_ivf_trained"        -> (PipelineQueries.q75IvfTrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

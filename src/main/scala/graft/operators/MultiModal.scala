@@ -8,13 +8,19 @@ import org.apache.spark.sql.types._
   * audio / video payloads as opaque `binary` columns with a typed
   * metadata struct, processed partition-batched.
   *
-  * The *decode kernels are deterministic STUBS* — this container has no
-  * image/audio codecs, so "decoding" derives metadata from a hash of
-  * the payload and "features" are byte statistics. Everything around
-  * the stub — schema, binary handling, per-partition batch iteration,
-  * explode shape for frame sampling — is the real plumbing a codec
-  * would drop into (swap `stubDecodeBatch` for a JNI/FFmpeg call; the
-  * dataflow does not change).
+  * Header-level decode is REAL for two container formats — PNG (IHDR:
+  * width/height/bit-depth/color-type, big-endian) and canonical PCM
+  * WAV (fmt chunk: sample-rate/channels/bits + data-chunk duration,
+  * little-endian) — parsed straight from the bytes with pure column
+  * expressions and checked against ground truth persisted
+  * independently of the parser (fixtures/{png,wav}_assets.parquet).
+  * Formats whose metadata needs a full codec fall back to a
+  * *deterministic documented STUB* (md5-derived pseudo-header, exact
+  * byte statistics) — this container ships no native codecs.
+  * Everything around the kernels — schema, binary handling,
+  * per-partition batch iteration, explode shape for frame sampling —
+  * is the real plumbing a codec drops into (swap the kernel for a
+  * JNI/FFmpeg call; the dataflow does not change).
   */
 object MultiModal {
 
@@ -38,11 +44,34 @@ object MultiModal {
   private def beLong(bytes: Column): Column =
     conv(hex(bytes), 16, 10).cast("long")
 
+  /** Little-endian unsigned int read of `n` bytes at 1-indexed `offset`
+    * — RIFF/WAV fields are LE, so each byte is extracted and shifted
+    * individually (still pure codegen'd column exprs). */
+  private def leLong(content: Column, offset: Int, n: Int): Column =
+    (0 until n).map { i =>
+      conv(hex(substring(content, offset + i, 1)), 16, 10).cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Exact floor division on non-negative long columns (Column `/` is
+    * double division, which can mis-floor near-integer quotients). */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   /** True when the payload is a PNG: signature + IHDR as first chunk. */
   def isPng(content: Column): Column =
     length(content) >= 33 &&
       substring(content, 1, 8) === lit(PngSig) &&
       substring(content, 13, 4) === lit(IhdrTag)
+
+  /** True when the payload is a canonical-layout PCM WAV: RIFF
+    * signature, WAVE form, "fmt " first chunk, "data" second (the
+    * layout every encoder emits; exotic chunk orders fall back to the
+    * stub arm rather than mis-parse). */
+  def isWav(content: Column): Column =
+    length(content) >= 44 &&
+      substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(content, 9, 8) === lit("WAVEfmt ".getBytes("US-ASCII")) &&
+      substring(content, 37, 4) === lit("data".getBytes("US-ASCII"))
 
   /** "Decode": REAL header parse for PNG payloads (width/height/
     * bit-depth/color-type straight from the IHDR bytes), md5-derived
@@ -55,22 +84,30 @@ object MultiModal {
   def decodeMeta(assets: DataFrame): DataFrame = {
     val h = md5(col("content"))
     val png = isPng(col("content"))
+    val wav = isWav(col("content"))
+    val c = col("content")
     assets
-      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .withColumn("n_bytes", length(c).cast("long"))
       .withColumn("width",
-        when(png, beLong(substring(col("content"), 17, 4)))
+        when(png, beLong(substring(c, 17, 4)))
           .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("height",
-        when(png, beLong(substring(col("content"), 21, 4)))
+        when(png, beLong(substring(c, 21, 4)))
           .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("bit_depth",
-        when(png, beLong(substring(col("content"), 25, 1))))
+        when(png, beLong(substring(c, 25, 1)))
+          .when(wav, leLong(c, 35, 2)))
       .withColumn("color_type",
-        when(png, beLong(substring(col("content"), 26, 1))))
-      .withColumn("channels", when(col("modality") === "image", 3L).otherwise(1L))
+        when(png, beLong(substring(c, 26, 1))))
+      .withColumn("sample_rate",
+        when(wav, leLong(c, 25, 4)))
+      .withColumn("channels",
+        when(wav, leLong(c, 23, 2))
+          .otherwise(when(col("modality") === "image", 3L).otherwise(1L)))
       .withColumn("duration_ms",
-        when(col("modality") === "image", 0L)
-          .otherwise(col("n_bytes") * 20L))
+        when(wav, floorDiv(leLong(c, 41, 4) * 1000, leLong(c, 29, 4)))
+          .otherwise(when(col("modality") === "image", 0L)
+            .otherwise(col("n_bytes") * 20L)))
   }
 
   /** Byte-sum feature via the partition-batched kernel shape: the stub

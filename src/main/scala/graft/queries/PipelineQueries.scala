@@ -103,6 +103,21 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q75: k-means-TRAINED IVF on the clustered fixture — the index
+    * whose buckets align with the data's actual cluster structure, so
+    * nprobe=2 probing recovers brute-force top-k exactly and the query
+    * is oracle-checkable against plain brute-force SQL (q25 exercises
+    * the untrained-seed IVF shape on the synthetic embeddings; this one
+    * proves the TRAINING half: Lloyd iterations are what make the
+    * index's recall, and the oracle catches any training regression). */
+  def q75IvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(ClusteredEmbFixture)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    Similarity.ivfTopK(emb, queries, trained, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: only pairs
     * sharing a centroid bucket are compared (the scalable near-dup
     * shape — recall bounded by bucketing, like any LSH). Threshold 0.4
@@ -226,16 +241,19 @@ object PipelineQueries {
     TextAnalysis.fingerprint(Tables.documents(spark, sfDir), "doc_id", "text", 5)
       .orderBy("doc")
 
-  /** Real PNG assets with ground-truth header fields persisted at
-    * fixture-generation time (tools/gen_png_fixture.py) — the oracle
-    * reads the truth columns while Spark parses the bytes. */
+  /** Real PNG / WAV assets with ground-truth header fields persisted at
+    * fixture-generation time (tools/gen_{png,wav}_fixture.py) — the
+    * oracle reads the truth columns while Spark parses the bytes. */
   val PngFixture = "/root/repo/fixtures/png_assets.parquet"
+  val WavFixture = "/root/repo/fixtures/wav_assets.parquet"
 
   def q28MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val stub = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
     val png = spark.read.parquet(PngFixture)
       .select(col("asset_id"), lit("image").as("modality"), col("content"))
-    MultiModal.byteFeatures(MultiModal.decodeMeta(stub.unionByName(png)))
+    val wav = spark.read.parquet(WavFixture)
+      .select(col("asset_id"), lit("audio").as("modality"), col("content"))
+    MultiModal.byteFeatures(MultiModal.decodeMeta(stub.unionByName(png).unionByName(wav)))
       .select("asset_id", "modality", "n_bytes", "width", "height",
         "channels", "duration_ms", "byte_sum", "byte_max")
       .orderBy("asset_id")
@@ -567,6 +585,21 @@ object PipelineQueries {
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // trained IVF must reproduce brute force on clustered data
+    "q75_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_cosine_similarity(qv, embedding) AS sim
+        |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q25_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
         |assigned AS (
@@ -635,6 +668,12 @@ object PipelineQueries {
         |       CAST(3 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS duration_ms,
         |       true_byte_sum AS byte_sum, true_byte_max AS byte_max
         |FROM '$PngFixture'
+        |UNION ALL
+        |SELECT asset_id, 'audio' AS modality, true_n_bytes AS n_bytes,
+        |       true_width AS width, true_height AS height,
+        |       true_channels AS channels, true_duration_ms AS duration_ms,
+        |       true_byte_sum AS byte_sum, true_byte_max AS byte_max
+        |FROM '$WavFixture'
         |UNION ALL
         |SELECT doc_id AS asset_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,

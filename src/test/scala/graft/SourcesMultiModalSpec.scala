@@ -128,4 +128,20 @@ class SourcesMultiModalSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("bit_depth")))
     assert(f.getAs[Long]("width") >= 16 && f.getAs[Long]("width") < 256)
   }
+
+  test("multimodal: WAV fmt-chunk parse matches stored ground truth (LE fields)") {
+    import org.apache.spark.sql.functions._
+    val wav = spark.read.parquet(graft.queries.PipelineQueries.WavFixture)
+    val dec = MultiModal.decodeMeta(
+      wav.select($"asset_id", lit("audio").as("modality"), $"content",
+        $"true_sample_rate", $"true_channels", $"true_bits", $"true_duration_ms"))
+    assert(dec.filter($"sample_rate" =!= $"true_sample_rate" ||
+      $"channels" =!= $"true_channels" || $"bit_depth" =!= $"true_bits" ||
+      $"duration_ms" =!= $"true_duration_ms").count() == 0)
+    assert(dec.count() == 200)
+    // multi-byte LE really exercised: 44100/48000 need all high bytes
+    assert(dec.filter($"sample_rate" > 40000).count() > 0)
+    // stereo vs mono both present
+    assert(dec.select("channels").distinct().count() == 2)
+  }
 }
