@@ -91,6 +91,7 @@ object SparkEntry {
     "q73_stream_sliding_window" -> (graft.streaming.StreamingQueries.q73StreamSlidingWindow _),
     "q74_pq_topk"            -> (PipelineQueries.q74PqTopK _),
     "q75_ivf_trained"        -> (PipelineQueries.q75IvfTrained _),
+    "q76_zorder_layout"      -> (SourceQueries.q76ZorderLayout _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

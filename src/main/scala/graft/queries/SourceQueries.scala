@@ -149,7 +149,44 @@ object SourceQueries {
       .orderBy("shard")
   }
 
+  /** q76: Z-order-clustered data layout round trip. Events get a
+    * 62-bit Morton key over (user_id, day) — the codegen'd
+    * [[graft.functions.ZOrder2]] — then land range-partitioned and
+    * sorted by that key, so each file owns a disjoint z-range and its
+    * parquet min/max stats bound BOTH dimensions at once. The readback
+    * runs a selective 2-D box query (a user band within a day band):
+    * at 100 TB this layout answers "one user's history" and "one day
+    * across users" alike from a fraction of the files, where a
+    * single-column sort accelerates only its own dimension. Pruning is
+    * a statistics filter, so results never depend on the layout — the
+    * oracle is the same box over the raw table. */
+  def q76ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.ZOrder2.zorder2
+    val out = Files.createTempDirectory("graft_q76").resolve("zorder").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day",
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
+      .withColumn("z", zorder2(col("user_id"), col("day")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("user_id").between(10, 20) && col("day").between(5, 10))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q76_zorder_layout" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
+        |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 5 AND 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q62_shard_write" ->
       """WITH s AS (
         |  SELECT doc_id,
