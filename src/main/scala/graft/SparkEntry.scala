@@ -92,6 +92,7 @@ object SparkEntry {
     "q74_pq_topk"            -> (PipelineQueries.q74PqTopK _),
     "q75_ivf_trained"        -> (PipelineQueries.q75IvfTrained _),
     "q76_zorder_layout"      -> (SourceQueries.q76ZorderLayout _),
+    "q77_scd2_history"       -> (EtlQueries.q77Scd2History _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

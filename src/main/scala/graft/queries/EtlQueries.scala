@@ -52,6 +52,35 @@ object EtlQueries {
     mergeUpsert(existing, batch).orderBy("ticker", "ts", "close")
   }
 
+  /** SCD Type-2 history build: collapse a change log `(key, ts, attr)`
+    * into validity intervals — one row per run of an unchanged attribute
+    * value, `[effective_from, effective_to)` half-open, `effective_to`
+    * null on the open (current) row. The warehouse dimension-history
+    * shape (ref tracks only current state, db.py — this is its temporal
+    * upgrade). Plan: ONE shuffle on the key; the change-detect lag, the
+    * run filter, and the interval lead all share that single
+    * exchange+sort (filter preserves partitioning and order, so
+    * EnsureRequirements inserts nothing between the two Window nodes).
+    * At 100 TB this is the minimal-movement plan: no self-join, no
+    * second shuffle, state per key is O(1). */
+  def scd2(changes: DataFrame, key: String, ts: String, tiebreak: String,
+           attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changes
+      .withColumn("prev_attr", lag(col(attr), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attr))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(attr),
+        col(ts).as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+  }
+
+  /** Q77: SCD2 over the events change log — `event_type` is the tracked
+    * attribute per `user_id`, ordered by (ts, event_id). */
+  def q77Scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    scd2(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "effective_from")
+
   /** Q14: replay a batch that is 50% duplicates of existing keys and 50%
     * genuinely new rows (ts shifted +40 days); merged result must equal
     * existing + new only. */
@@ -64,6 +93,19 @@ object EtlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q77_scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |ch AS (
+        |  SELECT * FROM c WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id, event_type, ts AS effective_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+        |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+        |FROM ch
+        |ORDER BY user_id, effective_from""".stripMargin,
+
     "q50_merge_upsert" ->
       """WITH existing AS (
         |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),

@@ -45,6 +45,37 @@ class EtlSearchSpec extends SparkSpec {
       once.orderBy("ticker").collect().map(_.toSeq).toSeq)
   }
 
+  test("scd2 collapses runs, emits half-open contiguous intervals, one current row per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1: A A B A (collapse the AA run, re-open A later); key 2: single row
+    val log = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"), (1L, 40L, 4L, "A"),
+      (2L, 15L, 5L, "X")
+    ).toDF("k", "t", "id", "attr")
+    val out = EtlQueries.scd2(log, "k", "t", "id", "attr")
+      .orderBy("k", "effective_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, Some(30L), 0L),   // AA run collapsed to one interval
+      (1L, "B", 30L, Some(40L), 0L),
+      (1L, "A", 40L, None, 1L),        // value re-opens as a NEW interval
+      (2L, "X", 15L, None, 1L)))
+    // invariants: exactly one current row per key; intervals are contiguous
+    val cur = EtlQueries.scd2(log, "k", "t", "id", "attr")
+      .groupBy("k").agg(sum("is_current").as("n")).collect()
+    assert(cur.forall(_.getLong(1) == 1L))
+  }
+
+  test("scd2 plan has a single exchange (lag, filter, lead share one sort)") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B")).toDF("k", "t", "id", "attr")
+    val plan = EtlQueries.scd2(log, "k", "t", "id", "attr")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"expected 1 exchange:\n$plan")
+  }
+
   test("search ranks name-prefix above ticker-prefix above substring position") {
     val hits = SearchQueries.search(spark, sf(), "ol").collect()
     assert(hits.nonEmpty)
