@@ -93,6 +93,7 @@ object SparkEntry {
     "q75_ivf_trained"        -> (PipelineQueries.q75IvfTrained _),
     "q76_zorder_layout"      -> (SourceQueries.q76ZorderLayout _),
     "q77_scd2_history"       -> (EtlQueries.q77Scd2History _),
+    "q78_bloom_join"         -> (AnalyticsQueries.q78BloomJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -261,7 +261,54 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** q78: bloom-prefiltered shuffle join — the shuffle-reduction
+    * pattern for selective joins where BOTH sides are too big to
+    * broadcast (the regime where q69's broadcast trick stops working).
+    * Pass 1 aggregates the selective orders slice (one priority, one
+    * half-year) into a 128 KB bloom bitset ([[graft.functions.Bloom]] —
+    * a [[graft.functions.BitmapAgg]] over k hash positions, map-side
+    * combinable). That kilobyte-scale filter broadcasts even when the
+    * orders slice itself (millions of rows with payload at 100 TB)
+    * cannot; `mightContain` then drops ~97% of lineitem AT THE SCAN,
+    * inside whole-stage codegen, so the sort-merge shuffle carries only
+    * matching + false-positive rows. No false negatives + exact join
+    * after = result identical to the plain join, which is the oracle.
+    * The `merge` hint models the at-scale plan where broadcast is off
+    * the table. */
+  def q78BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Bloom
+    val numBits = 1 << 20; val k = 3
+    val sel = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        to_date(col("o_orderdate")) >= lit("1997-01-01") &&
+        to_date(col("o_orderdate")) < lit("1997-07-01"))
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+    val bloom = sel.agg(Bloom.sketch(col("o_orderkey"), numBits, k).as("bf"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .crossJoin(broadcast(bloom))
+      .filter(Bloom.mightContain(col("bf"), col("l_orderkey"), numBits, k))
+      .drop("bf")
+    li.join(sel.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"))
+      .orderBy("month")
+      .select(col("month"), col("n_orders"),
+        (col("rev_l").cast("double") / 1e6).as("revenue"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q78_bloom_join" ->
+      """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
     "q69_ship_priority" ->
       """SELECT l_orderkey,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue,
