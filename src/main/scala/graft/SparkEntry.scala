@@ -94,6 +94,7 @@ object SparkEntry {
     "q76_zorder_layout"      -> (SourceQueries.q76ZorderLayout _),
     "q77_scd2_history"       -> (EtlQueries.q77Scd2History _),
     "q78_bloom_join"         -> (AnalyticsQueries.q78BloomJoin _),
+    "q79_hist_quantiles"     -> (AnalyticsQueries.q79HistQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -298,7 +298,45 @@ object AnalyticsQueries {
         (col("rev_l").cast("double") / 1e6).as("revenue"))
   }
 
+  /** q79: exact quantiles from mergeable histograms — the counts-array
+    * sibling of q72's bitmap story, for the statistic COUNT(DISTINCT)'s
+    * trick can't reach. Pass 1 builds one bounded counts array per
+    * (returnflag, linestatus) with map-side partials; pass 2 sums the
+    * arrays per returnflag; p50/p90/p99 then fall out of an O(domain)
+    * fold per group row in exact long arithmetic. At 100 TB the
+    * per-shard histograms are what you'd persist: any rollup's EXACT
+    * percentiles become a merge of kilobyte counters — no re-sort of
+    * raw data, unlike percentile()'s collected sorted set, and no
+    * approximation, unlike approx_percentile (q36). Oracle is DuckDB
+    * quantile_disc — same smallest-value-reaching-the-fraction
+    * contract, decided in integer math. */
+  def q79HistQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Histogram._
+    val buckets = 64 // l_quantity domain is 1..50
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(histSketch(col("q"), buckets).as("h"))
+      .groupBy("l_returnflag")
+      .agg(histMerge(col("h"), buckets).as("h"))
+      .select(col("l_returnflag"),
+        quantileDisc(col("h"), 50).as("p50"),
+        quantileDisc(col("h"), 90).as("p90"),
+        quantileDisc(col("h"), 99).as("p99"),
+        histTotal(col("h")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q79_hist_quantiles" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS p50,
+        |       quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS p90,
+        |       quantile_disc(CAST(l_quantity AS BIGINT), 0.99) AS p99,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q78_bloom_join" ->
       """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
         |       COUNT(DISTINCT o_orderkey) AS n_orders,
