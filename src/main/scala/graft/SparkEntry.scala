@@ -95,6 +95,7 @@ object SparkEntry {
     "q77_scd2_history"       -> (EtlQueries.q77Scd2History _),
     "q78_bloom_join"         -> (AnalyticsQueries.q78BloomJoin _),
     "q79_hist_quantiles"     -> (AnalyticsQueries.q79HistQuantiles _),
+    "q80_orc_source"         -> (SourceQueries.q80OrcSource _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

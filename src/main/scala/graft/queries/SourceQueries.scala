@@ -149,6 +149,33 @@ object SourceQueries {
       .orderBy("shard")
   }
 
+  /** q80: ORC source/sink round-trip — the format family's third leg
+    * (parquet throughout, JSON q54). A lineitem projection lands as
+    * ORC, and the readback filters on both a string equality and a
+    * date range BEFORE aggregating: both predicates reach the ORC scan
+    * as PushedFilters (asserted in the spec), so at 100 TB the reader
+    * opens stripes whose min/max stats survive the cut, exactly like
+    * the parquet path. Results are layout-independent — the oracle is
+    * the same aggregation over the raw parquet table. */
+  def q80OrcSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q80").toFile.getAbsolutePath
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate", "l_returnflag",
+        "l_extendedprice", "l_discount")
+      .coalesce(4).write.orc(s"$tmp/orc")
+    spark.read.orc(s"$tmp/orc")
+      .filter(col("l_returnflag") === "R" &&
+        to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+        to_date(col("l_shipdate")) < lit("1998-01-01"))
+      .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+          .cast("long")).as("rev_l"))
+      .orderBy("month")
+      .select(col("month"), col("n"),
+        (col("rev_l").cast("double") / 1e6).as("revenue"))
+  }
+
   /** q76: Z-order-clustered data layout round trip. Events get a
     * 62-bit Morton key over (user_id, day) — the codegen'd
     * [[graft.functions.ZOrder2]] — then land range-partitioned and
@@ -179,6 +206,16 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q80_orc_source" ->
+      """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
     "q76_zorder_layout" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value

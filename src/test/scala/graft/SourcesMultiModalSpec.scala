@@ -144,4 +144,23 @@ class SourcesMultiModalSpec extends SparkSpec {
     // stereo vs mono both present
     assert(dec.select("channels").distinct().count() == 2)
   }
+
+  test("ORC roundtrip: filters reach the ORC scan as pushed filters") {
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity")
+      .coalesce(2).write.orc(s"$dir/orc")
+    val rt = spark.read.orc(s"$dir/orc")
+    val q = rt.filter($"l_returnflag" === "R" &&
+      to_date($"l_shipdate") >= lit("1997-01-01"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_sh"), plan) // truncated render
+    // and the roundtrip itself is lossless
+    val want = Tables.lineitem(spark, sf())
+      .filter($"l_returnflag" === "R" && to_date($"l_shipdate") >= lit("1997-01-01"))
+      .count()
+    assert(q.count() == want)
+  }
 }
