@@ -96,6 +96,7 @@ object SparkEntry {
     "q78_bloom_join"         -> (AnalyticsQueries.q78BloomJoin _),
     "q79_hist_quantiles"     -> (AnalyticsQueries.q79HistQuantiles _),
     "q80_orc_source"         -> (SourceQueries.q80OrcSource _),
+    "q81_stream_semi_join"   -> (graft.streaming.StreamingQueries.q81StreamSemiJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

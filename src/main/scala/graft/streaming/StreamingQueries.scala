@@ -513,6 +513,68 @@ object StreamingQueries {
     matched.unionByName(unmatched).orderBy("event_id", "rid")
   }
 
+  /** q81: stream-stream LEFT SEMI interval join — completes the
+    * streaming join family (inner q52, left outer q60): "which trades
+    * had ANY price observation in the 2 hours at or before them",
+    * emitting each qualifying left event once, with no right-side
+    * payload and no null-extension machinery. Semi is the cheapest of
+    * the three at 100 TB: matched left rows leave state immediately and
+    * right rows are only ever probed, never emitted, so sink traffic is
+    * bounded by the left stream however dense the right one is.
+    *
+    * Same time-bucket trick as q52 (probes stay O(window), not
+    * O(history)); under SEMI it means a left event matching in both its
+    * probed buckets emits once per bucket-key, so the readback
+    * deduplicates on the event identity — plain distinct, no
+    * watermark-cutoff logic, because matched rows always emit (the
+    * unmatched, which semi silently drops, are exactly what the EXISTS
+    * oracle drops too). */
+  def q81StreamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      q81Inner(spark, sfDir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q81Inner(spark: SparkSession, sfDir: String): DataFrame = {
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q81")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bucketMicros = 2L * 3600 * 1000000
+    val l = src.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("bucket", explode(array(
+        floor(unix_micros(col("ts")) / bucketMicros),
+        floor(unix_micros(col("ts")) / bucketMicros) - 1)))
+    val r = src.filter(col("value") >= 150)
+      .select(col("event_type").as("rticker"), col("ts").as("rts"),
+        col("event_id").as("rid"))
+      .withWatermark("rts", "1 hour")
+      .withColumn("rbucket", floor(unix_micros(col("rts")) / bucketMicros))
+    val q = l.join(r,
+        col("ticker") === col("rticker") && col("bucket") === col("rbucket") &&
+          col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") <= col("ts"),
+        "left_semi")
+      .select("event_id", "ticker", "ts")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out).distinct().orderBy("event_id")
+  }
+
   /** q53: streaming dedup — dropDuplicatesWithinWatermark over a source
     * that delivers every event twice. The duplicates arrive inside the
     * watermark horizon (same event times, one AvailableNow batch), which
@@ -628,6 +690,15 @@ object StreamingQueries {
         |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.ticker = l.ticker
         |    AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts)
         |ORDER BY event_id, rid""".stripMargin,
+
+    "q81_stream_semi_join" ->
+      """SELECT l.event_id, l.event_type AS ticker, l.ts
+        |FROM events l
+        |WHERE l.value < 40 AND EXISTS (
+        |  SELECT 1 FROM events r
+        |  WHERE r.value >= 150 AND r.event_type = l.event_type
+        |    AND r.ts >= l.ts - INTERVAL 2 HOUR AND r.ts <= l.ts)
+        |ORDER BY l.event_id""".stripMargin,
 
     "q52_stream_interval_join" ->
       """WITH l AS (
