@@ -97,6 +97,7 @@ object SparkEntry {
     "q79_hist_quantiles"     -> (AnalyticsQueries.q79HistQuantiles _),
     "q80_orc_source"         -> (SourceQueries.q80OrcSource _),
     "q81_stream_semi_join"   -> (graft.streaming.StreamingQueries.q81StreamSemiJoin _),
+    "q82_weighted_sample"    -> (PipelineQueries.q82WeightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

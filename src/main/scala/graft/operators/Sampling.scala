@@ -32,6 +32,27 @@ object Sampling {
     df.filter(hashUniform(key) < rate)
   }
 
+  /** Deterministic weighted reservoir: the k rows per stratum with the
+    * largest A-Res keys `u^(1/w)` (Efraimidis-Spirakis), where `u` is
+    * the md5 coin of the row key — inclusion probability proportional
+    * to `weight`, yet the selected set is a pure function of the data:
+    * stable under repartitioning, reprocessing, and replicable by any
+    * engine with md5 + pow. This is how a training mixture upweights
+    * high-quality documents without losing run-to-run reproducibility.
+    *
+    * Declarative `row_number <= k` over the A-Res key: Spark's
+    * WindowGroupLimit pushes the limit below the stratum exchange, so
+    * each map task ships only its own top-k per stratum — the
+    * distributed-reservoir merge falls out of the optimizer. */
+  def weightedTopK(df: DataFrame, stratum: Column, key: Column,
+                   weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rk = pow(hashUniform(key), lit(1.0) / weight.cast("double"))
+    val w = Window.partitionBy(stratum).orderBy(rk.desc, key)
+    df.withColumn("ares_rn", row_number().over(w))
+      .filter(col("ares_rn") <= k).drop("ares_rn")
+  }
+
   /** Deterministic train/eval split: rows hash below `evalFraction` go
     * to eval. Returns (train, eval). Membership is a property of the
     * KEY, so it survives reprocessing and dataset unions. */

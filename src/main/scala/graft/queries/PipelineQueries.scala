@@ -142,6 +142,26 @@ object PipelineQueries {
       .select("doc_id", "lang_pred")
       .orderBy("doc_id")
 
+  /** q82: deterministic weighted reservoir per shard — the
+    * quality-weighted half of the sampling story (q49 is the
+    * rate-stratified half). Each shard keeps the 16 documents with the
+    * largest A-Res keys u^(1/n_tokens): longer documents are
+    * proportionally likelier, but the selection is a pure function of
+    * doc_id + text, so it survives repartitioning and reprocessing and
+    * the DuckDB twin reproduces it exactly. WindowGroupLimit turns the
+    * row_number filter into a map-side per-shard top-k before the
+    * exchange — the distributed reservoir merge, for free. */
+  def q82WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.weightedTopK(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("long")),
+        stratum = col("shard"), key = col("doc_id"),
+        weight = col("n_tokens"), k = 16)
+      .select("shard", "doc_id", "n_tokens")
+      .orderBy("shard", "doc_id")
+
   /** The full corpus-curation pipeline as ONE declarative query:
     * near-dup clusters (df-capped n-gram Jaccard → connected
     * components) pick a canonical survivor per cluster; survivors are
@@ -387,6 +407,21 @@ object PipelineQueries {
          |             WHEN lang_pred = 'zh' THEN 1.0 ELSE 0.25 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q82_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           / 1152921504606846976.0 AS u,
+        |         doc_id % 4 AS shard
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |         row_number() OVER (PARTITION BY shard
+        |           ORDER BY pow(u, 1.0/n_tokens) DESC, doc_id) AS rn
+        |  FROM d)
+        |SELECT shard, doc_id, n_tokens FROM r WHERE rn <= 16
+        |ORDER BY shard, doc_id""".stripMargin,
 
     "q49_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
