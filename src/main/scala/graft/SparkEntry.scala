@@ -98,6 +98,8 @@ object SparkEntry {
     "q80_orc_source"         -> (SourceQueries.q80OrcSource _),
     "q81_stream_semi_join"   -> (graft.streaming.StreamingQueries.q81StreamSemiJoin _),
     "q82_weighted_sample"    -> (PipelineQueries.q82WeightedSample _),
+    "q83_cube"               -> (AnalyticsQueries.q83Cube _),
+    "q84_funnel"             -> (EventsQueries.q84Funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

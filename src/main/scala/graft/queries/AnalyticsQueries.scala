@@ -72,6 +72,27 @@ object AnalyticsQueries {
         col("n_parts"), col("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q83: CUBE with grouping_id — all four aggregation levels of
+    * (returnflag, linestatus) in ONE pass (Spark expands the grouping
+    * sets before the shuffle, so partial aggregation still applies),
+    * with grouping_id disambiguating "aggregated-away" from a genuine
+    * null group value — the contract ROLLUP output alone can't give a
+    * consumer. Bit order (first column = most significant) matches
+    * DuckDB's GROUPING() exactly. */
+  def q83Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        sum("l_quantity").as("sum_qty"),
+        sum(microLong(col("l_extendedprice"))).as("bp_l"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"),
+        (col("bp_l").cast("double") / 1e6).as("sum_base_price"),
+        col("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Q33: exact percentiles of quantity per return flag (sorted-set
     * interpolation — order-insensitive, so deterministic). */
   def q33Percentiles(spark: SparkSession, sfDir: String): DataFrame =
@@ -336,6 +357,16 @@ object AnalyticsQueries {
         |       quantile_disc(CAST(l_quantity AS BIGINT), 0.99) AS p99,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q83_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_base_price,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q78_bloom_join" ->
       """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,

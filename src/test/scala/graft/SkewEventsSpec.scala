@@ -85,4 +85,33 @@ class SkewEventsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("funnel fold: strictly-after anchoring, same-instant events don't advance") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // u1 completes; u2's click is simultaneous with its view (no advance);
+    // u3 clicks BEFORE its first view (wrong order, stalls at stage 1);
+    // u4 has view->click but its purchase precedes the click.
+    val rows = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "purchase"),
+      (2L, t(1), 4L, "view"), (2L, t(1), 5L, "click"), (2L, t(9), 6L, "purchase"),
+      (3L, t(1), 7L, "click"), (3L, t(2), 8L, "view"),
+      (4L, t(1), 9L, "view"), (4L, t(5), 10L, "click"), (4L, t(3), 11L, "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val staged = df.groupBy("user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        aggregate($"evs",
+          struct(lit(0).as("stage"), lit(null).cast("timestamp").as("t")),
+          (acc, e) => when(acc("stage") === 0 && e("event_type") === "view",
+              struct(lit(1).as("stage"), e("ts").as("t")))
+            .when(acc("stage") === 1 && e("event_type") === "click" && e("ts") > acc("t"),
+              struct(lit(2).as("stage"), e("ts").as("t")))
+            .when(acc("stage") === 2 && e("event_type") === "purchase" && e("ts") > acc("t"),
+              struct(lit(3).as("stage"), e("ts").as("t")))
+            .otherwise(struct(acc("stage").as("stage"), acc("t").as("t"))),
+          acc => acc("stage")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(staged == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
 }
