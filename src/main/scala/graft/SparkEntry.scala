@@ -100,6 +100,7 @@ object SparkEntry {
     "q82_weighted_sample"    -> (PipelineQueries.q82WeightedSample _),
     "q83_cube"               -> (AnalyticsQueries.q83Cube _),
     "q84_funnel"             -> (EventsQueries.q84Funnel _),
+    "q85_table_diff"         -> (EtlQueries.q85TableDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

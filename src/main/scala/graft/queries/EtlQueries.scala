@@ -81,6 +81,57 @@ object EtlQueries {
     scd2(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "event_type")
       .orderBy("user_id", "effective_from")
 
+  /** Snapshot reconciliation: classify every key across two versions of
+    * a table as added / removed / changed / unchanged. Each side is
+    * reduced to `(key, md5 content hash)` AT THE SCAN, so the full-outer
+    * join shuffles 16-byte digests instead of full rows — the
+    * anti-entropy audit shape for replicated 100 TB stores, where the
+    * question is "what drifted" and the answer must not cost a
+    * full-row shuffle of both copies. Nulls hash distinctly from empty
+    * strings (sentinel coalesce). Hash equality stands in for row
+    * equality; the q85 oracle compares the fields themselves, so a
+    * collision or serialization drift would fail the hash-match. */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    def hashed(df: DataFrame, k: String, h: String) = {
+      val content = df.columns.filterNot(_ == key).sorted
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+      df.select(col(key).as(k),
+        md5(concat_ws("\u0001", content: _*)).as(h))
+    }
+    hashed(oldDf, "k_old", "h_old")
+      .join(hashed(newDf, "k_new", "h_new"),
+        col("k_old") === col("k_new"), "full_outer")
+      .select(coalesce(col("k_old"), col("k_new")).as(key),
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("diff_class"))
+  }
+
+  /** q85: version reconciliation over orders — the new snapshot drops
+    * every 97th key, bumps the price of every 13th, and re-keys every
+    * 101st to a fresh id range. tableDiff's class counts must match the
+    * oracle's direct field-by-field comparison. Prices ride as
+    * micro-longs so the hashed strings are integer-exact across
+    * engines. */
+  def q85TableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 1e6).cast("long").as("price_micro"),
+        col("o_orderpriority"))
+    val nu = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("price_micro",
+        when(col("o_orderkey") % 13 === 0, col("price_micro") + 1000000L)
+          .otherwise(col("price_micro")))
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    tableDiff(o, nu, "o_orderkey")
+      .groupBy("diff_class")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("diff_class")
+  }
+
   /** Q14: replay a batch that is 50% duplicates of existing keys and 50%
     * genuinely new rows (ts shifted +40 days); merged result must equal
     * existing + new only. */
@@ -93,6 +144,34 @@ object EtlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q85_table_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(ROUND(o_totalprice*1000000.0) AS BIGINT) AS price_micro,
+        |         o_orderpriority
+        |  FROM orders),
+        |nu AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN price_micro + 1000000
+        |              ELSE price_micro END AS price_micro,
+        |         o_orderpriority
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, price_micro, o_orderpriority
+        |  FROM o WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT COALESCE(o.o_orderkey, nu.o_orderkey) AS k,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN nu.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_custkey = nu.o_custkey
+        |                AND o.price_micro = nu.price_micro
+        |                AND o.o_orderpriority = nu.o_orderpriority THEN 'unchanged'
+        |              ELSE 'changed' END AS diff_class
+        |  FROM o FULL OUTER JOIN nu ON o.o_orderkey = nu.o_orderkey)
+        |SELECT diff_class, COUNT(*) AS n,
+        |       MIN(k) AS min_key, MAX(k) AS max_key
+        |FROM d GROUP BY diff_class ORDER BY diff_class""".stripMargin,
+
     "q77_scd2_history" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,
