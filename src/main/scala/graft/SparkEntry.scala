@@ -101,6 +101,7 @@ object SparkEntry {
     "q83_cube"               -> (AnalyticsQueries.q83Cube _),
     "q84_funnel"             -> (EventsQueries.q84Funnel _),
     "q85_table_diff"         -> (EtlQueries.q85TableDiff _),
+    "q86_salted_join"        -> (SourceQueries.q86SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

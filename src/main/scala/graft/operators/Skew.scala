@@ -27,4 +27,23 @@ object Skew {
     // stage 2: merge partials per key — at most `buckets` rows per key
     partial.groupBy(keys.map(col): _*).agg(sum(col("_partial")).as("sum"))
   }
+
+  /** Salted equi-join for skewed keys when NEITHER side broadcasts: the
+    * probe side gets a per-row salt in [0, buckets), the build side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `buckets` reducers
+    * instead of melting one. Replication multiplies only the SMALLER
+    * side (x buckets), the classic trade at 100 TB where AQE's runtime
+    * skew split can't see the join (e.g. inside streaming micro-batches
+    * or under a required child distribution). Exact: salts partition
+    * the probe rows, and every probe row still meets every build row of
+    * its key exactly once. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -65,6 +65,28 @@ object SourceQueries {
       .select(col("l_suppkey"), col("sum").as("qty_micro"))
       .orderBy("l_suppkey")
 
+  /** q86: salted skew JOIN — the join-side complement of q43's salted
+    * aggregation. `event_type` has 5 values, so a plain shuffle join
+    * would melt 5 reducers while the rest idle; [[Skew.saltedJoin]]
+    * spreads each hot key over 8 salted sub-keys and replicates only
+    * the 5-row build side. The shuffle_hash hint models the at-scale
+    * case (build side too big to broadcast, AQE blind to the skew —
+    * e.g. inside a streaming micro-batch). Above-average test runs in
+    * exact long arithmetic (vm * n > total), so the plain-join oracle
+    * matches bit for bit. */
+  def q86SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+    val dim = ev.groupBy("event_type")
+      .agg(sum("vm").as("total"), count(lit(1)).as("n"))
+    Skew.saltedJoin(ev, dim.hint("shuffle_hash"), "event_type", buckets = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("vm") * col("n") > col("total"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("event_type")
+  }
+
   /** Order-priority revenue rollup through bucketed tables: both sides
     * written bucketed+sorted by the join key, joined (no exchange on
     * either side — see AsofBucketingSpec), then aggregated. */
@@ -206,6 +228,18 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q86_salted_join" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ROUND(value*1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, SUM(vm) AS total, COUNT(*) AS n
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN e.vm * d.n > d.total THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM e JOIN d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q80_orc_source" ->
       """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
         |       COUNT(*) AS n,

@@ -86,6 +86,17 @@ class SkewEventsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin returns exactly the plain join's rows") {
+    val ev = Tables.events(spark, sf())
+      .select($"event_type", $"event_id", $"user_id")
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedJoin(ev, dim, "event_type", buckets = 8)
+      .select("event_type", "event_id", "n")
+    val plain = ev.join(dim, Seq("event_type")).select("event_type", "event_id", "n")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
   test("funnel fold: strictly-after anchoring, same-instant events don't advance") {
     import java.sql.Timestamp
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
