@@ -102,6 +102,7 @@ object SparkEntry {
     "q84_funnel"             -> (EventsQueries.q84Funnel _),
     "q85_table_diff"         -> (EtlQueries.q85TableDiff _),
     "q86_salted_join"        -> (SourceQueries.q86SaltedJoin _),
+    "q87_schema_evolution"   -> (SourceQueries.q87SchemaEvolution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -171,6 +171,33 @@ object SourceQueries {
       .orderBy("shard")
   }
 
+  /** q87: schema evolution across parquet batches — an early batch
+    * written without `user_id`, a later batch with it, read back as ONE
+    * table via mergeSchema: the reader unions the footer schemas and
+    * null-fills the missing column, so old files never need rewriting
+    * when a pipeline adds fields — the append-only evolution contract a
+    * 100 TB store depends on (schema merge is footer metadata work, not
+    * a data scan; per-file pruning and pushdown still apply). The
+    * aggregation distinguishes genuinely-null from absent-column rows
+    * via count(user_id), which the union-with-NULL oracle replicates. */
+  def q87SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q87").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"), col("user_id"))
+    ev.filter(col("event_id") % 2 === 0).drop("user_id")
+      .write.parquet(s"$tmp/t/batch=1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .write.parquet(s"$tmp/t/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("vm").as("sum_vm"),
+        count(col("user_id")).as("n_with_user"),
+        sum(coalesce(col("user_id"), lit(0L))).as("sum_user"))
+      .orderBy("event_type")
+  }
+
   /** q80: ORC source/sink round-trip — the format family's third leg
     * (parquet throughout, JSON q54). A lineitem projection lands as
     * ORC, and the readback filters on both a string equality and a
@@ -228,6 +255,21 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q87_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT event_type, CAST(ROUND(value*1000000.0) AS BIGINT) AS vm,
+        |         NULL AS user_id
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, CAST(ROUND(value*1000000.0) AS BIGINT) AS vm,
+        |         user_id
+        |  FROM events WHERE event_id % 2 <> 0)
+        |SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(vm) AS BIGINT) AS sum_vm,
+        |       COUNT(user_id) AS n_with_user,
+        |       CAST(SUM(COALESCE(user_id, 0)) AS BIGINT) AS sum_user
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q86_salted_join" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ROUND(value*1000000.0) AS BIGINT) AS vm
