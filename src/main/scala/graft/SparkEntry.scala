@@ -103,6 +103,7 @@ object SparkEntry {
     "q85_table_diff"         -> (EtlQueries.q85TableDiff _),
     "q86_salted_join"        -> (SourceQueries.q86SaltedJoin _),
     "q87_schema_evolution"   -> (SourceQueries.q87SchemaEvolution _),
+    "q88_rolling_window"     -> (EventsQueries.q88RollingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -143,6 +143,28 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** q88: time-RANGE rolling aggregation — per-ticker 7-day trailing
+    * sum/count over the daily series, via `rangeBetween` on the day
+    * number: the window covers VALUES within [day-6, day], not a fixed
+    * row count, so gaps in the calendar shrink the window instead of
+    * silently reaching further back — the semantics rowsBetween gets
+    * wrong on sparse series. One shuffle on ticker; the daily rollup
+    * and both range windows share its sort. Exact micro-long sums. */
+  def q88RollingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.prices(spark, sfDir)
+      .groupBy(col("ticker"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("close") * 1e6).cast("long")).as("cm"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy("ticker")
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("ticker"), col("day"),
+        (sum(col("cm")).over(w).cast("double") / 1e6).as("roll7_sum"),
+        sum(col("n")).over(w).as("roll7_n"))
+      .orderBy("ticker", "day")
+  }
+
   /** q84: ordered funnel analysis — how many users progressed
     * view → click → purchase, each step STRICTLY after the previous
     * (earliest-progression semantics: the first view anchors the
@@ -184,6 +206,21 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q88_rolling_window" ->
+      """WITH d AS (
+        |  SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS cm,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ticker, day,
+        |       CAST(CAST(SUM(cm) OVER w AS BIGINT) AS DOUBLE)/1000000.0 AS roll7_sum,
+        |       CAST(SUM(n) OVER w AS BIGINT) AS roll7_n
+        |FROM d
+        |WINDOW w AS (PARTITION BY ticker
+        |             ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY ticker, day""".stripMargin,
+
     "q84_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
