@@ -104,6 +104,7 @@ object SparkEntry {
     "q86_salted_join"        -> (SourceQueries.q86SaltedJoin _),
     "q87_schema_evolution"   -> (SourceQueries.q87SchemaEvolution _),
     "q88_rolling_window"     -> (EventsQueries.q88RollingWindow _),
+    "q89_dpp_join"           -> (SourceQueries.q89DppJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

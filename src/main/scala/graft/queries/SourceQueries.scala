@@ -254,7 +254,56 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** q89 joined frame before the final sort — factored out so DppSpec
+    * can assert the plan shape on the exact frame the query runs. */
+  def q89Frame(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q89").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+          .cast("long").as("rev_micro"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM").as("ship_month"))
+    li.write.partitionBy("ship_month").mode("overwrite").parquet(s"$tmp/fact")
+    // calendar dimension as its OWN parquet source: the quarter filter
+    // below is a runtime predicate over file data, so the matching month
+    // values are unknowable at plan time — exactly the shape that forces
+    // dynamic (not static) partition pruning.
+    li.select("ship_month").distinct()
+      .withColumn("year", substring(col("ship_month"), 1, 4).cast("int"))
+      .withColumn("qtr", // integer div: Column./ is double division
+        expr("(cast(substring(ship_month, 6, 2) as int) - 1) div 3 + 1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/calendar")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/calendar")
+      .filter(col("year") === 1997 && col("qtr") === 2)
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .groupBy("ship_month", "l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("rev_micro").as("rev_micro"))
+  }
+
+  /** q89: dynamic partition pruning, proven in the plan. The fact table
+    * lands partitioned by ship month (~82 directories over 1995-2001);
+    * the query joins it to a calendar dimension filtered to 1997Q2.
+    * Catalyst plans a `dynamicpruningexpression` on the fact scan
+    * (asserted in DppSpec): at runtime the broadcast of the filtered
+    * dimension is REUSED as an IN-filter over the partition column, so
+    * only the 3 matching month directories are ever listed/read — at
+    * 100 TB the difference between scanning one quarter and scanning
+    * seven years. Results are layout-independent; the oracle applies
+    * the quarter predicate directly to the raw table. */
+  def q89DppJoin(spark: SparkSession, sfDir: String): DataFrame =
+    q89Frame(spark, sfDir).orderBy("ship_month", "l_returnflag")
+
   val oracle: Map[String, String] = Map(
+    "q89_dpp_join" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        |       l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |WHERE year(CAST(l_shipdate AS DATE)) = 1997
+        |  AND quarter(CAST(l_shipdate AS DATE)) = 2
+        |GROUP BY 1, 2 ORDER BY ship_month, l_returnflag""".stripMargin,
+
     "q87_schema_evolution" ->
       """WITH u AS (
         |  SELECT event_type, CAST(ROUND(value*1000000.0) AS BIGINT) AS vm,
