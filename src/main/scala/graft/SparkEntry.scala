@@ -105,6 +105,7 @@ object SparkEntry {
     "q87_schema_evolution"   -> (SourceQueries.q87SchemaEvolution _),
     "q88_rolling_window"     -> (EventsQueries.q88RollingWindow _),
     "q89_dpp_join"           -> (SourceQueries.q89DppJoin _),
+    "q90_stream_full_outer_join" -> (graft.streaming.StreamingQueries.q90StreamFullOuterJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

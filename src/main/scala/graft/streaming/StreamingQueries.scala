@@ -575,6 +575,81 @@ object StreamingQueries {
     spark.read.parquet(out).distinct().orderBy("event_id")
   }
 
+  /** q90: stream-stream FULL OUTER interval join — completes the family
+    * (inner q52, left outer q60, semi q81) with the one shape that
+    * null-extends BOTH sides on watermark expiry. The eviction
+    * semantics differ per side and fall out of the time constraint
+    * `rts ∈ [ts - 2h, ts]`: an unmatched LEFT row can only stop waiting
+    * once no future right row may satisfy `rts <= ts`, i.e. when the
+    * watermark passes `ts`; an unmatched RIGHT row waits for future
+    * lefts with `ts <= rts + 2h`, i.e. until the watermark passes
+    * `rts + 2h`. The oracle encodes both cutoffs against the final
+    * watermark (min of the two sides' ms-truncated max event time minus
+    * the 1h delay).
+    *
+    * Same time-bucket trick as q52/q60 (per-probe state O(window)).
+    * Under FULL OUTER the left's two bucket-rows mean a spurious left
+    * null can emit even when the sibling bucket matched, so the
+    * readback keeps left-nulls only for event_ids with no matched row
+    * (q60's contract). Right rows sit in exactly ONE bucket and every
+    * left probes it, so right-side matching is complete and each
+    * unmatched right emits exactly once — no dedup or cutoff logic
+    * needed on that side. */
+  def q90StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      q90Inner(spark, sfDir)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q90Inner(spark: SparkSession, sfDir: String): DataFrame = {
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q90")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bucketMicros = 2L * 3600 * 1000000
+    val l = src.filter(col("value") < 40)
+      .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("bucket", explode(array(
+        floor(unix_micros(col("ts")) / bucketMicros),
+        floor(unix_micros(col("ts")) / bucketMicros) - 1)))
+    val r = src.filter(col("value") >= 150)
+      .select(col("event_type").as("rticker"), col("ts").as("rts"),
+        col("value").as("close"), col("event_id").as("rid"))
+      .withWatermark("rts", "1 hour")
+      .withColumn("rbucket", floor(unix_micros(col("rts")) / bucketMicros))
+    val q = l.join(r,
+        col("ticker") === col("rticker") && col("bucket") === col("rbucket") &&
+          col("rts") >= col("ts") - expr("INTERVAL 2 HOURS") &&
+          col("rts") <= col("ts"),
+        "full_outer")
+      .select(col("event_id"),
+        coalesce(col("ticker"), col("rticker")).as("ticker"),
+        col("ts"), col("rts"), col("close"), col("rid"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(out)
+    val matched = sunk.filter(col("rid").isNotNull && col("event_id").isNotNull)
+    val leftNulls = sunk.filter(col("rid").isNull && col("event_id").isNotNull)
+      .distinct()
+      .join(matched.select("event_id").distinct(), Seq("event_id"), "left_anti")
+    val rightNulls = sunk.filter(col("event_id").isNull)
+    matched.unionByName(leftNulls).unionByName(rightNulls)
+      .orderBy("event_id", "rid")
+  }
+
   /** q53: streaming dedup — dropDuplicatesWithinWatermark over a source
     * that delivers every event twice. The duplicates arrive inside the
     * watermark horizon (same event times, one AvailableNow batch), which
@@ -688,6 +763,36 @@ object StreamingQueries {
         |FROM l, wm
         |WHERE l.ts < wm.cut
         |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.ticker = l.ticker
+        |    AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts)
+        |ORDER BY event_id, rid""".stripMargin,
+
+    // both cutoffs against the same final watermark as q60: lefts
+    // null-extend below `cut` (no future right can satisfy rts <= ts),
+    // rights below `cut - 2h` (no future left can satisfy ts <= rts+2h)
+    "q90_stream_full_outer_join" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type AS ticker, ts FROM events WHERE value < 40),
+        |r AS (
+        |  SELECT event_type AS ticker, ts AS rts, value AS close, event_id AS rid
+        |  FROM events WHERE value >= 150),
+        |wm AS (
+        |  SELECT date_trunc('milliseconds',
+        |           LEAST((SELECT max(ts) FROM l), (SELECT max(rts) FROM r)))
+        |         - INTERVAL 1 HOUR AS cut)
+        |SELECT l.event_id, l.ticker, l.ts, r.rts, r.close, r.rid
+        |FROM l JOIN r ON l.ticker = r.ticker
+        |  AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts
+        |UNION ALL
+        |SELECT l.event_id, l.ticker, l.ts, NULL, NULL, NULL
+        |FROM l, wm
+        |WHERE l.ts < wm.cut
+        |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.ticker = l.ticker
+        |    AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts)
+        |UNION ALL
+        |SELECT NULL, r.ticker, NULL, r.rts, r.close, r.rid
+        |FROM r, wm
+        |WHERE r.rts < wm.cut - INTERVAL 2 HOUR
+        |  AND NOT EXISTS (SELECT 1 FROM l WHERE l.ticker = r.ticker
         |    AND r.rts >= l.ts - INTERVAL 2 HOUR AND r.rts <= l.ts)
         |ORDER BY event_id, rid""".stripMargin,
 
