@@ -169,41 +169,23 @@ object EventsQueries {
     * view → click → purchase, each step STRICTLY after the previous
     * (earliest-progression semantics: the first view anchors the
     * funnel, the first later click advances it, the first later
-    * purchase completes it). ONE shuffle on user_id: each user's
-    * events are collected sorted by (ts, event_id) and walked with a
-    * single `aggregate` fold carrying (stage, anchor-ts) — no
-    * per-stage self-joins, no window cascade. Per-group state is the
-    * user's own history, the same bound q18's sessionize already
-    * carries; at 100 TB both would move to the CostBasis
-    * sorted-mapPartitions shape if single users outgrew memory. The
+    * purchase completes it). ONE shuffle on user_id, then the
+    * [[graft.operators.Funnel]] streaming walk over secondary-sorted
+    * partitions — O(1) state per in-flight user, so a hot key with 10⁸
+    * events streams through instead of filling one aggregation buffer
+    * (FunnelSpec proves the hot-key case and equivalence with the
+    * buffered fold). No per-stage self-joins, no window cascade. The
     * oracle computes the identical stages via min-after-min joins —
     * equivalent because the fold's greedy anchors ARE those minima. */
-  def q84Funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val walked = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(
-        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
-      .select(col("user_id"),
-        aggregate(col("evs"),
-          struct(lit(0).as("stage"), lit(null).cast("timestamp").as("t")),
-          (acc, e) => {
-            val stage = acc("stage"); val t = acc("t")
-            val ts = e("ts"); val ty = e("event_type")
-            when(stage === 0 && ty === "view",
-                struct(lit(1).as("stage"), ts.as("t")))
-              .when(stage === 1 && ty === "click" && ts > t,
-                struct(lit(2).as("stage"), ts.as("t")))
-              .when(stage === 2 && ty === "purchase" && ts > t,
-                struct(lit(3).as("stage"), ts.as("t")))
-              .otherwise(struct(stage.as("stage"), t.as("t")))
-          },
-          acc => acc("stage")).as("stage"))
-    walked.agg(
-      sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_stage1"),
-      sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_stage2"),
-      sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_stage3"))
-  }
+  def q84Funnel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Funnel.stages(
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("view", "click", "purchase"))
+      .agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_stage1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_stage2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_stage3"))
 
   val oracle: Map[String, String] = Map(
     "q88_rolling_window" ->
