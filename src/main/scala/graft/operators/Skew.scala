@@ -11,16 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: xxhash64 of ALL the row's columns,
+    * bucketed. A function of the data, not of the scan order — the same
+    * row routes to the same bucket on every run, retry, and speculative
+    * copy, so partition contents are replayable (debuggable, dedupable
+    * under speculation). Identical duplicate rows share a bucket, which
+    * is harmless: skew comes from many DISTINCT rows under one hot key,
+    * and those differ in some column. */
+  private def stableSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+
   /** Two-phase salted sum of `value` per `keys`. The salt only routes
-    * rows to buckets — it cancels out in the merge — so a per-row
-    * monotonic id is a fine source even though it is not stable across
-    * reruns. Exact for integral types and the engine's scaled-long
-    * sums (merge order never matters for longs). */
+    * rows to buckets — it cancels out in the merge. Exact for integral
+    * types and the engine's scaled-long sums (merge order never matters
+    * for longs). */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
                 buckets: Int): DataFrame = {
     val salted = df
       .withColumn("_v", value)
-      .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      .withColumn("_salt", stableSalt(df, buckets))
     // stage 1: partial sums per (keys, salt) — spreads the hot key
     val partial = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(col("_v")).as("_partial"))
@@ -40,8 +49,7 @@ object Skew {
     * its key exactly once. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  buckets: Int): DataFrame = {
-    val salted = probe.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    val salted = probe.withColumn("_salt", stableSalt(probe, buckets))
     val replicated = build.withColumn("_salt",
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

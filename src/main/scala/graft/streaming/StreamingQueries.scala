@@ -524,11 +524,15 @@ object StreamingQueries {
     *
     * Same time-bucket trick as q52 (probes stay O(window), not
     * O(history)); under SEMI it means a left event matching in both its
-    * probed buckets emits once per bucket-key, so the readback
-    * deduplicates on the event identity — plain distinct, no
-    * watermark-cutoff logic, because matched rows always emit (the
-    * unmatched, which semi silently drops, are exactly what the EXISTS
-    * oracle drops too). */
+    * probed buckets emits once per bucket-key. The dedup happens IN the
+    * stream — `dropDuplicates(event_id, ts)` chained after the join,
+    * state keyed on the event identity and evicted by the same
+    * watermark (ts carries the event-time tag through the join) — so
+    * the sink already holds each qualifying event once and the readback
+    * is a plain ordered scan, not a second full shuffle of everything
+    * the stream just wrote. No watermark-cutoff logic: matched rows
+    * always emit (the unmatched, which semi silently drops, are exactly
+    * what the EXISTS oracle drops too). */
   def q81StreamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -564,6 +568,9 @@ object StreamingQueries {
           col("rts") <= col("ts"),
         "left_semi")
       .select("event_id", "ticker", "ts")
+      // in-stream dedup of the per-bucket duplicate emits: stateful op
+      // chained after the join, evicted by the watermark ts still carries
+      .dropDuplicates("event_id", "ts")
       .writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -572,7 +579,7 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(out).distinct().orderBy("event_id")
+    spark.read.parquet(out).orderBy("event_id")
   }
 
   /** q90: stream-stream FULL OUTER interval join — completes the family
