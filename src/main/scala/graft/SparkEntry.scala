@@ -51,7 +51,7 @@ object SparkEntry {
     "q33_percentiles"        -> (AnalyticsQueries.q33Percentiles _),
     "q34_histogram"          -> (AnalyticsQueries.q34Histogram _),
     "q35_window_funcs"       -> (AnalyticsQueries.q35WindowFuncs _),
-    "q36_approx_stats"       -> (AnalyticsQueries.q36ApproxStats _),
+    "q36_stats_envelope"     -> (AnalyticsQueries.q36StatsEnvelope _),
     "q37_stream_user_stats"  -> (graft.streaming.StreamingQueries.q37StreamUserStats _),
     "q38_asof_join"          -> (EventsQueries.q38AsofJoin _),
     "q39_dedup_ngram_capped" -> (PipelineQueries.q39NgramJaccardCapped _),

@@ -64,9 +64,16 @@ case class TopKRows(
                       input: InternalRow): mutable.PriorityQueue[Entry] = {
     val v = child.eval(input)
     if (v != null) {
-      // copy out of the (reused) eval buffers before keeping a reference
-      val row = proj(v.asInstanceOf[InternalRow]).copy()
-      offer(buf, Entry(row.getDouble(0), row.getUTF8String(1), row))
+      val in = v.asInstanceOf[InternalRow]
+      // a null priority would silently read as 0.0 and a null tiebreak
+      // would NPE inside the heap comparator — rows without a defined
+      // rank cannot participate, so skip them (the aggregate mirror of
+      // SQL aggregates ignoring NULL inputs)
+      if (!in.isNullAt(0) && !in.isNullAt(1)) {
+        // copy out of the (reused) eval buffers before keeping a reference
+        val row = proj(in).copy()
+        offer(buf, Entry(row.getDouble(0), row.getUTF8String(1), row))
+      }
     }
     buf
   }

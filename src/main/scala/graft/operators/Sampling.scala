@@ -40,17 +40,26 @@ object Sampling {
     * engine with md5 + pow. This is how a training mixture upweights
     * high-quality documents without losing run-to-run reproducibility.
     *
-    * Declarative `row_number <= k` over the A-Res key: Spark's
-    * WindowGroupLimit pushes the limit below the stratum exchange, so
-    * each map task ships only its own top-k per stratum — the
-    * distributed-reservoir merge falls out of the optimizer. */
+    * The per-stratum top-k runs as [[graft.functions.TopKRows]], a
+    * bounded-heap `TypedImperativeAggregate`: each map task keeps at
+    * most k rows per stratum in an O(k) heap, ships those k to the
+    * exchange, and merge unions heaps — the distributed-reservoir
+    * merge as a first-class aggregate. Against the declarative
+    * alternative (`row_number <= k` over a window), the heap never
+    * sorts a stratum and its state is O(k) however hot the stratum is;
+    * the window form needs a full per-stratum sort even with
+    * WindowGroupLimit trimming what crosses the exchange. Rare A-Res
+    * key ties (identical priority doubles) resolve on the row key's
+    * STRING form, binary UTF8 order. */
   def weightedTopK(df: DataFrame, stratum: Column, key: Column,
                    weight: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rk = pow(hashUniform(key), lit(1.0) / weight.cast("double"))
-    val w = Window.partitionBy(stratum).orderBy(rk.desc, key)
-    df.withColumn("ares_rn", row_number().over(w))
-      .filter(col("ares_rn") <= k).drop("ares_rn")
+    val entry = struct(rk.as("_pri"), key.cast("string").as("_tb"),
+      struct(df.columns.map(col).toIndexedSeq: _*).as("_row"))
+    df.groupBy(stratum.as("_stratum"))
+      .agg(graft.functions.TopKRows.topKRows(entry, k).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e._row.*"))
   }
 
   /** Deterministic train/eval split: rows hash below `evalFraction` go

@@ -148,9 +148,11 @@ object PipelineQueries {
     * largest A-Res keys u^(1/n_tokens): longer documents are
     * proportionally likelier, but the selection is a pure function of
     * doc_id + text, so it survives repartitioning and reprocessing and
-    * the DuckDB twin reproduces it exactly. WindowGroupLimit turns the
-    * row_number filter into a map-side per-shard top-k before the
-    * exchange — the distributed reservoir merge, for free. */
+    * the DuckDB twin reproduces it exactly. The top-k itself is the
+    * bounded-heap [[graft.functions.TopKRows]] aggregate: O(k) state
+    * per shard, map-side partial heaps, no per-shard sort anywhere
+    * (TopKRowsSpec pins it to the window `row_number` form it
+    * replaced). */
   def q82WeightedSample(spark: SparkSession, sfDir: String): DataFrame =
     Sampling.weightedTopK(
         Tables.documents(spark, sfDir)

@@ -50,22 +50,26 @@ class SkewEventsSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
-  test("approx sketches stay within tolerance of exact values") {
-    val approx = graft.queries.AnalyticsQueries.q36ApproxStats(spark, sf("sf0.01"))
+  test("approx sketch companion stays within tolerance of the q36 envelope") {
+    val approx = graft.queries.AnalyticsQueries.approxStatsCompanion(spark, sf("sf0.01"))
       .collect().map(r => r.getString(0) -> r).toMap
-    val exact = Tables.lineitem(spark, sf("sf0.01"))
+    val exactP50 = Tables.lineitem(spark, sf("sf0.01"))
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("n"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val envelope = graft.queries.AnalyticsQueries.q36StatsEnvelope(spark, sf("sf0.01"))
       .collect().map(r => r.getString(0) -> r).toMap
-    exact.foreach { case (flag, e) =>
+    envelope.foreach { case (flag, e) =>
       val a = approx(flag)
-      val relDistinct = math.abs(a.getAs[Long]("approx_parts").toDouble - e.getAs[Long]("n")) /
-        e.getAs[Long]("n").toDouble
+      val nParts = e.getAs[Long]("n_parts")
+      val relDistinct =
+        math.abs(a.getAs[Long]("approx_parts").toDouble - nParts) / nParts.toDouble
       assert(relDistinct < 0.05, s"$flag HLL error $relDistinct")
-      val relP50 = math.abs(a.getAs[Double]("ap50") - e.getAs[Double]("p50")) /
-        e.getAs[Double]("p50")
+      val relP50 = math.abs(a.getAs[Double]("ap50") - exactP50(flag)) / exactP50(flag)
       assert(relP50 < 0.05, s"$flag approx p50 error $relP50")
+      val p99 = a.getAs[Double]("ap99")
+      assert(p99 >= e.getAs[Double]("min_price") && p99 <= e.getAs[Double]("max_price"),
+        s"$flag approx p99 $p99 escapes the exact [min,max] envelope")
     }
   }
 
