@@ -45,11 +45,18 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) secs else -secs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness that captures this output keeps only a bounded tail of
+    // it, so the line must stay short: keys are the qNN prefix of the
+    // query name (unique by construction) and timings are rounded to ms.
+    // With ~90 queries the full-name line had grown past the capture
+    // window and the header ("metric"/"value") was being cut off.
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val total = ms(results.map { case (_, v) => math.abs(v) }.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
