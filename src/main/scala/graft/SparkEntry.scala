@@ -106,6 +106,7 @@ object SparkEntry {
     "q88_rolling_window"     -> (EventsQueries.q88RollingWindow _),
     "q89_dpp_join"           -> (SourceQueries.q89DppJoin _),
     "q90_stream_full_outer_join" -> (graft.streaming.StreamingQueries.q90StreamFullOuterJoin _),
+    "q91_jpeg_meta"          -> (PipelineQueries.q91JpegMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

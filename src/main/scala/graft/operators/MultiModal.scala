@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * audio / video payloads as opaque `binary` columns with a typed
   * metadata struct, processed partition-batched.
   *
-  * Header-level decode is REAL for two container formats — PNG (IHDR:
-  * width/height/bit-depth/color-type, big-endian) and canonical PCM
-  * WAV (fmt chunk: sample-rate/channels/bits + data-chunk duration,
-  * little-endian) — parsed straight from the bytes with pure column
-  * expressions and checked against ground truth persisted
-  * independently of the parser (fixtures/{png,wav}_assets.parquet).
+  * Header-level decode is REAL for three container formats — PNG
+  * (IHDR: width/height/bit-depth/color-type, big-endian), canonical
+  * PCM WAV (fmt chunk: sample-rate/channels/bits + data-chunk
+  * duration, little-endian), and JPEG (SOF0-SOF3 frame header found by
+  * a genuine marker-segment walk, since its offset varies per file) —
+  * parsed straight from the bytes with column expressions and checked
+  * against ground truth persisted independently of the parser
+  * (fixtures/{png,wav,jpeg}_assets.parquet).
   * Formats whose metadata needs a full codec fall back to a
   * *deterministic documented STUB* (md5-derived pseudo-header, exact
   * byte statistics) — this container ships no native codecs.
@@ -63,6 +65,68 @@ object MultiModal {
       substring(content, 1, 8) === lit(PngSig) &&
       substring(content, 13, 4) === lit(IhdrTag)
 
+  /** Unsigned byte at a DYNAMIC 1-indexed offset — unlike the PNG/WAV
+    * fields, JPEG frame headers sit at a variable offset, so the reads
+    * take the position as a column. Past-the-end reads yield null,
+    * which the walker treats as malformed input. */
+  private def byteAt(content: Column, pos: Column): Column =
+    conv(hex(content.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** Big-endian u16 at a dynamic 1-indexed offset. */
+  private def be16At(content: Column, pos: Column): Column =
+    conv(hex(content.substr(pos.cast("int"), lit(2))), 16, 10).cast("long")
+
+  /** True when the payload is a JPEG: SOI marker followed by the first
+    * segment's FF byte. */
+  def isJpeg(content: Column): Column =
+    length(content) >= 4 &&
+      substring(content, 1, 3) ===
+        lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+
+  /** 1-indexed offset of the SOF (start-of-frame) segment, or null.
+    *
+    * JPEG metadata cannot be read at fixed offsets: the frame header
+    * hides behind a variable prefix of APPn/DQT/COM segments, and the
+    * byte pair FF C0 can legitimately occur INSIDE a segment payload
+    * (Exif thumbnails do exactly this), so "find first FFC0" mis-parses
+    * real files. This is a real marker-segment walk as a bounded fold:
+    * state is the offset of the current segment's FF byte; each step
+    * either terminates (SOF0/1/2/3 found → negated offset; SOS/EOI or a
+    * non-FF byte → 0 = malformed) or hops over the segment via its
+    * big-endian length field. 64 iterations bounds the walk — far above
+    * any real header's segment count. `aggregate` is an interpreted
+    * (non-codegen) HOF, but the fold is O(segments), touches only
+    * header bytes, and stays fully distributed. */
+  def jpegSofOffset(content: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), lit(64)),
+      lit(3L), // first segment starts right after the 2-byte SOI
+      (st, _) => {
+        val mk = byteAt(content, st + 1)
+        when(st <= 0, st) // terminal: found (<0) or malformed (0)
+          .otherwise(
+            when(byteAt(content, st) =!= 255L, lit(0L))
+              .when(mk === 255L, st + 1) // FF fill byte padding
+              .when(mk.isin(192L, 193L, 194L, 195L), -st) // SOF0-SOF3
+              .when(mk.isin(216L, 218L, 217L), lit(0L)) // SOI/SOS/EOI: no SOF
+              .otherwise(st + 2L + be16At(content, st + 2)))
+      })
+    when(walked < 0, -walked)
+  }
+
+  /** Parsed SOF fields: FF marker len(2) precision(1) height(2)
+    * width(2) n_components(1), heights/widths big-endian. Null struct
+    * fields when the payload is not a well-formed JPEG. */
+  def jpegSof(content: Column): Column = {
+    val off = jpegSofOffset(content)
+    struct(
+      be16At(content, off + 7).as("width"),
+      be16At(content, off + 5).as("height"),
+      byteAt(content, off + 4).as("precision"),
+      byteAt(content, off + 9).as("n_components"),
+      (byteAt(content, off + 1) === 194L).as("progressive"))
+  }
+
   /** True when the payload is a canonical-layout PCM WAV: RIFF
     * signature, WAVE form, "fmt " first chunk, "data" second (the
     * layout every encoder emits; exotic chunk orders fall back to the
@@ -85,17 +149,22 @@ object MultiModal {
     val h = md5(col("content"))
     val png = isPng(col("content"))
     val wav = isWav(col("content"))
+    val jpg = isJpeg(col("content"))
+    val sof = jpegSof(col("content"))
     val c = col("content")
     assets
       .withColumn("n_bytes", length(c).cast("long"))
       .withColumn("width",
         when(png, beLong(substring(c, 17, 4)))
+          .when(jpg, sof("width"))
           .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("height",
         when(png, beLong(substring(c, 21, 4)))
+          .when(jpg, sof("height"))
           .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("bit_depth",
         when(png, beLong(substring(c, 25, 1)))
+          .when(jpg, sof("precision"))
           .when(wav, leLong(c, 35, 2)))
       .withColumn("color_type",
         when(png, beLong(substring(c, 26, 1))))
@@ -103,6 +172,7 @@ object MultiModal {
         when(wav, leLong(c, 25, 4)))
       .withColumn("channels",
         when(wav, leLong(c, 23, 2))
+          .when(jpg, sof("n_components"))
           .otherwise(when(col("modality") === "image", 3L).otherwise(1L)))
       .withColumn("duration_ms",
         when(wav, floorDiv(leLong(c, 41, 4) * 1000, leLong(c, 29, 4)))

@@ -268,6 +268,7 @@ object PipelineQueries {
     * oracle reads the truth columns while Spark parses the bytes. */
   val PngFixture = "/root/repo/fixtures/png_assets.parquet"
   val WavFixture = "/root/repo/fixtures/wav_assets.parquet"
+  val JpegFixture = "/root/repo/fixtures/jpeg_assets.parquet"
 
   def q28MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val stub = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
@@ -278,6 +279,28 @@ object PipelineQueries {
     MultiModal.byteFeatures(MultiModal.decodeMeta(stub.unionByName(png).unionByName(wav)))
       .select("asset_id", "modality", "n_bytes", "width", "height",
         "channels", "duration_ms", "byte_sum", "byte_max")
+      .orderBy("asset_id")
+  }
+
+  /** q91: JPEG frame-header decode — the third real byte-level format
+    * after PNG and WAV, and the first whose metadata is NOT at a fixed
+    * offset: [[MultiModal.jpegSofOffset]] walks the marker segments to
+    * find SOF0-SOF3, so Exif payloads containing marker-like byte pairs
+    * parse correctly (the fixture plants FF C0 inside APP1 segments on
+    * purpose). The oracle reads the ground-truth columns persisted at
+    * fixture-generation time (tools/gen_jpeg_fixture.py) — independent
+    * of the parser, so a hash match is a genuine decode check. */
+  def q91JpegMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val sof = MultiModal.jpegSof(col("content"))
+    spark.read.parquet(JpegFixture)
+      .select(
+        col("asset_id"),
+        sof("width").as("width"),
+        sof("height").as("height"),
+        sof("precision").as("bit_depth"),
+        sof("n_components").as("n_components"),
+        sof("progressive").as("progressive"),
+        length(col("content")).cast("long").as("n_bytes"))
       .orderBy("asset_id")
   }
 
@@ -723,6 +746,14 @@ object PipelineQueries {
         |       CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_sum,
         |       CAST(list_max(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_max
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q91_jpeg_meta" ->
+      s"""SELECT asset_id, true_width AS width, true_height AS height,
+        |       CAST(8 AS BIGINT) AS bit_depth,
+        |       true_n_components AS n_components,
+        |       true_progressive AS progressive,
+        |       true_n_bytes AS n_bytes
+        |FROM '$JpegFixture' ORDER BY asset_id""".stripMargin,
 
     "q29_frame_sample" ->
       """WITH vids AS (
