@@ -107,6 +107,10 @@ object SparkEntry {
     "q89_dpp_join"           -> (SourceQueries.q89DppJoin _),
     "q90_stream_full_outer_join" -> (graft.streaming.StreamingQueries.q90StreamFullOuterJoin _),
     "q91_jpeg_meta"          -> (PipelineQueries.q91JpegMeta _),
+    "q92_pii_redaction"      -> (PipelineQueries.q92PiiRedaction _),
+    "q93_url_canonicalize"   -> (PipelineQueries.q93UrlCanonicalize _),
+    "q94_chained_windows"    -> (graft.streaming.StreamingQueries.q94ChainedWindows _),
+    "q95_aqe_skew_join"      -> (SourceQueries.q95AqeSkewJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

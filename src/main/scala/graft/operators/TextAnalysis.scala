@@ -64,6 +64,26 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred).drop("tok")
   }
 
+  /** PII redaction patterns — written in the common subset of Java
+    * regex and RE2 (no backrefs, no lookaround) so the engine and the
+    * DuckDB oracle compile the exact same automata. Order matters:
+    * emails first (their local part can contain digits a later pass
+    * would mangle), then international-format phones (anchored on the
+    * leading '+', so ordinary digit runs survive), then IPv4s. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9][0-9 -]{6,}[0-9]" -> "<PHONE>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Scrub PII from a text column: sequential regexp_replace passes,
+    * all codegen'd — the preprocessing step every shared training
+    * corpus runs, and at 100 TB it must stay a pure map (no shuffle,
+    * no UDF serialization): this is scan → replace → write. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
   /** Gopher-style repetition metrics per document — the quality rules
     * that catch boilerplate and degenerate generations: type-token
     * ratio (distinct/total tokens), most-common-token mass, duplicate

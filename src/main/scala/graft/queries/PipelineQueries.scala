@@ -304,6 +304,66 @@ object PipelineQueries {
       .orderBy("asset_id")
   }
 
+  /** q92: PII redaction over the corpus — the scrub pass every shared
+    * training set runs before anything else. The synthetic documents
+    * carry no PII, so the query salts a deterministic email / intl
+    * phone / IPv4 into each row (the oracle constructs the identical
+    * dirty text), then [[TextAnalysis.redactPii]] scrubs it: the
+    * hash-compared output is the full redacted text plus per-kind match
+    * counts, so both the patterns and the replacement semantics are
+    * what's being checked. Pure codegen'd map — no shuffle, the shape
+    * that streams 100 TB through scan → replace → write. */
+  def q92PiiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example.com tel +1 555 "),
+      lpad(col("doc_id").cast("string"), 6, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0.1"))
+    val pats = TextAnalysis.piiPatterns.map(_._1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("dirty")).as("clean_text"),
+        regexp_count(col("dirty"), lit(pats(0))).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(pats(1))).cast("long").as("n_phones"),
+        regexp_count(col("dirty"), lit(pats(2))).cast("long").as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  /** q93: URL canonicalization — dedup at 100 TB starts with URL keys,
+    * and raw URLs disagree on case, www, tracking params, and
+    * fragments. Deterministic synthetic URLs (oracle builds the same),
+    * then: scheme+host lowercased, leading www stripped, fragment
+    * dropped, utm_* params filtered out (order of survivors kept), and
+    * the registrable domain extracted as the last two host labels. All
+    * column expressions — regexp_extract + higher-order filter, no
+    * UDFs. */
+  def q93UrlCanonicalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/docs/"),
+      col("doc_id").cast("string"),
+      lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(100)).cast("string"),
+      lit("&utm_campaign=sync&ref="), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("#section-2"))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val qry = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(
+      filter(split(qry, "&"), x => !x.startsWith("utm_")), "&")
+    val canon = concat(lit("https://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+    val domain = concat_ws(".", slice(split(host, "\\."), -2, 2))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), url.as("raw_url"), canon.as("canon_url"),
+        domain.as("domain"))
+      .orderBy("doc_id")
+  }
+
   def q29FrameSample(spark: SparkSession, sfDir: String): DataFrame =
     MultiModal.sampleFrames(
         MultiModal.syntheticAssets(Tables.documents(spark, sfDir)),
@@ -746,6 +806,56 @@ object PipelineQueries {
         |       CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_sum,
         |       CAST(list_max(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_max
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // identical dirty-text construction, then RE2 replacements; the
+    // patterns are written in the Java-regex/RE2 common subset so both
+    // engines compile the same automata. DuckDB needs the 'g' flag to
+    // match Spark's replace-all.
+    "q92_pii_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+        |              || '.example.com tel +1 555 '
+        |              || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+        |              || ' from 10.' || (doc_id % 256) || '.0.1' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '\+[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q93_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM/docs/' || doc_id
+        |      || '?utm_source=feed&id=' || (doc_id % 100)
+        |      || '&utm_campaign=sync&ref=' || (doc_id % 5) || '#section-2' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |                   '^www\.', '') AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |k AS (
+        |  SELECT doc_id, url, host, path,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS kept
+        |  FROM p)
+        |SELECT doc_id, url AS raw_url,
+        |  'https://' || host || path ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END AS canon_url,
+        |  string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q91_jpeg_meta" ->
       s"""SELECT asset_id, true_width AS width, true_height AS height,

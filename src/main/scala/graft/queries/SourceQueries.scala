@@ -87,6 +87,75 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+  /** q95: AQE runtime skew-join split — the THIRD leg of the skew story
+    * (q43 salted aggregation, q86 salted join for when AQE can't see
+    * the join, and here the case to prefer when it can: let the engine
+    * split the hot partition at runtime from actual shuffle sizes, no
+    * salt in the data model). 70% of event rows route to one hot key;
+    * with broadcast disabled the sort-merge join's probe side has one
+    * melting partition, and AQE splits it into advisory-sized chunks,
+    * replicating the matching build rows (exact: chunks partition the
+    * probe rows). Thresholds are scoped to fixture scale in try/finally
+    * — production keeps the 256MB defaults and this plan shape is
+    * exactly what fires there. AqeSkewSpec asserts `skew=true` in the
+    * executed plan; the oracle is the plain join. */
+  def q95AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q95").toFile.getAbsolutePath + "/out"
+    withAqeSkewConfs(spark) {
+      // materialize UNDER the scoped confs — DataFrames are lazy, so
+      // returning one and restoring the confs first would run the join
+      // with the production thresholds and never split
+      skewJoinFrame(spark, sfDir)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_events"), sum("vm").as("value_micro"))
+        .write.parquet(tmp)
+    }
+    spark.read.parquet(tmp).orderBy("label")
+  }
+
+  /** Fixture-scale AQE skew thresholds, try/finally-restored around `f`
+    * (execution must happen inside). Production keeps the 256MB
+    * defaults; the plan shape this forces at test scale is exactly what
+    * fires there. Shared with AqeSkewSpec. */
+  def withAqeSkewConfs[T](spark: SparkSession)(f: => T): T = {
+    val c = spark.conf
+    val scoped = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = scoped.map { case (k, _) => k -> c.getOption(k) }
+    scoped.foreach { case (k, v) => c.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
+  /** The skewed joined frame (before aggregation), shared with
+    * AqeSkewSpec, which runs it under [[withAqeSkewConfs]] and asserts
+    * `skew=true` on the executed plan. */
+  def skewJoinFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(
+        when(pmod(col("user_id"), lit(10)) < 7, 0L)
+          .otherwise(col("user_id")).as("route_key"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      // AQE splits a skewed reducer partition by MAPPER ranges. The
+      // fixture fact table is one single-row-group parquet file = ONE
+      // mapper feeding the join shuffle, so a hot partition would have
+      // no ranges to split; this round-robin stands in for the
+      // thousands-of-mappers layout a real 100 TB scan produces (where
+      // it would be dropped).
+      .repartition(12)
+    val dim = spark.range(0, 150)
+      .select(col("id").as("route_key"),
+        concat(lit("r"), pmod(col("id"), lit(5)).cast("string")).as("label"))
+    ev.join(dim.hint("merge"), "route_key")
+  }
+
   /** Order-priority revenue rollup through bucketed tables: both sides
     * written bucketed+sorted by the join key, joined (no exchange on
     * either side — see AsofBucketingSpec), then aggregated. */
@@ -332,6 +401,19 @@ object SourceQueries {
         |       COUNT(user_id) AS n_with_user,
         |       CAST(SUM(COALESCE(user_id, 0)) AS BIGINT) AS sum_user
         |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q95_aqe_skew_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS route_key,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |d AS (
+        |  SELECT i AS route_key, 'r' || (i % 5) AS label
+        |  FROM range(150) t(i))
+        |SELECT label, COUNT(*) AS n_events,
+        |       CAST(SUM(vm) AS BIGINT) AS value_micro
+        |FROM e JOIN d USING (route_key)
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "q86_salted_join" ->
       """WITH e AS (

@@ -382,6 +382,53 @@ object StreamingQueries {
     spark.read.parquet(out).orderBy("w_start", "event_type")
   }
 
+  /** q94: CHAINED stateful operators in ONE streaming query — a 5-minute
+    * tumbling count per event_type is re-aggregated into hourly stats
+    * (sum / peak / completeness count over its closed 5-min windows)
+    * downstream in the same stream, via `window(window_time(w), 1h)`.
+    * Before Spark 3.4 this required two jobs with an intermediate sink;
+    * chained time-window aggregations keep it one pipeline with two
+    * generations of state store, the inner emitting into the outer as
+    * the shared watermark closes windows. At 100 TB this is the
+    * roll-up-cascade shape (minute → hour → day dashboards) without
+    * landing intermediate tables. Emission contract matches q73's: a
+    * window emits iff its end <= ms-truncated(max ts) - 1 hour; every
+    * 5-min window inside an emitted hour has itself closed (w5_end <=
+    * h_end <= watermark), so emitted hours are complete — which the
+    * oracle reproduces batch-side. */
+  def q94ChainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    useRocksDbState(spark)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val tmp = Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
+      val (src, schema) = stageEventHalves(spark, sfDir, tmp,
+        Seq("event_type", "ts"))
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n5"))
+        .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+        .agg(sum("n5").as("n_events"), max("n5").as("peak_5min"),
+          count(lit(1)).as("n_5min_windows"))
+        .select(col("window.start").as("h_start"), col("window.end").as("h_end"),
+          col("event_type"), col("n_events"), col("peak_5min"),
+          col("n_5min_windows"))
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).orderBy("h_start", "event_type")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** q52: stream-stream interval join — sparse "trade" events joined to
     * every price observation in the 2 hours at or before them, per
     * ticker. Both sides carry watermarks and the join has a closed time
@@ -851,6 +898,31 @@ object StreamingQueries {
     // aligned like Spark's window()); append-mode emission keeps only
     // windows closed by the final watermark, ms-truncated to mirror
     // Spark's millisecond event-time stats
+    // chained windows: 5-min tumbling counts rolled into hours; only
+    // hours closed by the final watermark emit, and those hours'
+    // constituent 5-min windows are then all closed too, so the batch
+    // twin aggregates everything and filters on the hour end. CASTs pin
+    // DuckDB's HUGEINT sum back to Spark's BIGINT.
+    "q94_chained_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w5 AS (
+        |  SELECT make_timestamp(us - us % 300000000) AS w5s, event_type,
+        |         count(*) AS n5
+        |  FROM e GROUP BY 1, 2),
+        |hr AS (
+        |  SELECT make_timestamp(epoch_us(w5s) - epoch_us(w5s) % 3600000000) AS h_start,
+        |         event_type,
+        |         CAST(sum(n5) AS BIGINT) AS n_events,
+        |         max(n5) AS peak_5min,
+        |         count(*) AS n_5min_windows
+        |  FROM w5 GROUP BY 1, 2),
+        |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS wm
+        |       FROM events)
+        |SELECT h_start, h_start + INTERVAL 1 HOUR AS h_end, event_type,
+        |       n_events, peak_5min, n_5min_windows
+        |FROM hr, wm WHERE h_start + INTERVAL 1 HOUR <= wm.wm
+        |ORDER BY h_start, event_type""".stripMargin,
+
     "q73_stream_sliding_window" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
