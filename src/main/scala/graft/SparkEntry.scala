@@ -111,6 +111,11 @@ object SparkEntry {
     "q93_url_canonicalize"   -> (PipelineQueries.q93UrlCanonicalize _),
     "q94_chained_windows"    -> (graft.streaming.StreamingQueries.q94ChainedWindows _),
     "q95_aqe_skew_join"      -> (SourceQueries.q95AqeSkewJoin _),
+    "q96_cdc_apply"          -> (EtlQueries.q96CdcApply _),
+    "q97_compaction"         -> (SourceQueries.q97Compaction _),
+    "q98_manifest_skipping"  -> (SourceQueries.q98ManifestSkipping _),
+    "q99_incremental_agg"    -> (EtlQueries.q99IncrementalAgg _),
+    "q100_int8_quant"        -> (PipelineQueries.q100Int8Quant _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

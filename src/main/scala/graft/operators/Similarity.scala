@@ -240,4 +240,70 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
   }
+
+  /** Symmetric per-vector int8 scale: max|x| maps to ±127. Zero vectors
+    * quantize to all-zero with scale 0 (guarded everywhere scale
+    * divides). All arithmetic is double with an explicit
+    * `floor(x + 0.5)` round so the DuckDB oracle twin is bit-identical
+    * (both engines run the same IEEE ops in the same order). */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0d
+
+  /** Quantize a float vector to `array<tinyint>` under `scale` — 1 byte
+    * per element in Tungsten rows and on the wire, a 4× cut of the
+    * memory/shuffle/cache footprint that dominates ANN at 100 TB. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x => when(scale === 0.0d, lit(0L))
+      .otherwise(floor(x.cast("double") / scale + 0.5d))
+      .cast("tinyint"))
+
+  /** Int8-domain dot product: tinyint pairs multiply in int, accumulate
+    * in long (max |q|·|q|·d = 127²·d, nowhere near overflow). The hot
+    * loop reads 2 bytes per element instead of 8. */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, p) => acc + p.cast("long"))
+
+  /** Int8 ANN: candidates ranked by the quantized estimate, then an
+    * exact float rerank of the top `rerank·k` — the standard
+    * two-stage recall/cost trade. The candidate pass streams the
+    * 4×-smaller quantized corpus; only candidates touch float vectors
+    * again. Candidate selection is the bounded-heap
+    * [[graft.functions.TopKRows]] (O(n log k) with map-side partials,
+    * no per-query sort). Output: (query_id, rank, neighbor_id). */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quantized(df: DataFrame, prefix: String) = {
+      val s = int8Scale(col("embedding"))
+      df.select(col("vec_id").as(s"${prefix}_id"),
+        col("embedding").as(s"${prefix}v"),
+        s.as(s"${prefix}scale"),
+        int8Quantize(col("embedding"), s).as(s"${prefix}q"),
+        sqrt(dot(col("embedding"), col("embedding"))).as(s"${prefix}n"))
+    }
+    val q = quantized(queries, "query")
+    val c = quantized(corpus, "c")
+    val est = c.join(broadcast(q), col("c_id") =!= col("query_id"))
+      .withColumn("est_sim",
+        col("cscale") * col("queryscale") *
+          int8Dot(col("cq"), col("queryq")) / (col("cn") * col("queryn")))
+    val cand = est.groupBy(col("query_id"))
+      .agg(graft.functions.TopKRows.topKRows(
+        struct(col("est_sim").as("priority"),
+          col("c_id").cast("string").as("tiebreak"),
+          col("c_id").as("c_id")), rerank * k).as("_top"))
+      .select(col("query_id"), explode(col("_top.c_id")).as("c_id"))
+    val exact = cand
+      .join(broadcast(q.select(col("query_id"), col("queryv"), col("queryn"))),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("cn")), Seq("c_id"))
+      .withColumn("sim", dot(col("queryv"), col("cv")) / (col("queryn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("c_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("c_id").as("neighbor_id"))
+  }
 }

@@ -132,6 +132,78 @@ object EtlQueries {
       .orderBy("diff_class")
   }
 
+  /** CDC change-log apply: collapse an ordered stream of upserts and
+    * deletes into final table state — the Debezium/Delta CDF
+    * "apply changes" shape. The latest row per key wins; a key whose
+    * latest op is a delete is absent from the result. Implemented as a
+    * single hash aggregation with `max_by(payload, version)`, NOT a
+    * window `row_number`: partial aggregation folds each map task's
+    * rows down to one candidate per key BEFORE the exchange, so at
+    * 100 TB the shuffle carries one row per (task, key) instead of the
+    * whole change log, and no per-key sort ever happens. A change log
+    * with heavy update churn (the common case: few keys, many
+    * versions) collapses almost entirely map-side. */
+  def cdcApply(log: DataFrame, keys: Seq[String], version: Seq[String],
+               op: String, payload: Seq[String]): DataFrame = {
+    val ver = struct(version.map(col): _*)
+    val pay = struct((op +: payload).map(col): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max_by(pay, ver).as("_last"))
+      .filter(col(s"_last.$op") =!= "D")
+      .select(keys.map(col) ++ payload.map(c => col(s"_last.$c").as(c)): _*)
+  }
+
+  /** q96: events as a CDC log — key (user_id, event_type), version
+    * (ts, event_id), every 7th event a delete tombstone. Final state
+    * must match the oracle's window-ranked replay. */
+  def q96CdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    cdcApply(log, Seq("user_id", "event_type"), Seq("ts", "event_id"),
+      "op", Seq("ts", "value_micro"))
+      .withColumnRenamed("ts", "last_ts")
+      .withColumnRenamed("value_micro", "last_value_micro")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Incremental aggregate maintenance: a materialized aggregate is
+    * stored as MERGEABLE PARTIALS (count + sum per group), and an
+    * update folds only the delta batch into them — `agg(delta) ∪
+    * stored → re-agg` — never rescanning the base table. This is the
+    * materialized-view refresh shape for 100 TB fact tables: update
+    * cost is O(|delta|) + a shuffle of pre-aggregated group rows
+    * (bounded by group count, not row count). avg/stddev/etc. derive
+    * from the same (n, sum, …) partials; only non-decomposable
+    * aggregates (exact median) would force a rescan. */
+  def incrementalAgg(partials: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaPartials = delta.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_micro").as("sum_micro"))
+    partials.unionByName(deltaPartials)
+      .groupBy("user_id", "event_type")
+      .agg(sum("n_events").as("n_events"), sum("sum_micro").as("sum_micro"))
+  }
+
+  /** q99: the first 25 days of events are the materialized base state
+    * (persisted to parquet and read back, as a real refresh would), the
+    * rest arrive as the delta; the refreshed aggregate must equal a
+    * full recompute over the whole table (the oracle). */
+  def q99IncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    val split = lit("2024-01-25").cast("timestamp")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q99").resolve("mv").toString
+    ev.filter(col("ts") < split)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_micro").as("sum_micro"))
+      .write.mode("overwrite").parquet(store)
+    incrementalAgg(spark.read.parquet(store), ev.filter(col("ts") >= split))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Q14: replay a batch that is 50% duplicates of existing keys and 50%
     * genuinely new rows (ts shifted +40 days); merged result must equal
     * existing + new only. */
@@ -144,6 +216,29 @@ object EtlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q96_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS value_micro
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, event_type, ts AS last_ts,
+        |       value_micro AS last_value_micro
+        |FROM ranked WHERE rn = 1 AND op = 'U'
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q99_incremental_agg" ->
+      """SELECT user_id, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q85_table_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,

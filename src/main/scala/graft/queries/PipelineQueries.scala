@@ -392,6 +392,38 @@ object PipelineQueries {
       |FROM common
       |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc""".stripMargin
 
+  /** q100: int8 embedding quantization audit — the compression step
+    * that makes 100 TB-scale ANN affordable (4× smaller vectors =
+    * 4× less scan, shuffle, and cache; see [[Similarity.int8Quantize]]).
+    * Per vector: the symmetric scale, the total dequantization error,
+    * and the saturation count, all in nano-ints via an explicit
+    * `floor(x+0.5)` so the DuckDB lambda twin replays the identical
+    * IEEE double sequence — the oracle checks the QUANTIZER, exactly;
+    * Int8QuantSpec separately proves the end-to-end ANN recall of the
+    * quantized candidate pass. Pure per-row expression work: no
+    * shuffle, whole-stage codegen, streams at scan speed. */
+  def q100Int8Quant(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding")
+    val scale = Similarity.int8Scale(v)
+    def deq(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") / col("scale") + 0.5d) * col("scale")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        v, scale.as("scale"))
+      .select(col("vec_id"), col("label"),
+        floor(col("scale") * 1e9 + 0.5d).cast("long").as("scale_nano"),
+        when(col("scale") === 0.0d, lit(0L)).otherwise(
+          aggregate(v, lit(0L), (acc, x) => acc +
+            floor(abs(x.cast("double") - deq(x)) * 1e9 + 0.5d).cast("long")))
+          .as("sum_abs_err_nano"),
+        when(col("scale") === 0.0d, lit(0L)).otherwise(
+          aggregate(v, lit(0L), (acc, x) => acc +
+            when(abs(floor(x.cast("double") / col("scale") + 0.5d)) >= 127.0d,
+              lit(1L)).otherwise(lit(0L))))
+          .as("n_saturated"))
+      .orderBy("vec_id")
+  }
+
   private val simhashBits = (0 until 60)
     .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
     .mkString(", ")
@@ -414,6 +446,23 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q100_int8_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  CAST(FLOOR(scale*1000000000.0 + 0.5) AS BIGINT) AS scale_nano,
+        |  CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)
+        |           - FLOOR(CAST(x AS DOUBLE)/scale + 0.5)*scale)*1000000000.0
+        |           + 0.5) AS BIGINT))) AS BIGINT) END AS sum_abs_err_nano,
+        |  CASE WHEN scale = 0 THEN 0 ELSE CAST(list_sum(list_transform(embedding,
+        |    x -> CASE WHEN ABS(FLOOR(CAST(x AS DOUBLE)/scale + 0.5)) >= 127
+        |         THEN 1 ELSE 0 END)) AS BIGINT) END AS n_saturated
+        |FROM s ORDER BY vec_id""".stripMargin,
+
     "q63_chunk_windows" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents

@@ -377,7 +377,117 @@ object SourceQueries {
   def q89DppJoin(spark: SparkSession, sfDir: String): DataFrame =
     q89Frame(spark, sfDir).orderBy("ship_month", "l_returnflag")
 
+  /** Small-file compaction: rewrite a partition-dir layout of many tiny
+    * files into few bounded-size files, preserving every row and the
+    * partition scheme. The small-files problem is a top-three operability
+    * issue at 100 TB (NameNode/listing pressure, per-file open cost,
+    * tiny row groups defeating columnar encoding). The rewrite is ONE
+    * shuffle hashed on the partition column — each reduce task owns
+    * whole partitions and the writer splits its output at
+    * `maxRecordsPerFile`, so file count per partition is exactly
+    * ⌈rows/target⌉, which is what the oracle checks (plus row and
+    * checksum preservation). For a partition too hot for one task,
+    * compose with [[graft.operators.Skew]]'s bounded salt exactly as
+    * q86 does — the file-count invariant survives because the writer
+    * split is per partition-directory, not per task. */
+  def q97Compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_q97").toFile.getAbsolutePath
+    val target = 600L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    // degenerate source layout: 32 hash-spread writers → up to 32 tiny
+    // files in every partition directory
+    ev.repartition(32).write.partitionBy("event_type").parquet(s"$tmp/small")
+    spark.read.parquet(s"$tmp/small")
+      .repartition(col("event_type"))
+      .write.option("maxRecordsPerFile", target)
+      .partitionBy("event_type").parquet(s"$tmp/compacted")
+    spark.read.parquet(s"$tmp/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_metadata.file_path")).as("n_files"),
+        sum("value_micro").as("sum_micro"))
+      .orderBy("event_type")
+  }
+
+  /** One manifest-backed sorted layout per (JVM, sfDir) — scaffolding
+    * for q98's pruned scan, not the thing being timed. */
+  private val q98LayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def q98Layout(spark: SparkSession, sfDir: String): String =
+    q98LayoutCache.getOrElseUpdate(sfDir, {
+      val tmp = Files.createTempDirectory("graft_q98").toFile.getAbsolutePath
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+            .cast("long").as("rev_micro"),
+          to_date(col("l_shipdate")).as("ship_date"))
+        .repartitionByRange(16, col("ship_date"))
+        .sortWithinPartitions("ship_date")
+        .write.mode("overwrite").parquet(s"$tmp/fact")
+      // the manifest is a TABLE of per-file column ranges — in a real
+      // store it is maintained incrementally at commit time (Iceberg
+      // manifests / Delta add-file stats); here one aggregation pass
+      // builds it from the freshly written files
+      spark.read.parquet(s"$tmp/fact")
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(min("ship_date").as("lo"), max("ship_date").as("hi"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+      tmp
+    })
+
+  /** Manifest-based file skipping (the Iceberg/Delta scan-planning
+    * shape): the fact table is range-sorted on `ship_date` so each file
+    * owns a narrow date band, and a manifest table holds per-file
+    * min/max. Scan planning filters the MANIFEST (metadata, ~one row
+    * per file) and reads only files whose range intersects the
+    * predicate — the collected path list is bounded driver metadata,
+    * like the Delta/Iceberg driver's pruned file list. The data
+    * predicate is still applied after the read, so results never depend
+    * on how the ranges fell; the oracle filters the raw table directly.
+    * At 100 TB this prunes in O(files) metadata instead of opening
+    * every footer — and it composes with partition pruning (q89) and
+    * row-group stats (q76), which only help within the files it left. */
+  def q98ManifestSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = q98Layout(spark, sfDir)
+    val lo = lit("1997-06-01").cast("date")
+    val hi = lit("1997-06-30").cast("date")
+    val picked = spark.read.parquet(s"$tmp/manifest")
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select("path").collect().map(_.getString(0))
+    spark.read.parquet(picked: _*)
+      .filter(col("ship_date").between(lo, hi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("rev_micro").as("rev_micro"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q98's pruned path count vs total — spec support (ManifestSpec). */
+  def q98PrunedFileCounts(spark: SparkSession, sfDir: String): (Int, Int) = {
+    val tmp = q98Layout(spark, sfDir)
+    val m = spark.read.parquet(s"$tmp/manifest")
+    val total = m.count().toInt
+    val picked = m.filter(col("hi") >= lit("1997-06-01").cast("date") &&
+      col("lo") <= lit("1997-06-30").cast("date")).count().toInt
+    (picked, total)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q97_compaction" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |       CAST(CEIL(COUNT(*) / 600.0) AS BIGINT) AS n_files,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q98_manifest_skipping" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-06-01' AND DATE '1997-06-30'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q89_dpp_join" ->
       """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
         |       l_returnflag, COUNT(*) AS n,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{EtlQueries, SourceQueries}
+import graft.sources.Tables
+
+/** Round-7 storage/maintenance operators: CDC apply (q96), small-file
+  * compaction (q97), manifest file skipping (q98), incremental
+  * aggregate maintenance (q99). The DuckDB oracle checks their answers;
+  * these specs check the properties the oracle cannot see — plan shape,
+  * file layout, and pruning counts.
+  */
+class StorageOpsSpec extends SparkSpec {
+
+  test("q96 CDC apply plans as hash aggregation, not a window sort") {
+    val plan = EtlQueries.q96CdcApply(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"),
+      s"expected aggregate-based plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"CDC apply must not fall back to a window rank:\n$plan")
+  }
+
+  test("q96 equals the window-ranked replay formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val log = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+        col("value_micro").as("last_value_micro"))
+      .orderBy("user_id", "event_type")
+    val got = EtlQueries.q96CdcApply(spark, sf())
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("q96 drops keys whose latest op is a delete") {
+    val got = EtlQueries.q96CdcApply(spark, sf())
+    // at least one (user, type) key must have a tombstone as its final
+    // event for the delete path to be exercised at all
+    val total = Tables.events(spark, sf())
+      .select("user_id", "event_type").distinct().count()
+    assert(got.count() < total, "no key ended on a delete — fixture too small?")
+  }
+
+  test("q97 compaction collapses the small-file layout to ceil(rows/target) per partition") {
+    val res = SourceQueries.q97Compaction(spark, sf("sf0.01")).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val rows = r.getAs[Long]("n_rows")
+      val files = r.getAs[Long]("n_files")
+      assert(files == (rows + 599) / 600,
+        s"${r.getAs[String]("event_type")}: $rows rows in $files files")
+      assert(files < 32, "compaction must produce fewer files than the 32-way source layout")
+    }
+  }
+
+  test("q98 manifest pruning reads a strict subset of files") {
+    val (picked, total) = SourceQueries.q98PrunedFileCounts(spark, sf("sf0.01"))
+    assert(picked >= 1, "the June 1997 band must live somewhere")
+    assert(picked < total,
+      s"manifest pruning selected $picked of $total files — nothing was skipped")
+  }
+
+  test("q99 incremental refresh handles delta-only groups and empty deltas") {
+    import spark.implicits._
+    val partials = Seq(("a", 1L, 2L, 10L), ("b", 1L, 1L, 5L))
+      .toDF("event_type", "user_id", "n_events", "sum_micro")
+    val delta = Seq(("a", 1L, 7L), ("c", 9L, 3L))
+      .toDF("event_type", "user_id", "value_micro")
+    val out = EtlQueries.incrementalAgg(partials, delta)
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 3L, 17L), (1L, "b", 1L, 5L), (9L, "c", 1L, 3L)))
+    val empty = delta.filter(lit(false))
+    val same = EtlQueries.incrementalAgg(partials, empty)
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(same == Seq((1L, "a", 2L, 10L), (1L, "b", 1L, 5L)))
+  }
+}
