@@ -116,6 +116,7 @@ object SparkEntry {
     "q98_manifest_skipping"  -> (SourceQueries.q98ManifestSkipping _),
     "q99_incremental_agg"    -> (EtlQueries.q99IncrementalAgg _),
     "q100_int8_quant"        -> (PipelineQueries.q100Int8Quant _),
+    "q101_mp4_meta"          -> (PipelineQueries.q101Mp4Meta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

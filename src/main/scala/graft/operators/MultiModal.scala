@@ -127,6 +127,69 @@ object MultiModal {
       (byteAt(content, off + 1) === 194L).as("progressive"))
   }
 
+  /** Big-endian u32 at a dynamic 1-indexed offset (ISO-BMFF box sizes
+    * and integer fields are BE). */
+  private def be32At(content: Column, pos: Column): Column =
+    conv(hex(content.substr(pos.cast("int"), lit(4))), 16, 10).cast("long")
+
+  /** True when the payload is an ISO-BMFF (MP4) container: the first
+    * box is ftyp. */
+  def isMp4(content: Column): Column =
+    length(content) >= 16 &&
+      substring(content, 5, 4) === lit("ftyp".getBytes("US-ASCII"))
+
+  /** 1-indexed offset of the first sibling box tagged `fourcc` in
+    * [start, end], or null. ISO-BMFF is a tree of [u32 size][4cc]
+    * boxes; children are found by HOPPING over siblings via their size
+    * fields — the same bounded-fold shape as the JPEG marker walk, and
+    * necessary for the same reason: the raw 4cc bytes legitimately
+    * occur inside other boxes' payloads (the fixture plants "moov" and
+    * "tkhd" decoys in free boxes), so a byte-position scan mis-parses.
+    * A size < 8 (including the 64-bit largesize escape, never used by
+    * header-sized boxes) terminates the walk as malformed; 32 hops
+    * bounds it far above any real header's sibling count. */
+  def mp4ChildBox(content: Column, fourcc: String,
+                  start: Column, end: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), lit(32)),
+      start,
+      (st, _) =>
+        when(st <= 0, st) // terminal: found (<0) or malformed/absent (0)
+          .when(st + 7 > end, lit(0L))
+          .when(content.substr((st + 4).cast("int"), lit(4)) ===
+            lit(fourcc.getBytes("US-ASCII")), -st)
+          .when(be32At(content, st) < 8, lit(0L))
+          .otherwise(st + be32At(content, st)))
+    when(walked < 0, -walked)
+  }
+
+  /** Parsed MP4 header fields from the real box tree: moov at top level
+    * (behind ftyp/free/mdat prefixes of any size), mvhd and the first
+    * trak among moov's children, tkhd among trak's — each a size-walk,
+    * never a byte scan. Version-0 offsets (the only layout the spec
+    * guarantees for 32-bit times): mvhd timescale at +20, duration at
+    * +24; tkhd track-id at +20, and width/height as 16.16 fixed point
+    * at +84/+88 (the reader extracts the integer part). duration_ms is
+    * exact floor arithmetic. Null fields for non-v0 or malformed
+    * payloads — the stub arm's business, never a mis-parse. */
+  def mp4Meta(content: Column): Column = {
+    val len = length(content).cast("long")
+    val moov = mp4ChildBox(content, "moov", lit(1L), len)
+    val moovEnd = moov + be32At(content, moov) - 1
+    val mvhd = mp4ChildBox(content, "mvhd", moov + 8, moovEnd)
+    val trak = mp4ChildBox(content, "trak", moov + 8, moovEnd)
+    val tkhd = mp4ChildBox(content, "tkhd", trak + 8,
+      trak + be32At(content, trak) - 1)
+    def v0(b: Column) = byteAt(content, b + 8) === 0L
+    struct(
+      when(v0(mvhd), be32At(content, mvhd + 20)).as("timescale"),
+      when(v0(mvhd), floorDiv(be32At(content, mvhd + 24) * 1000L,
+        be32At(content, mvhd + 20))).as("duration_ms"),
+      when(v0(tkhd), be32At(content, tkhd + 20)).as("track_id"),
+      when(v0(tkhd), be16At(content, tkhd + 84)).as("width"),
+      when(v0(tkhd), be16At(content, tkhd + 88)).as("height"))
+  }
+
   /** True when the payload is a canonical-layout PCM WAV: RIFF
     * signature, WAVE form, "fmt " first chunk, "data" second (the
     * layout every encoder emits; exotic chunk orders fall back to the
@@ -151,16 +214,20 @@ object MultiModal {
     val wav = isWav(col("content"))
     val jpg = isJpeg(col("content"))
     val sof = jpegSof(col("content"))
+    val mp4 = isMp4(col("content"))
+    val m4 = mp4Meta(col("content"))
     val c = col("content")
     assets
       .withColumn("n_bytes", length(c).cast("long"))
       .withColumn("width",
         when(png, beLong(substring(c, 17, 4)))
           .when(jpg, sof("width"))
+          .when(mp4, m4("width"))
           .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("height",
         when(png, beLong(substring(c, 21, 4)))
           .when(jpg, sof("height"))
+          .when(mp4, m4("height"))
           .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("bit_depth",
         when(png, beLong(substring(c, 25, 1)))
@@ -176,6 +243,7 @@ object MultiModal {
           .otherwise(when(col("modality") === "image", 3L).otherwise(1L)))
       .withColumn("duration_ms",
         when(wav, floorDiv(leLong(c, 41, 4) * 1000, leLong(c, 29, 4)))
+          .when(mp4, m4("duration_ms"))
           .otherwise(when(col("modality") === "image", 0L)
             .otherwise(col("n_bytes") * 20L)))
   }

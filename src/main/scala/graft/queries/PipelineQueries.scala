@@ -269,6 +269,7 @@ object PipelineQueries {
   val PngFixture = "/root/repo/fixtures/png_assets.parquet"
   val WavFixture = "/root/repo/fixtures/wav_assets.parquet"
   val JpegFixture = "/root/repo/fixtures/jpeg_assets.parquet"
+  val Mp4Fixture = "/root/repo/fixtures/mp4_assets.parquet"
 
   def q28MultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val stub = MultiModal.syntheticAssets(Tables.documents(spark, sfDir))
@@ -391,6 +392,30 @@ object PipelineQueries {
     """SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
       |FROM common
       |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc""".stripMargin
+
+  /** q101: MP4 (ISO-BMFF) header decode — the FOURTH real byte-level
+    * format (PNG, WAV, JPEG precedent) and the first with a NESTED
+    * structure: moov is found by hopping top-level boxes via their
+    * size fields, then mvhd / trak / tkhd inside it the same way
+    * ([[MultiModal.mp4ChildBox]]). The fixture plants decoy
+    * "moov"/"tkhd" bytes inside free-box payloads and varies the
+    * layout (mdat-first vs fast-start, shuffled moov children), so
+    * only a genuine tree walk parses every row. Ground truth persisted
+    * at fixture generation (tools/gen_mp4_fixture.py) and
+    * cross-validated there with an independent Python box parser. */
+  def q101Mp4Meta(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = MultiModal.mp4Meta(col("content"))
+    spark.read.parquet(Mp4Fixture)
+      .select(
+        col("asset_id"),
+        meta("timescale").as("timescale"),
+        meta("duration_ms").as("duration_ms"),
+        meta("track_id").as("track_id"),
+        meta("width").as("width"),
+        meta("height").as("height"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .orderBy("asset_id")
+  }
 
   /** q100: int8 embedding quantization audit — the compression step
     * that makes 100 TB-scale ANN affordable (4× smaller vectors =
@@ -905,6 +930,14 @@ object PipelineQueries {
         |    CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END AS canon_url,
         |  string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q101_mp4_meta" ->
+      s"""SELECT asset_id, true_timescale AS timescale,
+        |       true_duration_ms AS duration_ms,
+        |       true_track_id AS track_id,
+        |       true_width AS width, true_height AS height,
+        |       true_n_bytes AS n_bytes
+        |FROM '$Mp4Fixture' ORDER BY asset_id""".stripMargin,
 
     "q91_jpeg_meta" ->
       s"""SELECT asset_id, true_width AS width, true_height AS height,

@@ -181,6 +181,42 @@ class SourcesMultiModalSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("multimodal: MP4 box-tree walk matches stored ground truth") {
+    import org.apache.spark.sql.functions._
+    val m = spark.read.parquet(graft.queries.PipelineQueries.Mp4Fixture)
+    val meta = MultiModal.mp4Meta($"content")
+    val dec = m.select($"asset_id", meta.as("m"), $"true_timescale",
+      $"true_duration_ms", $"true_track_id", $"true_width", $"true_height")
+    assert(dec.count() == 300)
+    assert(dec.filter($"m.timescale" =!= $"true_timescale" ||
+      $"m.duration_ms" =!= $"true_duration_ms" ||
+      $"m.track_id" =!= $"true_track_id" ||
+      $"m.width" =!= $"true_width" ||
+      $"m.height" =!= $"true_height").count() == 0)
+    // the walk, not a byte scan: decoy "moov" bytes inside free-box
+    // payloads precede the real moov on a fraction of the fixture, so
+    // the naive locate() offset must disagree with the walked one there
+    val trap = m.select(
+      MultiModal.mp4ChildBox($"content", "moov", lit(1L),
+        length($"content").cast("long")).as("walked"),
+      (locate("6D6F6F76", hex($"content")) / 2 - 3).cast("long").as("naive"))
+    assert(trap.filter($"walked".isNull).count() == 0)
+    assert(trap.filter($"walked" =!= $"naive").count() > 50)
+    // decodeMeta routes MP4 payloads through the real parser
+    val viaMeta = MultiModal.decodeMeta(m.select($"asset_id",
+      lit("video").as("modality"), $"content", $"true_width", $"true_duration_ms"))
+    assert(viaMeta.filter($"width" =!= $"true_width" ||
+      $"duration_ms" =!= $"true_duration_ms").count() == 0)
+    // malformed: ftyp but a corrupt size chain — null fields, no misparse
+    val bad = spark.range(1).select(
+      MultiModal.mp4Meta(concat(
+        lit(Array[Byte](0, 0, 0, 16)), lit("ftypisom".getBytes),
+        lit(Array[Byte](0, 0, 0, 2)), lit("junk".getBytes)).cast("binary"))
+        .as("m"))
+      .select($"m.width").collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("ORC roundtrip: filters reach the ORC scan as pushed filters") {
     val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
     Tables.lineitem(spark, sf())
