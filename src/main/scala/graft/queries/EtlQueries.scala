@@ -136,13 +136,16 @@ object EtlQueries {
     * deletes into final table state — the Debezium/Delta CDF
     * "apply changes" shape. The latest row per key wins; a key whose
     * latest op is a delete is absent from the result. Implemented as a
-    * single hash aggregation with `max_by(payload, version)`, NOT a
-    * window `row_number`: partial aggregation folds each map task's
-    * rows down to one candidate per key BEFORE the exchange, so at
-    * 100 TB the shuffle carries one row per (task, key) instead of the
-    * whole change log, and no per-key sort ever happens. A change log
-    * with heavy update churn (the common case: few keys, many
-    * versions) collapses almost entirely map-side. */
+    * single `max_by(payload, version)` aggregation, NOT a window
+    * `row_number`: PARTIAL aggregation folds each map task's rows down
+    * to one candidate per key BEFORE the exchange, so at 100 TB the
+    * shuffle carries one row per (task, key) instead of the whole
+    * change log. (Struct-valued max_by buffers are immutable, so Spark
+    * plans SortAggregate — a sort by GROUP KEY within each task, never
+    * a per-key sort of versions; the map-side collapse and the single
+    * exchange are unchanged, see docs/PLANS.md q96.) A change log with
+    * heavy update churn (the common case: few keys, many versions)
+    * collapses almost entirely map-side. */
   def cdcApply(log: DataFrame, keys: Seq[String], version: Seq[String],
                op: String, payload: Seq[String]): DataFrame = {
     val ver = struct(version.map(col): _*)
