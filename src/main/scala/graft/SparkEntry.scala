@@ -117,6 +117,7 @@ object SparkEntry {
     "q99_incremental_agg"    -> (EtlQueries.q99IncrementalAgg _),
     "q100_int8_quant"        -> (PipelineQueries.q100Int8Quant _),
     "q101_mp4_meta"          -> (PipelineQueries.q101Mp4Meta _),
+    "q102_stream_cdc_apply"  -> (graft.streaming.StreamingQueries.q102StreamCdcApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -171,6 +171,54 @@ object EtlQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** One micro-batch of CDC changes merged into a shard-partitioned
+    * parquet state store (the foreachBatch body of q102 — shared here so
+    * the batch and streaming paths use one merge). The state keeps the
+    * LATEST row per key INCLUDING delete tombstones, partitioned by an
+    * 8-way key hash shard:
+    *
+    *  1. the batch collapses to one row per key (partial max_by, as
+    *     [[cdcApply]]);
+    *  2. only the shards the batch touches are read back (directory
+    *     pruning on the shard column) and merged, again by max_by on
+    *     the version — ORDER-INDEPENDENT across batches, so replayed
+    *     or out-of-order micro-batches converge to the same state;
+    *  3. dynamic partition overwrite rewrites ONLY the touched shard
+    *     directories (the q62 incremental-recompute shape).
+    *
+    * Tombstones must persist: dropping a 'D' row would let an older
+    * late-arriving upsert resurrect the key. (Production would age them
+    * out past the max replay horizon, and commit via snapshot dirs /
+    * a Delta log rather than in-place overwrite; the localCheckpoint
+    * below materializes the merge before the overwrite for the same
+    * read-then-replace safety.) */
+  def cdcMergeIntoStore(stateDir: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val shard = pmod(xxhash64(col("user_id"), col("event_type")), lit(8L))
+    val ver = struct(col("ts"), col("event_id"))
+    val pay = struct(col("ts"), col("event_id"), col("op"), col("value_micro"))
+    def latest(df: DataFrame) =
+      df.groupBy("user_id", "event_type", "shard")
+        .agg(max_by(pay, ver).as("_l"))
+        .select(col("user_id"), col("event_type"), col("_l.ts").as("ts"),
+          col("_l.event_id").as("event_id"), col("_l.op").as("op"),
+          col("_l.value_micro").as("value_micro"), col("shard"))
+    val bLatest = latest(batch.withColumn("shard", shard))
+    val hasState = new java.io.File(stateDir).isDirectory
+    val merged = if (!hasState) bLatest else {
+      val touched = bLatest.select("shard").distinct()
+        .collect().map(_.getLong(0)) // bounded: <= 8 shard ids
+      latest(spark.read.parquet(stateDir)
+        .filter(col("shard").isin(touched: _*))
+        .unionByName(bLatest))
+    }
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.localCheckpoint().write.partitionBy("shard")
+      .mode("overwrite").parquet(stateDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   /** Incremental aggregate maintenance: a materialized aggregate is
     * stored as MERGEABLE PARTIALS (count + sum per group), and an
     * update folds only the delta batch into them — `agg(delta) ∪

@@ -779,7 +779,64 @@ object StreamingQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** q102: STREAMING CDC apply — the streaming twin of q96. The events
+    * change log (every 7th event a delete tombstone) streams one file
+    * per micro-batch; each batch merges into a shard-partitioned
+    * materialized state table via [[graft.queries.EtlQueries
+    * .cdcMergeIntoStore]]: batch collapses to latest-per-key map-side,
+    * only touched shard directories are read back and dynamically
+    * overwritten, tombstones persist so late batches cannot resurrect
+    * deleted keys, and the max_by version merge makes the state
+    * CONVERGENT regardless of how the log is batched — the readback
+    * must equal q96's one-shot batch apply (and its oracle). The two
+    * source files split the log by event parity, so nearly every key's
+    * version history spans both batches and the merge path is
+    * genuinely exercised. */
+  def q102StreamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.EtlQueries
+    val tmp = Files.createTempDirectory("graft_q102").toFile.getAbsolutePath
+    val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    val log = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    log.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(src)
+    log.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        EtlQueries.cdcMergeIntoStore(state, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(state)
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+        col("value_micro").as("last_value_micro"))
+      .orderBy("user_id", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q102_stream_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS value_micro
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, event_type, ts AS last_ts,
+        |       value_micro AS last_value_micro
+        |FROM ranked WHERE rn = 1 AND op = 'U'
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q71_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value

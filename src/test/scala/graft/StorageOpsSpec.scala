@@ -66,6 +66,39 @@ class StorageOpsSpec extends SparkSpec {
       s"manifest pruning selected $picked of $total files — nothing was skipped")
   }
 
+  test("cdcMergeIntoStore: tombstones shadow late-arriving older upserts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_spec")
+      .resolve("state").toString
+    def batch(rows: Seq[(Long, String, java.sql.Timestamp, Long, String, Long)]) =
+      rows.toDF("user_id", "event_type", "ts", "event_id", "op", "value_micro")
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // batch 1: key (1,a) upserted then DELETED at version (t=30, id=3)
+    EtlQueries.cdcMergeIntoStore(dir, batch(Seq(
+      (1L, "a", t(10), 1L, "U", 100L),
+      (1L, "a", t(30), 3L, "D", 0L),
+      (2L, "b", t(20), 2L, "U", 200L))))
+    // batch 2 arrives LATE with an OLDER upsert for the deleted key —
+    // it must not resurrect — plus a genuinely newer value for (2,b)
+    EtlQueries.cdcMergeIntoStore(dir, batch(Seq(
+      (1L, "a", t(20), 9L, "U", 999L),
+      (2L, "b", t(40), 4L, "U", 400L))))
+    val live = spark.read.parquet(dir).filter($"op" =!= "D")
+      .select("user_id", "event_type", "value_micro")
+      .as[(Long, String, Long)].collect().toSet
+    assert(live == Set((2L, "b", 400L)))
+    // the tombstone row itself is retained in the store
+    val dead = spark.read.parquet(dir).filter($"op" === "D").count()
+    assert(dead == 1L)
+  }
+
+  test("q102 streaming CDC state equals the one-shot batch apply (q96)") {
+    val streamed = graft.streaming.StreamingQueries
+      .q102StreamCdcApply(spark, sf()).collect().toSeq
+    val oneShot = EtlQueries.q96CdcApply(spark, sf()).collect().toSeq
+    assert(streamed == oneShot)
+  }
+
   test("q99 incremental refresh handles delta-only groups and empty deltas") {
     import spark.implicits._
     val partials = Seq(("a", 1L, 2L, 10L), ("b", 1L, 1L, 5L))
