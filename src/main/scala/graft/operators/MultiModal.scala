@@ -171,7 +171,13 @@ object MultiModal {
     * +24; tkhd track-id at +20, and width/height as 16.16 fixed point
     * at +84/+88 (the reader extracts the integer part). duration_ms is
     * exact floor arithmetic. Null fields for non-v0 or malformed
-    * payloads — the stub arm's business, never a mis-parse. */
+    * payloads — the stub arm's business, never a mis-parse.
+    *
+    * NOTE: one-shot Column form for single-field/ad-hoc use; anything
+    * row-heavy must use [[withMp4Meta]], which stages each box walk
+    * into its own projection so it evaluates once per row (extracting
+    * several fields from THIS struct re-evaluates the nested walks per
+    * field — see withMp4Meta's scaladoc). */
   def mp4Meta(content: Column): Column = {
     val len = length(content).cast("long")
     val moov = mp4ChildBox(content, "moov", lit(1L), len)
@@ -188,6 +194,44 @@ object MultiModal {
       when(v0(tkhd), be32At(content, tkhd + 20)).as("track_id"),
       when(v0(tkhd), be16At(content, tkhd + 84)).as("width"),
       when(v0(tkhd), be16At(content, tkhd + 88)).as("height"))
+  }
+
+  /** Staged MP4 walk: each box offset lands in its own projection
+    * column, so every walk runs ONCE per row. The one-shot [[mp4Meta]]
+    * Column form nests the walks inside each field — field → tkhd →
+    * trak → moov references fan out EXPONENTIALLY under the
+    * interpreted HOF evaluator (dozens of moov walks per row; it
+    * benchmarked 20× slower) — while multiply-referenced non-cheap
+    * producers are NOT inlined by CollapseProject, so the staged form
+    * provably evaluates four walks total. Adds
+    * `<p>timescale/duration_ms/track_id/width/height`. */
+  def withMp4Meta(df: DataFrame, c: Column, p: String): DataFrame = {
+    def v0(b: Column) = byteAt(c, b + 8) === 0L
+    df
+      .withColumn(s"${p}moov",
+        mp4ChildBox(c, "moov", lit(1L), length(c).cast("long")))
+      .withColumn(s"${p}moov_end",
+        col(s"${p}moov") + be32At(c, col(s"${p}moov")) - 1)
+      .withColumn(s"${p}mvhd",
+        mp4ChildBox(c, "mvhd", col(s"${p}moov") + 8, col(s"${p}moov_end")))
+      .withColumn(s"${p}trak",
+        mp4ChildBox(c, "trak", col(s"${p}moov") + 8, col(s"${p}moov_end")))
+      .withColumn(s"${p}tkhd",
+        mp4ChildBox(c, "tkhd", col(s"${p}trak") + 8,
+          col(s"${p}trak") + be32At(c, col(s"${p}trak")) - 1))
+      .withColumn(s"${p}timescale",
+        when(v0(col(s"${p}mvhd")), be32At(c, col(s"${p}mvhd") + 20)))
+      .withColumn(s"${p}duration_ms",
+        when(v0(col(s"${p}mvhd")), floorDiv(
+          be32At(c, col(s"${p}mvhd") + 24) * 1000L,
+          be32At(c, col(s"${p}mvhd") + 20))))
+      .withColumn(s"${p}track_id",
+        when(v0(col(s"${p}tkhd")), be32At(c, col(s"${p}tkhd") + 20)))
+      .withColumn(s"${p}width",
+        when(v0(col(s"${p}tkhd")), be16At(c, col(s"${p}tkhd") + 84)))
+      .withColumn(s"${p}height",
+        when(v0(col(s"${p}tkhd")), be16At(c, col(s"${p}tkhd") + 88)))
+      .drop(s"${p}moov", s"${p}moov_end", s"${p}mvhd", s"${p}trak", s"${p}tkhd")
   }
 
   /** True when the payload is a canonical-layout PCM WAV: RIFF
@@ -215,19 +259,18 @@ object MultiModal {
     val jpg = isJpeg(col("content"))
     val sof = jpegSof(col("content"))
     val mp4 = isMp4(col("content"))
-    val m4 = mp4Meta(col("content"))
     val c = col("content")
-    assets
+    withMp4Meta(assets, c, "_m4_")
       .withColumn("n_bytes", length(c).cast("long"))
       .withColumn("width",
         when(png, beLong(substring(c, 17, 4)))
           .when(jpg, sof("width"))
-          .when(mp4, m4("width"))
+          .when(mp4, col("_m4_width"))
           .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("height",
         when(png, beLong(substring(c, 21, 4)))
           .when(jpg, sof("height"))
-          .when(mp4, m4("height"))
+          .when(mp4, col("_m4_height"))
           .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("bit_depth",
         when(png, beLong(substring(c, 25, 1)))
@@ -243,9 +286,11 @@ object MultiModal {
           .otherwise(when(col("modality") === "image", 3L).otherwise(1L)))
       .withColumn("duration_ms",
         when(wav, floorDiv(leLong(c, 41, 4) * 1000, leLong(c, 29, 4)))
-          .when(mp4, m4("duration_ms"))
+          .when(mp4, col("_m4_duration_ms"))
           .otherwise(when(col("modality") === "image", 0L)
             .otherwise(col("n_bytes") * 20L)))
+      .drop("_m4_timescale", "_m4_duration_ms", "_m4_track_id",
+        "_m4_width", "_m4_height")
   }
 
   /** Byte-sum feature via the partition-batched kernel shape: the stub

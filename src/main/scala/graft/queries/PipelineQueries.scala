@@ -403,19 +403,14 @@ object PipelineQueries {
     * only a genuine tree walk parses every row. Ground truth persisted
     * at fixture generation (tools/gen_mp4_fixture.py) and
     * cross-validated there with an independent Python box parser. */
-  def q101Mp4Meta(spark: SparkSession, sfDir: String): DataFrame = {
-    val meta = MultiModal.mp4Meta(col("content"))
-    spark.read.parquet(Mp4Fixture)
+  def q101Mp4Meta(spark: SparkSession, sfDir: String): DataFrame =
+    MultiModal.withMp4Meta(spark.read.parquet(Mp4Fixture), col("content"), "")
       .select(
         col("asset_id"),
-        meta("timescale").as("timescale"),
-        meta("duration_ms").as("duration_ms"),
-        meta("track_id").as("track_id"),
-        meta("width").as("width"),
-        meta("height").as("height"),
+        col("timescale"), col("duration_ms"), col("track_id"),
+        col("width"), col("height"),
         length(col("content")).cast("long").as("n_bytes"))
       .orderBy("asset_id")
-  }
 
   /** q100: int8 embedding quantization audit — the compression step
     * that makes 100 TB-scale ANN affordable (4× smaller vectors =

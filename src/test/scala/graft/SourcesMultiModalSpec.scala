@@ -184,15 +184,18 @@ class SourcesMultiModalSpec extends SparkSpec {
   test("multimodal: MP4 box-tree walk matches stored ground truth") {
     import org.apache.spark.sql.functions._
     val m = spark.read.parquet(graft.queries.PipelineQueries.Mp4Fixture)
-    val meta = MultiModal.mp4Meta($"content")
-    val dec = m.select($"asset_id", meta.as("m"), $"true_timescale",
-      $"true_duration_ms", $"true_track_id", $"true_width", $"true_height")
+    val dec = MultiModal.withMp4Meta(m, $"content", "m_")
     assert(dec.count() == 300)
-    assert(dec.filter($"m.timescale" =!= $"true_timescale" ||
-      $"m.duration_ms" =!= $"true_duration_ms" ||
-      $"m.track_id" =!= $"true_track_id" ||
-      $"m.width" =!= $"true_width" ||
-      $"m.height" =!= $"true_height").count() == 0)
+    assert(dec.filter($"m_timescale" =!= $"true_timescale" ||
+      $"m_duration_ms" =!= $"true_duration_ms" ||
+      $"m_track_id" =!= $"true_track_id" ||
+      $"m_width" =!= $"true_width" ||
+      $"m_height" =!= $"true_height").count() == 0)
+    // the one-shot Column form must agree with the staged form (it is
+    // the same walk; only evaluation sharing differs)
+    val one = m.limit(20).select($"asset_id",
+      MultiModal.mp4Meta($"content").as("m"), $"true_width")
+    assert(one.filter($"m.width" =!= $"true_width").count() == 0)
     // the walk, not a byte scan: decoy "moov" bytes inside free-box
     // payloads precede the real moov on a fraction of the fixture, so
     // the naive locate() offset must disagree with the walked one there
