@@ -196,6 +196,21 @@ object MultiModal {
       when(v0(tkhd), be16At(content, tkhd + 88)).as("height"))
   }
 
+  /** Staged JPEG parse: the marker-segment walk ([[jpegSofOffset]], the
+    * expensive part) lands in ONE projection column and every SOF field
+    * is then a cheap byte read off that offset — extracting N fields
+    * from the [[jpegSof]] struct re-runs the walk N times instead.
+    * Adds `<p>width/height/precision/n_components/progressive`. */
+  def withJpegSof(df: DataFrame, c: Column, p: String): DataFrame =
+    df
+      .withColumn(s"${p}off", jpegSofOffset(c))
+      .withColumn(s"${p}width", be16At(c, col(s"${p}off") + 7))
+      .withColumn(s"${p}height", be16At(c, col(s"${p}off") + 5))
+      .withColumn(s"${p}precision", byteAt(c, col(s"${p}off") + 4))
+      .withColumn(s"${p}n_components", byteAt(c, col(s"${p}off") + 9))
+      .withColumn(s"${p}progressive", byteAt(c, col(s"${p}off") + 1) === 194L)
+      .drop(s"${p}off")
+
   /** Staged MP4 walk: each box offset lands in its own projection
     * column, so every walk runs ONCE per row. The one-shot [[mp4Meta]]
     * Column form nests the walks inside each field — field → tkhd →
@@ -257,24 +272,23 @@ object MultiModal {
     val png = isPng(col("content"))
     val wav = isWav(col("content"))
     val jpg = isJpeg(col("content"))
-    val sof = jpegSof(col("content"))
     val mp4 = isMp4(col("content"))
     val c = col("content")
-    withMp4Meta(assets, c, "_m4_")
+    withJpegSof(withMp4Meta(assets, c, "_m4_"), c, "_sof_")
       .withColumn("n_bytes", length(c).cast("long"))
       .withColumn("width",
         when(png, beLong(substring(c, 17, 4)))
-          .when(jpg, sof("width"))
+          .when(jpg, col("_sof_width"))
           .when(mp4, col("_m4_width"))
           .otherwise(conv(substring(h, 1, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("height",
         when(png, beLong(substring(c, 21, 4)))
-          .when(jpg, sof("height"))
+          .when(jpg, col("_sof_height"))
           .when(mp4, col("_m4_height"))
           .otherwise(conv(substring(h, 8, 7), 16, 10).cast("long") % 240 + 16))
       .withColumn("bit_depth",
         when(png, beLong(substring(c, 25, 1)))
-          .when(jpg, sof("precision"))
+          .when(jpg, col("_sof_precision"))
           .when(wav, leLong(c, 35, 2)))
       .withColumn("color_type",
         when(png, beLong(substring(c, 26, 1))))
@@ -282,7 +296,7 @@ object MultiModal {
         when(wav, leLong(c, 25, 4)))
       .withColumn("channels",
         when(wav, leLong(c, 23, 2))
-          .when(jpg, sof("n_components"))
+          .when(jpg, col("_sof_n_components"))
           .otherwise(when(col("modality") === "image", 3L).otherwise(1L)))
       .withColumn("duration_ms",
         when(wav, floorDiv(leLong(c, 41, 4) * 1000, leLong(c, 29, 4)))
@@ -290,7 +304,8 @@ object MultiModal {
           .otherwise(when(col("modality") === "image", 0L)
             .otherwise(col("n_bytes") * 20L)))
       .drop("_m4_timescale", "_m4_duration_ms", "_m4_track_id",
-        "_m4_width", "_m4_height")
+        "_m4_width", "_m4_height", "_sof_width", "_sof_height",
+        "_sof_precision", "_sof_n_components", "_sof_progressive")
   }
 
   /** Byte-sum feature via the partition-batched kernel shape: the stub

@@ -291,19 +291,15 @@ object PipelineQueries {
     * purpose). The oracle reads the ground-truth columns persisted at
     * fixture-generation time (tools/gen_jpeg_fixture.py) — independent
     * of the parser, so a hash match is a genuine decode check. */
-  def q91JpegMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val sof = MultiModal.jpegSof(col("content"))
-    spark.read.parquet(JpegFixture)
+  def q91JpegMeta(spark: SparkSession, sfDir: String): DataFrame =
+    MultiModal.withJpegSof(spark.read.parquet(JpegFixture), col("content"), "")
       .select(
         col("asset_id"),
-        sof("width").as("width"),
-        sof("height").as("height"),
-        sof("precision").as("bit_depth"),
-        sof("n_components").as("n_components"),
-        sof("progressive").as("progressive"),
+        col("width"), col("height"),
+        col("precision").as("bit_depth"),
+        col("n_components"), col("progressive"),
         length(col("content")).cast("long").as("n_bytes"))
       .orderBy("asset_id")
-  }
 
   /** q92: PII redaction over the corpus — the scrub pass every shared
     * training set runs before anything else. The synthetic documents
