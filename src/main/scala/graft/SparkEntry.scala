@@ -118,6 +118,8 @@ object SparkEntry {
     "q100_int8_quant"        -> (PipelineQueries.q100Int8Quant _),
     "q101_mp4_meta"          -> (PipelineQueries.q101Mp4Meta _),
     "q102_stream_cdc_apply"  -> (graft.streaming.StreamingQueries.q102StreamCdcApply _),
+    "q103_inverted_index"    -> (SearchQueries.q103InvertedIndex _),
+    "q104_bm25_topk"         -> ((s, d) => SearchQueries.q104Bm25TopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

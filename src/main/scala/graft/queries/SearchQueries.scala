@@ -57,7 +57,128 @@ object SearchQueries {
   def q13UniverseSearch(spark: SparkSession, sfDir: String): DataFrame =
     search(spark, sfDir, "ol", Seq("Large", "Mid"))
 
+  /** One row per (doc, position, token) — the shared tokenizer for the
+    * full-text pair q103/q104 (whitespace tokens, matching the corpus
+    * generator and q55's vocabulary). */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+
+  /** q103: inverted-index build — token → (document frequency, total
+    * term frequency, posting-list digest). ONE shuffle on token with
+    * map-side partial aggregation; the posting list (sorted (doc, pos)
+    * pairs) is reduced to an md5 digest so the output stays narrow
+    * while still pinning every posting exactly (the DuckDB twin
+    * string_aggs the same canonical encoding). Hot tokens bound the
+    * per-group state by their df — at 100 TB a posting store would be
+    * segmented per (token, doc-range) bucket exactly like the sharded
+    * layouts of q62/q102; the df/tf/digest statistics aggregate the
+    * same way regardless. */
+  def q103InvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    q103InvertedIndexFrom(Tables.documents(spark, sfDir))
+
+  /** Index build over any (doc_id, text) frame — spec entry point. */
+  def q103InvertedIndexFrom(docs: DataFrame): DataFrame =
+    postings(docs)
+      .groupBy("token")
+      .agg(
+        countDistinct("doc_id").as("df"),
+        count(lit(1)).as("tf_total"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("doc_id"), col("pos")))),
+            e => concat(e("doc_id").cast("string"), lit(":"),
+              e("pos").cast("string"))))).as("postings_md5"))
+      .orderBy("token")
+
+  /** q104: BM25-style ranked retrieval for a 3-term query. Scoring is
+    * the BM25 shape (k1 = 1.2, b = 0.75) with a RATIONAL idf,
+    * (N − df + 0.5)/(df + 0.5), instead of Lucene's log of it: every
+    * term weight is then built from IEEE divisions only (exactly
+    * rounded, bit-identical across engines), so per-term weights round
+    * to micro-longs and sum order-independently — the oracle is
+    * bit-exact where a log would be at the mercy of two libm's last
+    * ulps. Monotone per term, so per-term ranking is BM25's; the
+    * cross-term mix weighs rare terms more steeply than log-idf.
+    *
+    * Plan: tf per (doc, term) aggregates map-side BEFORE its one
+    * shuffle; df and avgdl are broadcast scalars; the final top-k is
+    * TakeOrderedAndProject (no global sort). At 100 TB the term filter
+    * is the q103 index's job — the scan side here plays the posting
+    * source. */
+  def q104Bm25TopK(spark: SparkSession, sfDir: String,
+                   terms: Seq[String] = Seq("join", "scan", "window"),
+                   k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = postings(docs)
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val n = docs.count().toDouble
+    val avgdl = dl.agg(sum("dl")).head.getLong(0).toDouble / n
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    // constants appear as the SAME literals in the DuckDB twin — no
+    // compile-time folding like (k1 + 1) whose rounding could differ
+    // from the other engine's literal
+    val idf = (lit(n) - col("df") + 0.5d) / (col("df") + 0.5d)
+    val w = idf * (col("tf") * 2.2d) /
+      (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / avgdl))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .withColumn("w_micro", floor(w * 1e6 + 0.5d).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("w_micro").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q103_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |s AS (
+        |  SELECT doc_id, l, unnest(range(len(l))) AS pos FROM t),
+        |p AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, l[pos + 1] AS token
+        |  FROM s)
+        |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf_total,
+        |       md5(string_agg(doc_id || ':' || pos, ','
+        |                      ORDER BY doc_id, pos)) AS postings_md5
+        |FROM p GROUP BY token ORDER BY token""".stripMargin,
+
+    "q104_bm25_topk" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+        |           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM p
+        |  WHERE token IN ('join', 'scan', 'window')
+        |  GROUP BY doc_id, token),
+        |df AS (
+        |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+        |w AS (
+        |  SELECT tf.doc_id,
+        |         CAST(FLOOR(
+        |           ((stats.n - df.df + 0.5) / (df.df + 0.5))
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS w_micro
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, CAST(SUM(w_micro) AS BIGINT) AS score_micro,
+        |       COUNT(*) AS n_terms
+        |FROM w GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin,
+
     "q13_universe_search" ->
       """WITH uni AS (
         |  SELECT p_partkey,

@@ -93,4 +93,28 @@ class EtlSearchSpec extends SparkSpec {
     assert(hits.length <= 7)
     assert(hits.forall(_.getAs[String]("segment") == "Large"))
   }
+
+  test("q104 BM25 top-k plans as TakeOrdered with partial tf aggregation") {
+    val plan = SearchQueries.q104Bm25TopK(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"tf must combine map-side before its shuffle:\n$plan")
+    // ranking sanity: scores strictly ordered, k respected
+    val rows = SearchQueries.q104Bm25TopK(spark, sf("sf0.01"), k = 5).collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("q103 posting digest pins order: a permuted posting changes the hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    // same token multiset per doc pair, different positions -> the two
+    // tokens' digests must differ from each other's swap
+    val m = SearchQueries.q103InvertedIndexFrom(docs)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(m("a") != m("b"))
+  }
 }
