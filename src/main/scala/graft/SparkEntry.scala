@@ -120,6 +120,8 @@ object SparkEntry {
     "q102_stream_cdc_apply"  -> (graft.streaming.StreamingQueries.q102StreamCdcApply _),
     "q103_inverted_index"    -> (SearchQueries.q103InvertedIndex _),
     "q104_bm25_topk"         -> ((s, d) => SearchQueries.q104Bm25TopK(s, d)),
+    "q105_dq_audit"          -> (QualityQueries.q105DqAudit _),
+    "q106_fuzzy_join"        -> (QualityQueries.q106FuzzyJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +130,6 @@ object SparkEntry {
     PortfolioQueries.oracle ++ DashboardQueries.oracle ++
       SearchQueries.oracle ++ EtlQueries.oracle ++ AnalyticsQueries.oracle ++
       EventsQueries.oracle ++ PipelineQueries.oracle ++
-      SourceQueries.oracle ++ graft.streaming.StreamingQueries.oracle
+      SourceQueries.oracle ++ graft.streaming.StreamingQueries.oracle ++
+      QualityQueries.oracle
 }

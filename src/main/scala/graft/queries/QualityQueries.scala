@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality operators — the audit layer every 100 TB ingest runs
+  * before anything downstream trusts the data, plus fuzzy entity
+  * resolution for reconciling dirty feeds against a clean dimension.
+  */
+object QualityQueries {
+
+  /** q105: one-shot data-quality audit over a deliberately dirtied
+    * lineitem feed: null-rate, domain-range, primary-key-uniqueness and
+    * referential-integrity checks, reported as one row per check. The
+    * corruption is deterministic (modulus-selected rows get a null
+    * ship date / a negated quantity / a duplicated PK / a dangling
+    * order key), so the oracle reproduces the same dirty feed and the
+    * same counts. (The PK check also surfaces the testdata's NATURAL
+    * (l_orderkey, l_linenumber) duplicates — an audit reports what is
+    * there, injected or not; the oracle counts them identically.)
+    *
+    * Shapes, per check: null/domain checks are conditional sums inside
+    * ONE scan-level aggregation (no shuffle beyond the final 1-row
+    * combine); PK uniqueness is a groupBy on the key (one shuffle,
+    * map-side partials); the FK orphan check is a left-anti join
+    * against the referenced keys (one shuffle each side — at 100 TB
+    * this is the honest cost of referential integrity, and it prunes
+    * to the FK column only at both scans). */
+  def q105DqAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+    // deterministic corruption: each modulus hits a disjoint-ish slice
+    val base = li
+      .withColumn("l_shipdate",
+        when(col("l_orderkey") % 997 === 0, lit(null)).otherwise(col("l_shipdate")))
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 991 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+      .withColumn("l_orderkey",
+        when(col("l_orderkey") % 977 === 0, col("l_orderkey") + 900000000L)
+          .otherwise(col("l_orderkey")))
+    val dirty = base.unionByName(
+      base.filter(col("l_orderkey") % 983 === 0)) // PK duplicates
+    val rowChecks = dirty.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"),
+      sum((col("l_quantity") <= 0 || col("l_quantity") > 50).cast("long"))
+        .as("qty_out_of_range"))
+    val dupPk = dirty.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+        .as("duplicate_pk_rows"))
+    val orphans = dirty.join(
+        Tables.orders(spark, sfDir).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_fk_rows"))
+    val r = rowChecks.crossJoin(dupPk).crossJoin(orphans)
+    // long format: (check, n) — stable across adding checks
+    r.select(explode(array(
+        struct(lit("null_shipdate").as("check"), col("null_shipdate").as("n")),
+        struct(lit("qty_out_of_range").as("check"), col("qty_out_of_range").as("n")),
+        struct(lit("duplicate_pk_rows").as("check"), col("duplicate_pk_rows").as("n")),
+        struct(lit("orphan_fk_rows").as("check"), col("orphan_fk_rows").as("n")),
+        struct(lit("total_rows").as("check"), col("n_rows").as("n")))).as("kv"))
+      .select(col("kv.check").as("check"), col("kv.n").as("n"))
+      .orderBy("check")
+  }
+
+  /** q106: fuzzy entity resolution — a dirty feed (every distinct part
+    * name with one deterministically deleted character) reconciled
+    * against the clean name dimension by BLOCKED edit-distance match.
+    * Naive fuzzy join is O(n·m) levenshtein calls — fatal at scale; the
+    * standard ER answer is multi-pass blocking: candidates are the
+    * UNION of cheap equi-joins (same first character + close length,
+    * same last character + close length — a single deletion preserves
+    * at least one of the two anchors), each a hash-joinable shuffle,
+    * and the quadratic verify runs only within blocks. Deletion at
+    * position p means every true match survives blocking by
+    * construction; the oracle replays the identical generation +
+    * blocking + verification in SQL (Spark and DuckDB share
+    * levenshtein semantics). */
+  def q106FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Tables.part(spark, sfDir)
+      .select(col("p_name").as("name")).distinct()
+    // deterministic single-char deletion at position
+    // (length + ascii(2nd char)) % length — varies across names, same
+    // expression in the oracle
+    val dirtyFeed = clean.select(
+      concat(expr("substring(name, 1, (length(name) + ascii(substring(name, 2, 1))) % length(name))"),
+        expr("substring(name, (length(name) + ascii(substring(name, 2, 1))) % length(name) + 2)"))
+        .as("dirty"))
+      .distinct()
+    def block(d: DataFrame, c: DataFrame, anchor: String => org.apache.spark.sql.Column) =
+      d.withColumn("k", anchor("dirty")).join(
+          c.withColumn("k", anchor("name")), "k")
+        .filter(abs(length(col("dirty")) - length(col("name"))) <= 1)
+        .select("dirty", "name")
+    val first = (cn: String) => substring(col(cn), 1, 1)
+    val last = (cn: String) => substring(col(cn), -1, 1)
+    val candidates = block(dirtyFeed, clean, first)
+      .unionByName(block(dirtyFeed, clean, last))
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("dirty"), col("name")))
+      .filter(col("dist") <= 1)
+      .orderBy("dirty", "name")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q105_dq_audit" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN l_orderkey % 977 = 0 THEN l_orderkey + 900000000
+        |              ELSE l_orderkey END AS l_orderkey,
+        |         l_linenumber,
+        |         CASE WHEN l_orderkey % 991 = 0 THEN -l_quantity
+        |              ELSE l_quantity END AS l_quantity,
+        |         CASE WHEN l_orderkey % 997 = 0 THEN NULL
+        |              ELSE l_shipdate END AS l_shipdate
+        |  FROM lineitem),
+        |dirty AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT * FROM base WHERE l_orderkey % 983 = 0),
+        |rowchecks AS (
+        |  SELECT COUNT(*) AS total_rows,
+        |         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+        |         CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range
+        |  FROM dirty),
+        |dup AS (
+        |  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS duplicate_pk_rows
+        |  FROM (SELECT COUNT(*) AS c FROM dirty
+        |        GROUP BY l_orderkey, l_linenumber) WHERE c > 1),
+        |orph AS (
+        |  SELECT COUNT(*) AS orphan_fk_rows FROM dirty d
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = d.l_orderkey))
+        |SELECT 'duplicate_pk_rows' AS "check", duplicate_pk_rows AS n FROM dup
+        |UNION ALL SELECT 'null_shipdate', null_shipdate FROM rowchecks
+        |UNION ALL SELECT 'orphan_fk_rows', orphan_fk_rows FROM orph
+        |UNION ALL SELECT 'qty_out_of_range', qty_out_of_range FROM rowchecks
+        |UNION ALL SELECT 'total_rows', total_rows FROM rowchecks
+        |ORDER BY "check"""".stripMargin,
+
+    "q106_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT DISTINCT p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT DISTINCT
+        |    substr(name, 1, (length(name) + ascii(substr(name, 2, 1))) % length(name))
+        |    || substr(name, (length(name) + ascii(substr(name, 2, 1))) % length(name) + 2)
+        |    AS dirty
+        |  FROM clean),
+        |cand AS (
+        |  SELECT d.dirty, c.name FROM dirty d JOIN clean c
+        |    ON substr(d.dirty, 1, 1) = substr(c.name, 1, 1)
+        |   AND abs(length(d.dirty) - length(c.name)) <= 1
+        |  UNION
+        |  SELECT d.dirty, c.name FROM dirty d JOIN clean c
+        |    ON substr(d.dirty, length(d.dirty), 1) = substr(c.name, length(c.name), 1)
+        |   AND abs(length(d.dirty) - length(c.name)) <= 1)
+        |SELECT dirty, name, CAST(levenshtein(dirty, name) AS INT) AS dist
+        |FROM cand
+        |WHERE levenshtein(dirty, name) <= 1
+        |ORDER BY dirty, name""".stripMargin
+  )
+}
