@@ -122,6 +122,8 @@ object SparkEntry {
     "q104_bm25_topk"         -> ((s, d) => SearchQueries.q104Bm25TopK(s, d)),
     "q105_dq_audit"          -> (QualityQueries.q105DqAudit _),
     "q106_fuzzy_join"        -> (QualityQueries.q106FuzzyJoin _),
+    "q107_large_orders"      -> (AnalyticsQueries.q107LargeOrders _),
+    "q108_blocking_suppliers" -> (AnalyticsQueries.q108BlockingSuppliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

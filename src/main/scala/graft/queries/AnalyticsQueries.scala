@@ -367,7 +367,93 @@ object AnalyticsQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q107: TPC-H Q18 shape — large-volume orders. The HAVING aggregate
+    * (orders whose line quantities sum past a threshold) produces a
+    * SMALL qualifying key set that then joins back to the fact and
+    * dimension sides: aggregate once (map-side partials), and the
+    * qualifying keys — data-dependent and tiny — broadcast back
+    * against orders under AQE instead of re-shuffling lineitem. The
+    * top-k is TakeOrderedAndProject. The "aggregate → qualify → join
+    * back" shape is the standard way to filter facts by a group
+    * property without carrying the groups through a wide join. */
+  def q107LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val qualifying = li.groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity"))).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 250L)
+    Tables.orders(spark, sfDir)
+      .join(qualifying, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        round(col("o_totalprice") * 1e6).cast("long").as("price_micro"),
+        col("sum_qty"))
+      .orderBy(col("price_micro").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** q108: TPC-H Q21 shape — correlated EXISTS + NOT EXISTS over the
+    * same fact. A supplier "blocks" an order when its line carries the
+    * strictly latest ship date (no line by ANY other supplier ships
+    * later — left_anti) on a genuinely multi-supplier order (some line
+    * by another supplier exists — left_semi). Both correlations are
+    * per-order self-joins: they shuffle on l_orderkey once each and
+    * their per-group width is the order's line count (~4), so the
+    * quadratic verify is bounded per key — the correlated-subquery
+    * pattern decorrelated into semi/anti joins, which is exactly what
+    * a 100 TB planner must do (a per-row subquery would be a scan per
+    * row). */
+  def q108BlockingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        to_date(col("l_shipdate")).as("ship"))
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("ship"))
+    val other = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+      col("ship").as("ship2"))
+    val multiSupplier = l1.join(other,
+      col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+      "left_semi")
+    val latest = multiSupplier.join(other,
+      col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2") &&
+        col("ship2") > col("ship"),
+      "left_anti")
+    latest.groupBy("l_suppkey")
+      .agg(countDistinct("l_orderkey").as("n_blocked"))
+      .orderBy(col("n_blocked").desc, col("l_suppkey").asc)
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q107_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, CAST(SUM(ROUND(l_quantity)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(ROUND(l_quantity)) AS BIGINT) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |       CAST(ROUND(o.o_totalprice*1000000.0) AS BIGINT) AS price_micro,
+        |       q.sum_qty
+        |FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY price_micro DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q108_blocking_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, CAST(l_shipdate AS DATE) AS ship
+        |  FROM lineitem)
+        |SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_blocked
+        |FROM li l1
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.ship > l1.ship)
+        |GROUP BY l_suppkey
+        |ORDER BY n_blocked DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+
     "q36_stats_envelope" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |       COUNT(DISTINCT l_partkey) AS n_parts,
