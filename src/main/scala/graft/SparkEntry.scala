@@ -124,6 +124,7 @@ object SparkEntry {
     "q106_fuzzy_join"        -> (QualityQueries.q106FuzzyJoin _),
     "q107_large_orders"      -> (AnalyticsQueries.q107LargeOrders _),
     "q108_blocking_suppliers" -> (AnalyticsQueries.q108BlockingSuppliers _),
+    "q109_sql_bridge"        -> (AnalyticsQueries.q109SqlBridge _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -424,7 +424,41 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** ONE SQL text, two engines: q109 runs this string verbatim through
+    * `spark.sql` AND hands the very same string to the DuckDB oracle —
+    * the SQL-bridge guarantee is textual identity, so the dialect
+    * subset used here (EXTRACT, window RANK, CTEs, explicit BIGINT
+    * casts) is pinned by construction. Micro-long revenue keeps the
+    * SUM order-independent as everywhere else. */
+  private val Q109Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+      |         CAST(EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+      |         CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT) AS rm
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT flag, y, mo, COUNT(*) AS n, CAST(SUM(rm) AS BIGINT) AS rev_micro
+      |  FROM m GROUP BY flag, y, mo)
+      |SELECT flag, y, mo, n, rev_micro,
+      |       CAST(RANK() OVER (PARTITION BY flag ORDER BY rev_micro DESC) AS BIGINT) AS rnk
+      |FROM g
+      |ORDER BY flag, y, mo""".stripMargin
+
+  /** q109: the SQL→DataFrame bridge, proven end-to-end — the reference
+    * "disappears" its SQL layer into pandas (SURVEY S7); here the
+    * declarative text IS the program: registered temp view, one
+    * `spark.sql` call, Catalyst plans it like any DataFrame query
+    * (same pushdown/partial-agg/window machinery), and the DuckDB
+    * oracle executes the IDENTICAL string. */
+  def q109SqlBridge(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(Q109Sql)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q109_sql_bridge" -> Q109Sql,
+
     "q107_large_orders" ->
       """WITH q AS (
         |  SELECT l_orderkey, CAST(SUM(ROUND(l_quantity)) AS BIGINT) AS sum_qty
