@@ -125,6 +125,7 @@ object SparkEntry {
     "q107_large_orders"      -> (AnalyticsQueries.q107LargeOrders _),
     "q108_blocking_suppliers" -> (AnalyticsQueries.q108BlockingSuppliers _),
     "q109_sql_bridge"        -> (AnalyticsQueries.q109SqlBridge _),
+    "q110_ttl_cache"         -> (SourceQueries.q110TtlCache _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

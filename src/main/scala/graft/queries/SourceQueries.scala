@@ -474,7 +474,46 @@ object SourceQueries {
     (picked, total)
   }
 
+  /** q110: the TTL read-through snapshot cache (S10) end-to-end — the
+    * latest-price-per-ticker build goes through
+    * [[graft.sources.SnapshotCache.readThrough]] twice: the first call
+    * MISSES (builds + snapshots), the second HITS within the TTL and
+    * serves the parquet snapshot without recompute (both asserted
+    * in-query; expiry-by-clock is SnapshotCacheSpec's job). The served
+    * result must equal the direct computation — the oracle never sees
+    * the cache, so staleness bugs or partial snapshots would
+    * hash-mismatch. */
+  def q110TtlCache(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotCache
+    val dir = Files.createTempDirectory("graft_q110").toString
+    def build = Tables.prices(spark, sfDir)
+      .select(col("ticker"), col("ts"), col("event_id"),
+        round(col("close") * 1e6).cast("long").as("close_micro"))
+      .groupBy("ticker")
+      .agg(max_by(struct(col("ts"), col("close_micro")),
+        struct(col("ts"), col("event_id"))).as("_l"))
+      .select(col("ticker"), col("_l.ts").as("last_ts"),
+        col("_l.close_micro").as("last_close_micro"))
+    val (_, hit1) = SnapshotCache.readThrough(spark, dir, 3600000L)(build)
+    val (served, hit2) = SnapshotCache.readThrough(spark, dir, 3600000L)(build)
+    require(!hit1 && hit2, s"cache contract broken: miss=$hit1 hit=$hit2")
+    served.orderBy("ticker")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q110_ttl_cache" ->
+      """WITH p AS (
+        |  SELECT event_type AS ticker, ts,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS close_micro,
+        |         event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ticker
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM p)
+        |SELECT ticker, ts AS last_ts, close_micro AS last_close_micro
+        |FROM r WHERE rn = 1 ORDER BY ticker""".stripMargin,
+
     "q97_compaction" ->
       """SELECT event_type, COUNT(*) AS n_rows,
         |       CAST(CEIL(COUNT(*) / 600.0) AS BIGINT) AS n_files,
