@@ -102,9 +102,14 @@ object QualityQueries {
     val candidates = block(dirtyFeed, clean, first)
       .unionByName(block(dirtyFeed, clean, last))
       .distinct()
+    // thresholded levenshtein: the banded DP early-exits once the
+    // distance provably exceeds 1 (O(len) not O(len²) per pair, the
+    // form that matters when blocks are big); pairs over the bound
+    // return -1 and the filter drops them, so the kept rows' distances
+    // equal the unbounded oracle's
     candidates
-      .withColumn("dist", levenshtein(col("dirty"), col("name")))
-      .filter(col("dist") <= 1)
+      .withColumn("dist", levenshtein(col("dirty"), col("name"), 1))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .orderBy("dirty", "name")
   }
 
