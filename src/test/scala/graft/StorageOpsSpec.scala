@@ -99,6 +99,57 @@ class StorageOpsSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("cdcMergeIntoStore converges to the one-shot apply under any batching") {
+    import spark.implicits._
+    // deterministic miniature change log: 40 versions over 6 keys,
+    // every 5th a tombstone
+    val log = (1L to 40L).map { id =>
+      (id % 3, if (id % 2 == 0) "a" else "b",
+        new java.sql.Timestamp(1000 + (id * 37) % 23 * 1000), id,
+        if (id % 5 == 0) "D" else "U", id * 100)
+    }.toDF("user_id", "event_type", "ts", "event_id", "op", "value_micro")
+    val oneShot = EtlQueries.cdcApply(log,
+        Seq("user_id", "event_type"), Seq("ts", "event_id"), "op",
+        Seq("ts", "value_micro"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    // three adversarial batchings: singleton batches in reverse order,
+    // two interleaved halves, one big batch
+    val batchings = Seq(
+      (1L to 40L).reverse.map(i => log.filter($"event_id" === i)),
+      Seq(log.filter($"event_id" % 2 === 0), log.filter($"event_id" % 2 === 1)),
+      Seq(log))
+    batchings.zipWithIndex.foreach { case (batches, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cdc_conv$i").resolve("state").toString
+      batches.foreach(b => EtlQueries.cdcMergeIntoStore(dir, b))
+      val replayed = spark.read.parquet(dir).filter($"op" =!= "D")
+        .select("user_id", "event_type", "ts", "value_micro")
+        .orderBy("user_id", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(replayed == oneShot, s"batching #$i diverged")
+    }
+  }
+
+  test("incrementalAgg equals the full recompute at every split point") {
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+    val full = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_micro").as("sum_micro"))
+      .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+    Seq("2024-01-05", "2024-01-15", "2024-02-01" /* empty delta side */)
+      .foreach { split =>
+        val s = lit(split).cast("timestamp")
+        val partials = ev.filter(col("ts") < s)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_events"), sum("value_micro").as("sum_micro"))
+        val got = EtlQueries.incrementalAgg(partials, ev.filter(col("ts") >= s))
+          .orderBy("user_id", "event_type").collect().map(_.toSeq).toSeq
+        assert(got == full, s"split $split diverged")
+      }
+  }
+
   test("q99 incremental refresh handles delta-only groups and empty deltas") {
     import spark.implicits._
     val partials = Seq(("a", 1L, 2L, 10L), ("b", 1L, 1L, 5L))
