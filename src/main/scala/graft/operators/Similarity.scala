@@ -258,10 +258,17 @@ object Similarity {
       .otherwise(floor(x.cast("double") / scale + 0.5d))
       .cast("tinyint"))
 
-  /** Int8-domain dot product: tinyint pairs multiply in int, accumulate
-    * in long (max |q|·|q|·d = 127²·d, nowhere near overflow). The hot
-    * loop reads 2 bytes per element instead of 8. */
+  /** Int8-domain dot product: tinyint pairs multiply and accumulate in
+    * long (max |q|·|q|·d = 127²·d, nowhere near overflow). The
+    * codegen'd [[graft.functions.Int8VecDot]] — a tight 2-bytes-per-
+    * element loop inside whole-stage codegen, vs an interpreted lambda
+    * per element for the HOF form (Int8QuantSpec pins their
+    * equality). */
   def int8Dot(a: Column, b: Column): Column =
+    graft.functions.Int8VecDot.dot8(a, b)
+
+  /** The HOF reference formulation of [[int8Dot]] — spec baseline. */
+  def int8DotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
       lit(0L), (acc, p) => acc + p.cast("long"))
 

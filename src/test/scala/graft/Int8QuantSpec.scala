@@ -35,6 +35,25 @@ class Int8QuantSpec extends SparkSpec {
     assert(sat.getAs[Long]("lo") >= 1L)
   }
 
+  test("codegen'd Int8VecDot equals the HOF fold and runs inside codegen") {
+    val e = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val s = Similarity.int8Scale(col("embedding"))
+    val q = e.select(col("vec_id"), Similarity.int8Quantize(col("embedding"), s).as("q"))
+    val pairs = q.as("a").crossJoin(q.as("b")).limit(2000)
+      .select(Similarity.int8Dot(col("a.q"), col("b.q")).as("fast"),
+        Similarity.int8DotHof(col("a.q"), col("b.q")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    // self-dot over the scan: the expression itself must sit inside a
+    // WholeStageCodegen span (the join-shaped frame above hides it
+    // behind AQE's unfinalized plan string)
+    val simple = q.select(Similarity.int8Dot(col("q"), col("q")).as("d"))
+    val planStr = simple.queryExecution.executedPlan.toString
+    // '*(n)' prefixes a whole-stage-codegen stage in the compact render
+    assert("""\*\(\d+\) Project \[int8vecdot""".r.findFirstIn(planStr).isDefined,
+      planStr)
+    assert(simple.agg(min("d")).head.getLong(0) > 0L)
+  }
+
   test("int8 candidate pass + exact rerank reaches recall@10 >= 0.9 on the clustered corpus") {
     val e = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
     val queries = e.filter(col("vec_id") % 50 === 0)
