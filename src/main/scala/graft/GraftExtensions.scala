@@ -15,7 +15,9 @@ import graft.functions.{BottomK, CountMinAgg, CountMinMergeAgg, FloatVecDot}
   * product), `bottom_k(col, k)` (O(k) bottom-k sketch aggregate),
   * `count_min_graft(col, depth, width)` / `count_min_merge_graft(sk,
   * depth, width)` (mergeable count-min sketches; `_graft` suffix keeps
-  * clear of the built-in `count_min_sketch`); plus the native as-of
+  * clear of the built-in `count_min_sketch`), `int8_vec_dot(a, b)`
+  * (codegen'd quantized dot product), `zorder2(a, b)` (codegen'd
+  * Morton interleave); plus the native as-of
   * join (graft.plans.AsofJoinNode/Exec + its pruning/pushdown rules).
   * `AsofJoin.backwardNative` also self-registers through
   * `spark.experimental` for sessions built without this class.
@@ -64,6 +66,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountMinMergeAgg(children.head,
           intArg(children(1), "count_min_merge_graft", "depth"),
           intArg(children(2), "count_min_merge_graft", "width"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.Int8VecDot].getName, "int8_vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int8_vec_dot(a, b) takes two arguments")
+        graft.functions.Int8VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[graft.functions.ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "zorder2(a, b) takes two arguments")
+        graft.functions.ZOrder2(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofRightColumns)

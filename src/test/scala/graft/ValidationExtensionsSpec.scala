@@ -83,4 +83,21 @@ class ValidationExtensionsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(sk.length == 32 && sk.sum == 8) // 4 values x 2 sketch rows
   }
+
+  test("int8_vec_dot and zorder2 are callable from SQL once registered") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_vec_dot",
+      exprs => graft.functions.Int8VecDot(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2",
+      exprs => graft.functions.ZOrder2(exprs.head, exprs(1)),
+      "scala_udf")
+    val d = spark.sql(
+      "SELECT int8_vec_dot(CAST(array(1, -2) AS ARRAY<TINYINT>), " +
+        "CAST(array(3, 4) AS ARRAY<TINYINT>)) AS d").collect().head.getLong(0)
+    assert(d == -5L)
+    val z = spark.sql("SELECT zorder2(0L, 3L) AS z").collect().head.getLong(0)
+    assert(z == 10L) // bits of 3 land in the odd interleave positions
+  }
 }
