@@ -126,6 +126,7 @@ object SparkEntry {
     "q108_blocking_suppliers" -> (AnalyticsQueries.q108BlockingSuppliers _),
     "q109_sql_bridge"        -> (AnalyticsQueries.q109SqlBridge _),
     "q110_ttl_cache"         -> (SourceQueries.q110TtlCache _),
+    "q111_pit_join"          -> (EventsQueries.q111PitJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -187,7 +187,55 @@ object EventsQueries {
         sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_stage2"),
         sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_stage3"))
 
+  /** q111: POINT-IN-TIME join — every event enriched with the
+    * dimension version that was valid AT ITS TIMESTAMP, against the
+    * SCD2 interval history built by [[EtlQueries.scd2]] from a
+    * downsampled change log (every 3rd event is a dimension change).
+    * The half-open `[effective_from, effective_to)` intervals are
+    * disjoint per key, so each event matches at most one version;
+    * events before a user's first change stay null (left join). This
+    * is the warehouse complement of the as-of join (q38/q47): as-of
+    * picks the last OBSERVATION ≤ t from a point series, PIT probes an
+    * INTERVAL table — the query every versioned-dimension lookup at
+    * 100 TB compiles to. Plan: equi-key (user_id) hash join carries
+    * the interval predicate as a post-join filter; per-key interval
+    * counts are bounded (change-compressed history), so the per-key
+    * cross-check is small — the same boundedness argument as q108. */
+  def q111PitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val hist = EtlQueries.scd2(ev.filter(col("event_id") % 3 === 0),
+        "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id").as("h_user"), col("event_type").as("attr"),
+        col("effective_from"), col("effective_to"))
+    ev.join(hist,
+        col("user_id") === col("h_user") &&
+          col("ts") >= col("effective_from") &&
+          (col("effective_to").isNull || col("ts") < col("effective_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("attr"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q111_pit_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events WHERE event_id % 3 = 0),
+        |ch AS (
+        |  SELECT * FROM c WHERE prev_attr IS NULL OR prev_attr <> event_type),
+        |h AS (
+        |  SELECT user_id, event_type AS attr, ts AS effective_from,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to
+        |  FROM ch)
+        |SELECT e.event_id, e.user_id, e.ts, h.attr
+        |FROM events e LEFT JOIN h
+        |  ON e.user_id = h.user_id
+        | AND e.ts >= h.effective_from
+        | AND (h.effective_to IS NULL OR e.ts < h.effective_to)
+        |ORDER BY e.event_id""".stripMargin,
+
     "q88_rolling_window" ->
       """WITH d AS (
         |  SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
