@@ -127,6 +127,7 @@ object SparkEntry {
     "q109_sql_bridge"        -> (AnalyticsQueries.q109SqlBridge _),
     "q110_ttl_cache"         -> (SourceQueries.q110TtlCache _),
     "q111_pit_join"          -> (EventsQueries.q111PitJoin _),
+    "q112_feature_matrix"    -> (PipelineQueries.q112FeatureMatrix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -440,6 +440,29 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** q112: per-user feature matrix via the relational PIVOT — one row
+    * per user, one (count, sum) column pair per event type, the wide
+    * feature table a trainer joins against. The pivot values are
+    * EXPLICIT (the five event types), so the schema is plan-time
+    * static — at 100 TB an implicit pivot would need a distinct-scan
+    * just to learn its own columns and could blow the column budget;
+    * pinning the vocabulary is the scale-safe form. One shuffle,
+    * map-side partial aggregation, nulls zero-filled so sparse users
+    * hash identically to the oracle's CASE sums. */
+  def q112FeatureMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"), sum("vm").as("sum_micro"))
+    types.foldLeft(wide) { (df, t) =>
+      df.withColumn(s"${t}_n", coalesce(col(s"${t}_n"), lit(0L)))
+        .withColumn(s"${t}_sum_micro", coalesce(col(s"${t}_sum_micro"), lit(0L)))
+    }.orderBy("user_id")
+  }
+
   private val simhashBits = (0 until 60)
     .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
     .mkString(", ")
@@ -462,6 +485,20 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q112_feature_matrix" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value*1000000.0) AS BIGINT) END), 0) AS BIGINT) AS click_sum_micro,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_n,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value*1000000.0) AS BIGINT) END), 0) AS BIGINT) AS error_sum_micro,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*1000000.0) AS BIGINT) END), 0) AS BIGINT) AS purchase_sum_micro,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_n,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value*1000000.0) AS BIGINT) END), 0) AS BIGINT) AS signup_sum_micro,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value*1000000.0) AS BIGINT) END), 0) AS BIGINT) AS view_sum_micro
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q100_int8_quant" ->
       """WITH s AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
