@@ -128,6 +128,8 @@ object SparkEntry {
     "q110_ttl_cache"         -> (SourceQueries.q110TtlCache _),
     "q111_pit_join"          -> (EventsQueries.q111PitJoin _),
     "q112_feature_matrix"    -> (PipelineQueries.q112FeatureMatrix _),
+    "q113_attribution"       -> (EventsQueries.q113Attribution _),
+    "q114_retention_cohorts" -> (EventsQueries.q114RetentionCohorts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -187,6 +187,56 @@ object EventsQueries {
         sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_stage2"),
         sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_stage3"))
 
+  /** q113: FIRST-TOUCH attribution — purchase value credited to the
+    * event type that OPENED the session it happened in (the marketing
+    * "which channel gets the credit" analysis). Composes q18's
+    * gap-sessionization with a per-session `first` window and one
+    * aggregation: sessions reuse the session_idx cumsum, the opener is
+    * `first_value` over the in-session order, and the credit roll-up
+    * is a plain groupBy — all on the SAME single per-user exchange
+    * (one shuffle end-to-end until the tiny final combine). */
+  def q113Attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag("us", 1).over(w) > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(cum))
+    val sw = Window.partitionBy("user_id", "session_idx")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess
+      .withColumn("first_touch", first("event_type").over(sw))
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 1e6).cast("long")).as("credited_micro"))
+      .orderBy("first_touch")
+  }
+
+  /** q114: retention cohorts — users grouped by first-seen day, counted
+    * back on each later activity day as an offset from their cohort
+    * (the product-analytics triangle). Two aggregations: min(day) per
+    * user (the cohort — one shuffle on user), then distinct users per
+    * (cohort, offset) — the join back is a broadcast of the per-user
+    * cohort row... which at 100 TB stays a user-keyed equi join: both
+    * sides are already user-partitioned from the first agg, so the
+    * second shuffle is avoidable (exchange reuse), and the matrix
+    * itself is tiny (days × offsets). */
+  def q114RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** q111: POINT-IN-TIME join — every event enriched with the
     * dimension version that was valid AT ITS TIMESTAMP, against the
     * SCD2 interval history built by [[EtlQueries.scd2]] from a
@@ -218,6 +268,41 @@ object EventsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q113_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         epoch_us(ts) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                      > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m),
+        |f AS (
+        |  SELECT *, first_value(event_type) OVER (
+        |              PARTITION BY user_id, session_idx ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+        |  FROM s)
+        |SELECT first_touch, COUNT(*) AS n_purchases,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS credited_micro
+        |FROM f WHERE event_type = 'purchase'
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+
+    "q114_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |       CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |       COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY c.cohort_day, day_offset""".stripMargin,
+
     "q111_pit_join" ->
       """WITH c AS (
         |  SELECT user_id, event_type, ts, event_id,
