@@ -130,6 +130,8 @@ object SparkEntry {
     "q112_feature_matrix"    -> (PipelineQueries.q112FeatureMatrix _),
     "q113_attribution"       -> (EventsQueries.q113Attribution _),
     "q114_retention_cohorts" -> (EventsQueries.q114RetentionCohorts _),
+    "q115_pagerank"          -> (AnalyticsQueries.q115PageRank _),
+    "q116_market_basket"     -> (AnalyticsQueries.q116MarketBasket _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

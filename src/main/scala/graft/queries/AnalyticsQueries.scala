@@ -424,6 +424,105 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** q115: PageRank over the part co-shipment graph (parts are linked
+    * when they appear in the same order), five synchronous iterations
+    * in EXACT fixed-point arithmetic: ranks are micro-longs, each
+    * node's contribution is `rank div degree` (floor), and the damping
+    * update is `150000 + (850000 · Σcontrib) div 1000000` — integer
+    * sums are order-independent, so the DuckDB twin (the same five
+    * steps unrolled as CTEs) is bit-exact where double PageRank would
+    * drift with aggregation order. Per iteration: ONE join of the edge
+    * list to the compact rank table + one aggregation — the classic
+    * distributed PageRank step; `localCheckpoint` truncates lineage so
+    * plan depth stays O(1) in the iteration count (the q48/q59
+    * discipline). Edges are DISTINCT pairs, so hot co-shipments don't
+    * multi-count; every node has degree ≥ 1 by construction (no
+    * dangling-mass term needed). */
+  def q115PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    var rank = deg.withColumn("rank_micro", lit(1000000L))
+      .select(col("u").as("node"), col("deg"), col("rank_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(rank.select(col("node").as("u"), col("deg"), col("rank_micro")), "u")
+        .select(col("v").as("node"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("sumc"))
+      rank = rank.drop("rank_micro")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(150000L) + expr("(850000 * coalesce(sumc, 0)) div 1000000"))
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    rank.select(col("node").as("l_partkey"), col("deg"), col("rank_micro"))
+      .orderBy("l_partkey")
+  }
+
+  /** The q115 oracle: the identical five fixed-point steps unrolled as
+    * CTEs (generated, like the simhash SQL, so Spark and SQL can't
+    * drift apart on the update rule). */
+  private val Q115Sql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT d.u AS node, d.deg,
+         |         150000 + (850000 * COALESCE(c.sumc, 0)) // 1000000 AS rank_micro
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.v AS node, SUM(r.rank_micro // r.deg) AS sumc
+         |    FROM edges e JOIN r${i - 1} r ON e.u = r.node
+         |    GROUP BY e.v) c ON c.node = d.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |deg AS (
+       |  SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+       |r0 AS (
+       |  SELECT u AS node, deg, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+       |$steps
+       |SELECT node AS l_partkey, deg, CAST(rank_micro AS BIGINT) AS rank_micro
+       |FROM r5 ORDER BY l_partkey""".stripMargin
+  }
+
+  /** q116: market-basket co-occurrence — item pairs sharing an order,
+    * with exact integer lift (`n_ab · N_orders · 10⁶ div (n_a · n_b)`).
+    * The pair explosion is bounded by the per-order line count (~4
+    * lines → ≤ 6 pairs per order), which is what keeps basket analysis
+    * tractable at 100 TB: the self-join is equi on the order key and
+    * per-key quadratic only in that small width (the q108 argument);
+    * item-frequency sides are broadcast-sized aggregates. Top 25 pairs
+    * by support with deterministic tiebreaks. */
+  def q116MarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val nOrders = li.select("l_orderkey").distinct().count()
+    val itemN = li.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("item_a"), col("b.l_partkey").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(itemN.select(col("l_partkey").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemN.select(col("l_partkey").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .withColumn("lift_micro",
+        expr(s"(n_ab * ${nOrders}L * 1000000L) div (n_a * n_b)"))
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "lift_micro")
+      .orderBy(col("n_ab").desc, col("item_a").asc, col("item_b").asc)
+      .limit(25)
+  }
+
   /** ONE SQL text, two engines: q109 runs this string verbatim through
     * `spark.sql` AND hands the very same string to the DuckDB oracle —
     * the SQL-bridge guarantee is textual identity, so the dialect
@@ -458,6 +557,29 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q109_sql_bridge" -> Q109Sql,
+
+    "q115_pagerank" -> Q115Sql,
+
+    "q116_market_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (
+        |  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        |item AS (
+        |  SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |       ia.n_item AS n_a, ib.n_item AS n_b,
+        |       CAST((p.n_ab * n.n_orders * 1000000) // (ia.n_item * ib.n_item) AS BIGINT) AS lift_micro
+        |FROM pairs p
+        |JOIN item ia ON ia.l_partkey = p.item_a
+        |JOIN item ib ON ib.l_partkey = p.item_b
+        |CROSS JOIN n
+        |ORDER BY p.n_ab DESC, p.item_a ASC, p.item_b ASC LIMIT 25""".stripMargin,
 
     "q107_large_orders" ->
       """WITH q AS (
