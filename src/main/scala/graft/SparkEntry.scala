@@ -132,6 +132,7 @@ object SparkEntry {
     "q114_retention_cohorts" -> (EventsQueries.q114RetentionCohorts _),
     "q115_pagerank"          -> (AnalyticsQueries.q115PageRank _),
     "q116_market_basket"     -> (AnalyticsQueries.q116MarketBasket _),
+    "q117_decontamination"   -> (PipelineQueries.q117Decontamination _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -440,6 +440,31 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** q117: benchmark DECONTAMINATION — the cross-corpus overlap check
+    * every shared training set runs before release: training documents
+    * that share any word 3-gram shingle with the held-out benchmark
+    * split are flagged with their contamination evidence (overlapping-
+    * shingle count and benchmark-side hit count). Distinct from dedup
+    * (q20-q23): the question is cross-corpus containment, not
+    * within-corpus similarity, and the scalable shape is an EQUI-JOIN
+    * on the shingle — the benchmark side's shingle set is tiny
+    * relative to the corpus (broadcastable at real scale), so the
+    * training corpus is scanned once and never self-joined. Flagged
+    * docs report the max per-shingle benchmark spread so curators can
+    * distinguish a quoted benchmark item from a common phrase. */
+  def q117Decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val train = Dedup.shingles(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val bench = Dedup.shingles(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val benchSpread = bench.groupBy("sh")
+      .agg(countDistinct("doc").as("n_bench_docs"))
+    train.join(broadcast(benchSpread), "sh")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_overlap_shingles"),
+        max("n_bench_docs").as("max_bench_spread"))
+      .orderBy("doc_id")
+  }
+
   /** q112: per-user feature matrix via the relational PIVOT — one row
     * per user, one (count, sum) column pair per event type, the wide
     * feature table a trainer joins against. The pivot values are
@@ -485,6 +510,23 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q117_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(len(tok)-2),
+        |           i -> tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]))) AS sh
+        |  FROM t WHERE len(tok) >= 3),
+        |train AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |bench AS (
+        |  SELECT sh, COUNT(DISTINCT doc_id) AS n_bench_docs
+        |  FROM sh WHERE doc_id % 10 = 0 GROUP BY sh)
+        |SELECT t.doc_id, COUNT(*) AS n_overlap_shingles,
+        |       CAST(MAX(b.n_bench_docs) AS BIGINT) AS max_bench_spread
+        |FROM train t JOIN bench b USING (sh)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     "q112_feature_matrix" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
