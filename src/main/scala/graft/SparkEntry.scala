@@ -133,6 +133,7 @@ object SparkEntry {
     "q115_pagerank"          -> (AnalyticsQueries.q115PageRank _),
     "q116_market_basket"     -> (AnalyticsQueries.q116MarketBasket _),
     "q117_decontamination"   -> (PipelineQueries.q117Decontamination _),
+    "q118_trend_slope"       -> (AnalyticsQueries.q118TrendSlope _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

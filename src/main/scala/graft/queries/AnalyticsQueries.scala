@@ -523,6 +523,36 @@ object AnalyticsQueries {
       .limit(25)
   }
 
+  /** q118: per-ticker OLS price trend — the regression-by-aggregation
+    * shape: ONE pass collects (n, Σx, Σy, Σxy, Σx²) per group
+    * (map-side partials, one shuffle), the slope closes over them.
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), carried entirely in
+    * BIGINT: x is the day index, y is milli-scaled, and the nano-scaled
+    * quotient is the exact two-step `q·10⁹ + (r·10⁹) div den` on the
+    * |numerator| with the sign reapplied — every intermediate fits in
+    * long at sf0.1×10, and the non-negative division sidesteps the
+    * Spark-`div`-truncates vs DuckDB-`//`-floors sign disagreement.
+    * This is how distributed ML fits anything linear at 100 TB:
+    * sufficient statistics by aggregation, never a row-wise solver. */
+  def q118TrendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type").as("ticker"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
+        round(col("value") * 1e3).cast("long").as("y_milli"))
+      .groupBy("ticker")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y_milli").as("sy"),
+        sum(col("x") * col("y_milli")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_nano",
+        expr("""CASE WHEN num < 0 THEN -1 ELSE 1 END *
+               |((abs(num) div den) * 1000000000L +
+               | ((abs(num) % den) * 1000000000L) div den)""".stripMargin))
+      .select("ticker", "n", "slope_nano")
+      .orderBy("ticker")
+  }
+
   /** ONE SQL text, two engines: q109 runs this string verbatim through
     * `spark.sql` AND hands the very same string to the DuckDB oracle —
     * the SQL-bridge guarantee is textual identity, so the dialect
@@ -559,6 +589,26 @@ object AnalyticsQueries {
     "q109_sql_bridge" -> Q109Sql,
 
     "q115_pagerank" -> Q115Sql,
+
+    "q118_trend_slope" ->
+      """WITH p AS (
+        |  SELECT event_type AS ticker,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |         CAST(ROUND(value*1000.0) AS BIGINT) AS y_milli
+        |  FROM events),
+        |a AS (
+        |  SELECT ticker, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y_milli) AS BIGINT) AS sy,
+        |         CAST(SUM(x*y_milli) AS BIGINT) AS sxy,
+        |         CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM p GROUP BY ticker),
+        |s AS (
+        |  SELECT ticker, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM a)
+        |SELECT ticker, n,
+        |       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |            ((abs(num) // den) * 1000000000 +
+        |             ((abs(num) % den) * 1000000000) // den) AS BIGINT) AS slope_nano
+        |FROM s ORDER BY ticker""".stripMargin,
 
     "q116_market_basket" ->
       """WITH li AS (
