@@ -108,6 +108,16 @@ class EtlSearchSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("q118 OLS fits in one map-side-combined aggregation pass") {
+    val plan = graft.queries.AnalyticsQueries.q118TrendSlope(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"sufficient statistics must combine map-side:\n$plan")
+    // slope must be computed from the aggregates, not a second scan
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"q118 must scan events exactly once:\n$plan")
+  }
+
   test("q103 posting digest pins order: a permuted posting changes the hash") {
     import spark.implicits._
     val docs = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
