@@ -134,6 +134,7 @@ object SparkEntry {
     "q116_market_basket"     -> (AnalyticsQueries.q116MarketBasket _),
     "q117_decontamination"   -> (PipelineQueries.q117Decontamination _),
     "q118_trend_slope"       -> (AnalyticsQueries.q118TrendSlope _),
+    "q119_statestore_read"   -> (graft.streaming.StreamingQueries.q119StateStoreRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -820,7 +820,51 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q119: STATE-STORE INTROSPECTION — the checkpoint's RocksDB state
+    * read back as a DataFrame via Spark's `statestore` source and
+    * hash-checked against the batch aggregation. A complete-mode
+    * tumbling aggregation leaves one state row per (window, type); the
+    * reader exposes them as (key struct, value struct) straight from
+    * the store files, no query rerun. This is the operational tool a
+    * 100 TB stateful pipeline leans on: inspecting what a deployed
+    * job's state ACTUALLY holds (skew per key, stuck windows, state
+    * growth) without touching the job — and the oracle match proves
+    * the store holds exactly the aggregate it should, byte-decoded
+    * correctly. */
+  def q119StateStoreRead(spark: SparkSession, sfDir: String): DataFrame = {
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q119")
+    val srcDir = Files.createDirectories(tmp.resolve("src"))
+    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val ckpt = s"$tmp/ckpt"
+    val q = spark.readStream.schema(eventsLongTsSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("sum_micro"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ckpt)
+      .select(to_date(col("key.window.start")).as("window_day"),
+        col("key.event_type").as("ticker"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("sum_micro"))
+      .orderBy("window_day", "ticker")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q119_statestore_read" ->
+      """SELECT CAST(ts AS DATE) AS window_day, event_type AS ticker,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM events GROUP BY 1, 2 ORDER BY window_day, ticker""".stripMargin,
+
     "q102_stream_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_type, ts, event_id,
