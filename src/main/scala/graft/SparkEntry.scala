@@ -135,6 +135,7 @@ object SparkEntry {
     "q117_decontamination"   -> (PipelineQueries.q117Decontamination _),
     "q118_trend_slope"       -> (AnalyticsQueries.q118TrendSlope _),
     "q119_statestore_read"   -> (graft.streaming.StreamingQueries.q119StateStoreRead _),
+    "q120_transform_with_state" -> (graft.streaming.StreamingQueries.q120TransformWithState _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

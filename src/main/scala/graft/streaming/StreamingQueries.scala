@@ -820,6 +820,77 @@ object StreamingQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** q120's StatefulProcessor: per-user (count, exact sum, batch-parity
+    * bitmask) in a single ValueState. The bitmask makes cross-batch
+    * state persistence ORACLE-VISIBLE: the source splits by event-id
+    * parity into one file per micro-batch, so a user whose history
+    * spans both parities must report popcount 2 — provable in SQL as
+    * `COUNT(DISTINCT event_id % 2)`, and only reachable if state
+    * genuinely survived between batches. */
+  private class UserStatsTws
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("s",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                                 tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (n, s, mask) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r => n += 1; s += r._2; mask |= (1L << r._3) }
+      st.update((n, s, mask))
+      Iterator.single((key, n, s, java.lang.Long.bitCount(mask).toLong))
+    }
+  }
+
+  /** q120: arbitrary state via `transformWithState` — Spark 4's
+    * StatefulProcessor API (typed state variables with per-state TTL,
+    * timers, multi-state handles), the successor to the
+    * mapGroupsWithState form q37 uses. Same per-user totals contract
+    * as q37 PLUS the parity bitmask proving the ValueState carried
+    * across micro-batches (see [[UserStatsTws]]); update-mode emission
+    * per batch, final row per user reconciled on readback exactly as
+    * q37 documents. Requires the RocksDB state-store provider — TWS
+    * state lives in column families, which the HDFS-backed store does
+    * not support. */
+  def q120TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    useRocksDbState(spark)
+    val tmp = Files.createTempDirectory("graft_q120").toFile.getAbsolutePath
+    val src = s"$tmp/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
+        pmod(col("event_id"), lit(2)).as("parity"))
+    ev.filter(col("parity") === 0).coalesce(1).write.parquet(src)
+    ev.filter(col("parity") === 1).coalesce(1).write.mode("append").parquet(src)
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsTws, TimeMode.None(), OutputMode.Update(),
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]])
+      .toDF("user_id", "n_events", "sum_micro", "n_batches")
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.read.parquet(out)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        (col("sum_micro").cast("double") / 1e6).as("total_value"),
+        col("n_batches"))
+      .orderBy("user_id")
+  }
+
   /** q119: STATE-STORE INTROSPECTION — the checkpoint's RocksDB state
     * read back as a DataFrame via Spark's `statestore` source and
     * hash-checked against the batch aggregation. A complete-mode
@@ -859,6 +930,12 @@ object StreamingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q120_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value,
+        |       COUNT(DISTINCT event_id % 2) AS n_batches
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q119_statestore_read" ->
       """SELECT CAST(ts AS DATE) AS window_day, event_type AS ticker,
         |       COUNT(*) AS n_events,
