@@ -169,9 +169,13 @@ object MultiModal {
     * never a byte scan. Version-0 offsets (the only layout the spec
     * guarantees for 32-bit times): mvhd timescale at +20, duration at
     * +24; tkhd track-id at +20, and width/height as 16.16 fixed point
-    * at +84/+88 (the reader extracts the integer part). duration_ms is
-    * exact floor arithmetic. Null fields for non-v0 or malformed
-    * payloads — the stub arm's business, never a mis-parse.
+    * at +84/+88 (the reader extracts the integer part). A payload that
+    * IS an MP4 container but whose box chain is corrupt or non-v0
+    * parses to NULL fields, and null is the final answer for it in
+    * [[decodeMeta]] too — "recognized container, header unknown" — it
+    * does NOT fall through to the synthetic stub arm, which exists only
+    * for formats the engine does not recognize at all. Never a
+    * mis-parse.
     *
     * NOTE: one-shot Column form for single-field/ad-hoc use; anything
     * row-heavy must use [[withMp4Meta]], which stages each box walk
@@ -266,7 +270,14 @@ object MultiModal {
     * expressions either way (codegen'd), and the stub arm stays
     * replicable in SQL for the oracle; the PNG arm is checked against
     * ground truth persisted independently of the parser
-    * (fixtures/png_assets.parquet, tools/gen_png_fixture.py). */
+    * (fixtures/png_assets.parquet, tools/gen_png_fixture.py).
+    *
+    * Branch contract: the format dispatch is on the container
+    * SIGNATURE (isPng/isJpeg/isMp4/isWav), so a recognized container
+    * whose header fails to parse (corrupt box chain, non-v0 MP4)
+    * reports NULL for the fields the parse could not recover — the
+    * honest answer — rather than falling through to the md5-derived
+    * stub, which is reserved for payloads no signature matches. */
   def decodeMeta(assets: DataFrame): DataFrame = {
     val h = md5(col("content"))
     val png = isPng(col("content"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{PriceSink, Tables, UniverseCsv}
 import graft.operators.{Bucketing, Skew}
@@ -430,13 +430,40 @@ object SourceQueries {
       // the manifest is a TABLE of per-file column ranges — in a real
       // store it is maintained incrementally at commit time (Iceberg
       // manifests / Delta add-file stats); here one aggregation pass
-      // builds it from the freshly written files
+      // builds it from the freshly written files. It is PARTITIONED by
+      // the month of each file's low bound so the manifest read itself
+      // partition-prunes: at 100 TB the manifest is millions of rows,
+      // and scan planning must not scan all of them to plan a one-month
+      // query.
       spark.read.parquet(s"$tmp/fact")
         .groupBy(col("_metadata.file_path").as("path"))
         .agg(min("ship_date").as("lo"), max("ship_date").as("hi"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/manifest")
+        .withColumn("lo_month", date_trunc("month", col("lo")).cast("date"))
+        .write.mode("overwrite").partitionBy("lo_month")
+        .parquet(s"$tmp/manifest")
       tmp
     })
+
+  /** Scan planning against the q98 manifest: list the files whose
+    * [lo, hi] range intersects [dateLo, dateHi]. Two prune layers:
+    * the partition predicate `lo_month <= month(dateHi)` — a sound
+    * relaxation of `lo <= dateHi` (month truncation is monotone), so
+    * whole manifest partitions after the window are never even listed —
+    * then the exact range test on the surviving manifest rows.
+    *
+    * DRIVER-SIDE BOUND: the returned array holds one path string per
+    * SURVIVING file — the same bounded metadata a Delta/Iceberg driver
+    * materializes as its pruned file list. It is proportional to the
+    * files a query actually reads (here ≤ the files overlapping one
+    * month), NOT to table size; the unpruned manifest never reaches the
+    * driver because both prune layers run in the manifest scan itself.
+    */
+  private def q98PlanFiles(spark: SparkSession, tmp: String,
+                           dateLo: Column, dateHi: Column): Array[String] =
+    spark.read.parquet(s"$tmp/manifest")
+      .filter(col("lo_month") <= date_trunc("month", dateHi).cast("date"))
+      .filter(col("hi") >= dateLo && col("lo") <= dateHi)
+      .select("path").collect().map(_.getString(0))
 
   /** Manifest-based file skipping (the Iceberg/Delta scan-planning
     * shape): the fact table is range-sorted on `ship_date` so each file
@@ -450,27 +477,40 @@ object SourceQueries {
     * At 100 TB this prunes in O(files) metadata instead of opening
     * every footer — and it composes with partition pruning (q89) and
     * row-group stats (q76), which only help within the files it left. */
-  def q98ManifestSkipping(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = q98Layout(spark, sfDir)
-    val lo = lit("1997-06-01").cast("date")
-    val hi = lit("1997-06-30").cast("date")
-    val picked = spark.read.parquet(s"$tmp/manifest")
-      .filter(col("hi") >= lo && col("lo") <= hi)
-      .select("path").collect().map(_.getString(0))
-    spark.read.parquet(picked: _*)
-      .filter(col("ship_date").between(lo, hi))
+  def q98ManifestSkipping(spark: SparkSession, sfDir: String): DataFrame =
+    q98PrunedScan(spark, sfDir, "1997-06-01", "1997-06-30")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum("rev_micro").as("rev_micro"))
       .orderBy("l_returnflag")
+
+  /** The pruned scan itself: plan files via the manifest, read only the
+    * survivors, re-apply the exact predicate. A window the manifest
+    * prunes COMPLETELY yields an empty frame with the fact schema — the
+    * fully-pruned case is the optimization's best outcome, not an error
+    * (an empty path list must not reach `spark.read.parquet`, which
+    * throws on zero paths). */
+  def q98PrunedScan(spark: SparkSession, sfDir: String,
+                    dateLo: String, dateHi: String): DataFrame = {
+    val tmp = q98Layout(spark, sfDir)
+    val lo = lit(dateLo).cast("date")
+    val hi = lit(dateHi).cast("date")
+    val picked = q98PlanFiles(spark, tmp, lo, hi)
+    if (picked.isEmpty)
+      // schema-only read (one footer) filtered to nothing — the
+      // optimizer collapses `false` to an empty LocalRelation
+      spark.read.parquet(s"$tmp/fact").filter(lit(false))
+    else
+      spark.read.parquet(picked.toIndexedSeq: _*)
+        .filter(col("ship_date").between(lo, hi))
   }
 
-  /** q98's pruned path count vs total — spec support (ManifestSpec). */
+  /** q98's pruned path count vs total — spec support (StorageOpsSpec).
+    * `picked` goes through the same two-layer plan as the query. */
   def q98PrunedFileCounts(spark: SparkSession, sfDir: String): (Int, Int) = {
     val tmp = q98Layout(spark, sfDir)
-    val m = spark.read.parquet(s"$tmp/manifest")
-    val total = m.count().toInt
-    val picked = m.filter(col("hi") >= lit("1997-06-01").cast("date") &&
-      col("lo") <= lit("1997-06-30").cast("date")).count().toInt
+    val total = spark.read.parquet(s"$tmp/manifest").count().toInt
+    val picked = q98PlanFiles(spark, tmp,
+      lit("1997-06-01").cast("date"), lit("1997-06-30").cast("date")).length
     (picked, total)
   }
 

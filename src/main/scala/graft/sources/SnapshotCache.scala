@@ -1,54 +1,83 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** TTL read-through snapshot cache (SURVEY S10; ref caches provider
   * fetches with `st.cache_data(ttl=3600)` —
   * app/pages/1_Dashboard.py:130, ttl=300 at 2_Trades.py:24). The
   * reference memoizes in-process; the engine equivalent must survive
-  * restarts and be shared by every executor, so the cache is a parquet
-  * SNAPSHOT directory plus a commit marker carrying the build time:
+  * restarts and be shared by every executor, so the cache is a family
+  * of immutable versioned parquet snapshot directories plus ONE
+  * pointer file naming the current version:
   *
-  *  - fresh (marker age <= ttl): serve the snapshot — a plain parquet
-  *    scan, no recompute, pruning/pushdown apply as on any table;
-  *  - stale or absent: rebuild from source, atomically replace the
-  *    snapshot (write to `_tmp`, rename over), stamp the marker.
+  *  - fresh (pointer age <= ttl): serve the snapshot the pointer names
+  *    — a plain parquet scan, no recompute, pruning/pushdown apply as
+  *    on any table;
+  *  - stale or absent: rebuild from source into a NEW `v<N>` directory,
+  *    then atomically flip the pointer (write-temp + ATOMIC_MOVE of a
+  *    single file) to name it.
   *
-  * The clock is INJECTED so expiry is testable without sleeping; the
-  * marker is a sibling file, not parquet metadata, so freshness checks
-  * never open footers. Rebuilds write-then-rename: a reader either
-  * sees the old complete snapshot or the new one, never a partial
-  * directory (same commit discipline as q102's state store).
+  * Snapshot directories are never mutated after the flip, so the only
+  * shared mutable state is the pointer file, and its replacement is a
+  * single atomic rename: a concurrent reader resolves either the old
+  * complete snapshot or the new one — there is no window where no data
+  * directory exists (the failure mode of swap-by-two-renames). The
+  * previous version is retained one generation so a reader that
+  * resolved the old pointer just before a flip can still finish its
+  * scan; generations before that are deleted. The clock is INJECTED so
+  * expiry is testable without sleeping; the pointer is a sibling file,
+  * not parquet metadata, so freshness checks never open footers.
   */
 object SnapshotCache {
+
+  /** Pointer payload: build timestamp and the current snapshot dir name. */
+  private case class Pointer(builtAt: Long, version: Long) {
+    def dirName: String = s"v$version"
+  }
+
+  private def readPointer(marker: Path): Option[Pointer] =
+    if (!Files.exists(marker)) None
+    else new String(Files.readAllBytes(marker), "UTF-8").trim.split("\\s+") match {
+      case Array(ts, v) if v.startsWith("v") =>
+        Some(Pointer(ts.toLong, v.drop(1).toLong))
+      case _ => None
+    }
 
   /** Serve `build`'s result from the snapshot at `dir` unless older
     * than `ttlMs` by `now()`. Returns (frame, servedFromCache). */
   def readThrough(spark: SparkSession, dir: String, ttlMs: Long,
                   now: () => Long = () => System.currentTimeMillis())
                  (build: => DataFrame): (DataFrame, Boolean) = {
-    val marker = Paths.get(dir, "_built_at")
-    val fresh = Files.exists(marker) && {
-      val builtAt = new String(Files.readAllBytes(marker), "UTF-8").trim.toLong
-      now() - builtAt <= ttlMs
-    }
-    if (fresh) (spark.read.parquet(s"$dir/data"), true)
-    else {
-      val tmp = s"$dir/_tmp"
-      build.write.mode("overwrite").parquet(tmp)
-      val dataDir = Paths.get(dir, "data")
-      // atomic swap: old snapshot stays readable until the rename
-      val old = Paths.get(dir, s"_old_${now()}")
-      if (Files.exists(dataDir)) Files.move(dataDir, old)
-      Files.move(Paths.get(tmp), dataDir)
-      if (Files.exists(old)) {
-        Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-      Files.createDirectories(Paths.get(dir))
-      Files.write(marker, now().toString.getBytes("UTF-8"))
-      (spark.read.parquet(s"$dir/data"), false)
+    val marker = Paths.get(dir, "_current")
+    val current = readPointer(marker)
+    val fresh = current.exists(p => now() - p.builtAt <= ttlMs)
+    current match {
+      case Some(p) if fresh =>
+        (spark.read.parquet(s"$dir/${p.dirName}"), true)
+      case _ =>
+        // version numbers are monotonic per cache dir: successor of the
+        // stale pointer, not a timestamp (the injected clock may not tick)
+        val next = Pointer(now(), current.fold(0L)(_.version + 1))
+        build.write.mode("overwrite").parquet(s"$dir/${next.dirName}")
+        // atomic flip: stage the new pointer beside the live one, then
+        // one ATOMIC_MOVE — readers see the old pointer or the new one
+        val tmpMarker = Paths.get(dir, "_current_tmp")
+        Files.write(tmpMarker, s"${next.builtAt} ${next.dirName}".getBytes("UTF-8"))
+        Files.move(tmpMarker, marker, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        // retain the immediately-previous version for in-flight readers;
+        // drop anything older (two generations bound the disk footprint)
+        val retained = Set(next.dirName) ++ current.map(_.dirName)
+        Files.list(Paths.get(dir)).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("v") &&
+                       !retained(p.getFileName.toString))
+          .foreach { stale =>
+            Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+          }
+        (spark.read.parquet(s"$dir/${next.dirName}"), false)
     }
   }
 }

@@ -54,6 +54,26 @@ class Int8QuantSpec extends SparkSpec {
     assert(simple.agg(min("d")).head.getLong(0) > 0L)
   }
 
+  test("a null array element yields a null dot product, matching the HOF fold") {
+    // user-facing arrays (parquet reads, SQL literals) carry
+    // containsNull=true — the codegen'd kernel must propagate element
+    // nulls exactly like zip_with/aggregate, not read raw buffer bytes
+    val df = spark.sql(
+      """SELECT array(cast(1 as tinyint), cast(null as tinyint), cast(3 as tinyint)) AS a,
+        |       array(cast(4 as tinyint), cast(5 as tinyint), cast(6 as tinyint)) AS b,
+        |       array(cast(1 as tinyint), cast(2 as tinyint), cast(3 as tinyint)) AS c
+        |""".stripMargin)
+    val r = df.select(
+      Similarity.int8Dot(col("a"), col("b")).as("ab"),
+      Similarity.int8DotHof(col("a"), col("b")).as("ab_ref"),
+      Similarity.int8Dot(col("c"), col("b")).as("cb"),
+      Similarity.int8DotHof(col("c"), col("b")).as("cb_ref")).head()
+    assert(r.isNullAt(0), "null element must poison the codegen'd dot")
+    assert(r.isNullAt(1), "HOF baseline sanity")
+    assert(r.getLong(2) == 32L && r.getLong(3) == 32L,
+      "null-free arrays must still dot normally")
+  }
+
   test("int8 candidate pass + exact rerank reaches recall@10 >= 0.9 on the clustered corpus") {
     val e = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
     val queries = e.filter(col("vec_id") % 50 === 0)

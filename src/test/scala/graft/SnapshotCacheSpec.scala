@@ -37,6 +37,27 @@ class SnapshotCacheSpec extends SparkSpec {
     assert(hit4 && builds == 2 && r4.collect().head.getString(1) == "v2")
   }
 
+  test("rebuilds are versioned dirs behind one pointer file; two generations retained") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_v").toString
+    var clock = 1000L
+    def build = Seq((1L, clock)).toDF("id", "at")
+    def versions = {
+      val s = new java.io.File(dir).list()
+      (s.filter(_.startsWith("v")).sorted.toSeq, s.contains("_current"))
+    }
+    SnapshotCache.readThrough(spark, dir, 500L, () => clock)(build)
+    assert(versions == (Seq("v0"), true))
+    clock += 1000 // expire → rebuild: new version dir, old one RETAINED
+    SnapshotCache.readThrough(spark, dir, 500L, () => clock)(build)
+    assert(versions == (Seq("v0", "v1"), true),
+      "previous snapshot must survive one generation for in-flight readers")
+    clock += 1000 // third build: v0 finally collected, v1 retained
+    val (served, hit) = SnapshotCache.readThrough(spark, dir, 500L, () => clock)(build)
+    assert(versions == (Seq("v1", "v2"), true) && !hit)
+    assert(served.head().getLong(1) == clock, "pointer must name the newest snapshot")
+  }
+
   test("q110 cache round-trip equals the direct build") {
     val got = graft.queries.SourceQueries.q110TtlCache(spark, sf())
       .collect().map(_.toSeq).toSeq

@@ -64,6 +64,23 @@ class StorageOpsSpec extends SparkSpec {
     assert(picked >= 1, "the June 1997 band must live somewhere")
     assert(picked < total,
       s"manifest pruning selected $picked of $total files — nothing was skipped")
+    // the driver-side plan list is bounded by the one-month overlap,
+    // not the table: with 16 range-sorted files over ~7 years, one
+    // month should touch a small handful
+    assert(picked <= 4,
+      s"driver-side file list should be the month's overlap, got $picked of $total")
+  }
+
+  test("q98 fully-pruned window returns an empty frame, not an error") {
+    // a predicate window before any data exists: the manifest prunes
+    // every file — the best case for the optimization, which must yield
+    // an empty result with the fact schema rather than throw on an
+    // empty path list
+    val out = SourceQueries.q98PrunedScan(spark, sf("sf0.01"),
+      "1970-01-01", "1970-01-31")
+    assert(out.columns.toSeq ==
+      Seq("l_orderkey", "l_returnflag", "rev_micro", "ship_date"))
+    assert(out.count() == 0)
   }
 
   test("cdcMergeIntoStore: tombstones shadow late-arriving older upserts") {
