@@ -31,30 +31,39 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** All-pairs n-gram Jaccard via shingle self-join: pairs sharing at
-    * least one shingle, jac = |A∩B| / (|A|+|B|-|A∩B|), thresholded.
-    * The shingle join is the scalable shape: work is proportional to
-    * shared-shingle pairs, not n^2. */
+  /** n-gram Jaccard via shingle self-join, with an OPTIONAL shingle
+    * document-frequency cutoff — ONE implementation, the cutoff a
+    * parameter (`None` = exact all-pairs semantics). When bounded,
+    * shingles appearing in more than `maxDocFreq` docs are dropped from
+    * every document's shingle set BEFORE the self-join (both
+    * intersection and set sizes use the filtered sets — standard
+    * "stop-shingle" semantics), capping the self-join fan-out per
+    * shingle at maxDocFreq.
+    *
+    * QUADRATIC HOT-SHINGLE RISK (the reason the cap exists): uncapped,
+    * one boilerplate shingle shared by n docs produces O(n²) join rows
+    * — fatal at 100 TB. The uncapped form is for exact small-corpus
+    * audits and as the didactic baseline the capped run is judged
+    * against (q21 vs q39); any at-scale deployment must pass a
+    * finite `maxDocFreq` (or use [[minhashLshPairs]]). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame =
-    jaccardPairsFromShingles(shingles(docs, idCol, textCol), threshold)
-
-  /** n-gram Jaccard with a shingle document-frequency cutoff: shingles
-    * appearing in more than `maxDocFreq` docs are dropped from every
-    * document's shingle set BEFORE the self-join (both intersection and
-    * set sizes use the filtered sets). This bounds the self-join fan-out
-    * per shingle at maxDocFreq — without it, one boilerplate shingle
-    * shared by n docs produces O(n^2) join rows, which is fatal at the
-    * 100 TB scale this engine targets. Standard "stop-shingle" semantics.
-    */
-  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
-                              threshold: Double, maxDocFreq: Int): DataFrame = {
+                        threshold: Double,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     val s0 = shingles(docs, idCol, textCol)
-    val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("sh")
-    jaccardPairsFromShingles(s0.join(hot, Seq("sh"), "left_anti"), threshold)
+    val s = maxDocFreq.fold(s0) { cap =>
+      val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("sh")
+      s0.join(hot, Seq("sh"), "left_anti")
+    }
+    jaccardPairsFromShingles(s, threshold)
   }
+
+  /** The bounded form of [[ngramJaccardPairs]] with the cutoff
+    * required, for call sites that must not compile without one. */
+  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, maxDocFreq: Int): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, threshold, Some(maxDocFreq))
 
   private def jaccardPairsFromShingles(s: DataFrame, threshold: Double): DataFrame = {
     val counts = s.groupBy("doc").agg(count(lit(1)).as("ns"))
@@ -139,9 +148,12 @@ object Dedup {
     *
     * Per round there is exactly ONE job: the round's frame (carrying a
     * per-node changed flag) is materialized by an eager
-    * `localCheckpoint`, which also truncates lineage so plan depth and
-    * analysis cost stay O(1) in the round count instead of nesting one
-    * join deeper per round. The convergence flag is then a cheap
+    * [[Lineage.truncate]] (localCheckpoint by default; reliable
+    * `checkpoint()` under `graft.checkpoint.reliable=true` — the
+    * executor-loss-surviving form a deploy needs), which also truncates
+    * lineage so plan depth and analysis cost stay O(1) in the round
+    * count instead of nesting one join deeper per round. The
+    * convergence flag is then a cheap
     * aggregate over the checkpointed blocks — no second label-join, no
     * extra shuffle. Superseded round RDDs are unreferenced on
     * reassignment and reclaimed by the context cleaner.
@@ -154,7 +166,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     var converged = false
     while (!converged) {
       // candidate label per node: its own, plus every neighbor's; chg
@@ -167,7 +179,7 @@ object Dedup {
         .join(labels, "doc")
         .select(col("doc"), least(col("cluster"), col("prop")).as("cluster"),
           (col("prop") < col("cluster")).as("chg"))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       // read convergence off the already-materialized blocks; an empty
       // label set (no pairs at all) converges immediately via coalesce
       val changed = next.agg(coalesce(max(col("chg")), lit(false)))
@@ -217,7 +229,8 @@ object Dedup {
     * boilerplate CHAINS (each doc near-dups only its neighbors) make
     * the diameter O(n); the star operations contract such chains in
     * logarithmically many rounds, each round the same two-shuffle
-    * groupBy+join shape with an eager localCheckpoint truncating
+    * groupBy+join shape with an eager [[Lineage.truncate]] (local or
+    * reliable per the `graft.checkpoint.reliable` flag) truncating
     * lineage.
     *
     *  - large-star: every node attaches its LARGER neighbors to the
@@ -262,7 +275,7 @@ object Dedup {
 
     var edges = normalize(
         pairs.select(col("ia").as("u"), col("ib").as("v")))
-      .localCheckpoint()
+      .transform(Lineage.truncate)
     var prev = fingerprint(edges)
     var converged = false
     while (!converged) {
@@ -270,7 +283,7 @@ object Dedup {
       val large = normalize(withMin(edges)
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       // small-star: (v, m) for v in N(u) with v <= u, plus (u, m);
       // (identical withMin subtrees -> one runtime exchange via reuse)
       val wm = withMin(large)
@@ -278,7 +291,7 @@ object Dedup {
         .filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(wm.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .transform(Lineage.truncate)
       val cur = fingerprint(small)
       converged = cur == prev
       edges = small

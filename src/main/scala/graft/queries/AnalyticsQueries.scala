@@ -93,6 +93,32 @@ object AnalyticsQueries {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** q122: EXPLICIT grouping sets — the arbitrary-set form that
+    * subsumes q32's rollup and q83's cube: (event_type, day) daily
+    * detail, (event_type) per-type totals, and () grand total, chosen
+    * freely rather than as a prefix/power-set family. Like cube/rollup,
+    * Spark expands the sets BEFORE the shuffle (one pass, map-side
+    * partial aggregation on the expanded keys — never one job per
+    * set), and `grouping_id` disambiguates "aggregated-away" from a
+    * genuinely null group value, same bit order as DuckDB's
+    * GROUPING(). */
+  def q122GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      // day is a STRING key: an aggregated-away date would surface as a
+      // typed NULL, which the comparator canonicalizes differently per
+      // engine (None vs NaT) — string nulls are the q32/q83 precedent
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("day"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"),
+        sum("value_micro").as("sum_micro"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
   /** Q33: exact percentiles of quantity per return flag (sorted-set
     * interpolation — order-insensitive, so deterministic). */
   def q33Percentiles(spark: SparkSession, sfDir: String): DataFrame =
@@ -424,6 +450,51 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** The q121 text — a genuinely CORRELATED scalar aggregate subquery,
+    * the TPC-H Q17 shape: each line qualifies when its quantity is
+    * below 20% of its part's average quantity over ALL of that part's
+    * lines (so the inner aggregate cannot be folded into the outer
+    * filter's scan). The arithmetic is engine-deterministic: qty is an
+    * exact long, `SUM(qty) * 1.0 / COUNT(*)` is an exact-operand IEEE
+    * division, and `0.2 *` / `<` are single deterministic double ops —
+    * Spark and DuckDB run the identical op sequence, so the boundary
+    * rows can't diverge. */
+  private val Q121Sql: String =
+    """SELECT p.p_brand,
+      |       COUNT(*) AS n_small,
+      |       CAST(SUM(l.price_micro) AS BIGINT) AS price_micro
+      |FROM q121_li l JOIN q121_part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 10
+      |  AND l.qty * 1.0 < 0.2 * (SELECT SUM(i.qty) * 1.0 / COUNT(*)
+      |                           FROM q121_li i
+      |                           WHERE i.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** q121: correlated scalar subquery, decorrelated by the PLANNER —
+    * the third classic correlation shape after q107 (HAVING-qualified
+    * join-back) and q108 (EXISTS/NOT EXISTS as semi/anti joins). The
+    * analyst writes the per-row subquery above verbatim; Catalyst's
+    * RewriteCorrelatedScalarSubquery must turn it into ONE per-part
+    * aggregate joined back to the fact — never a per-row re-execution,
+    * which at 100 TB would be a lineitem scan per lineitem row.
+    * CorrelatedSubquerySpec asserts exactly that plan shape: no
+    * scalar-subquery node survives optimization, and the physical plan
+    * is aggregate-feeds-join. The DuckDB oracle runs the same query
+    * over the same prepared columns, decorrelating with its own
+    * planner — two independent decorrelations agreeing on the hash. */
+  def q121CorrelatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 1e6).cast("long").as("price_micro"))
+      .createOrReplaceTempView("q121_li")
+    Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+      .createOrReplaceTempView("q121_part")
+    spark.sql(Q121Sql)
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -433,9 +504,11 @@ object AnalyticsQueries {
     * steps unrolled as CTEs) is bit-exact where double PageRank would
     * drift with aggregation order. Per iteration: ONE join of the edge
     * list to the compact rank table + one aggregation — the classic
-    * distributed PageRank step; `localCheckpoint` truncates lineage so
+    * distributed PageRank step; `Lineage.truncate` cuts lineage so
     * plan depth stays O(1) in the iteration count (the q48/q59
-    * discipline). Edges are DISTINCT pairs, so hot co-shipments don't
+    * discipline) — localCheckpoint for the local bench, reliable
+    * `checkpoint()` under `graft.checkpoint.reliable=true` so an
+    * executor loss mid-iteration doesn't fail the job at 100 TB. Edges are DISTINCT pairs, so hot co-shipments don't
     * multi-count; every node has degree ≥ 1 by construction (no
     * dangling-mass term needed). */
   def q115PageRank(spark: SparkSession, sfDir: String): DataFrame = {
@@ -445,11 +518,11 @@ object AnalyticsQueries {
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.operators.Lineage.truncate)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     var rank = deg.withColumn("rank_micro", lit(1000000L))
       .select(col("u").as("node"), col("deg"), col("rank_micro"))
-      .localCheckpoint()
+      .transform(graft.operators.Lineage.truncate)
     for (_ <- 1 to 5) {
       val contrib = edges
         .join(rank.select(col("node").as("u"), col("deg"), col("rank_micro")), "u")
@@ -461,7 +534,7 @@ object AnalyticsQueries {
         .select(col("node"), col("deg"),
           (lit(150000L) + expr("(850000 * coalesce(sumc, 0)) div 1000000"))
             .as("rank_micro"))
-        .localCheckpoint()
+        .transform(graft.operators.Lineage.truncate)
     }
     rank.select(col("node").as("l_partkey"), col("deg"), col("rank_micro"))
       .orderBy("l_partkey")
@@ -589,6 +662,18 @@ object AnalyticsQueries {
     "q109_sql_bridge" -> Q109Sql,
 
     "q115_pagerank" -> Q115Sql,
+
+    // the same correlated text over CTE-prepared columns — DuckDB
+    // decorrelates with its own planner, independently of Catalyst
+    "q121_correlated_subquery" ->
+      s"""WITH q121_li AS (
+         |  SELECT l_partkey,
+         |         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         |         CAST(ROUND(l_extendedprice*1000000.0) AS BIGINT) AS price_micro
+         |  FROM lineitem),
+         |q121_part AS (
+         |  SELECT p_partkey, p_brand, p_size FROM part)
+         |${Q121Sql}""".stripMargin,
 
     "q118_trend_slope" ->
       """WITH p AS (
@@ -735,6 +820,19 @@ object AnalyticsQueries {
     "q57_cms_event_counts" ->
       """SELECT event_type AS ticker, COUNT(*) AS est_n
         |FROM events GROUP BY event_type ORDER BY ticker""".stripMargin,
+
+    "q122_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS value_micro
+        |  FROM events)
+        |SELECT event_type, day,
+        |       CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_rows,
+        |       CAST(SUM(value_micro) AS BIGINT) AS sum_micro
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        |ORDER BY gid, event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -218,22 +218,28 @@ object EventsQueries {
 
   /** q114: retention cohorts — users grouped by first-seen day, counted
     * back on each later activity day as an offset from their cohort
-    * (the product-analytics triangle). Two aggregations: min(day) per
-    * user (the cohort — one shuffle on user), then distinct users per
-    * (cohort, offset) — the join back is a broadcast of the per-user
-    * cohort row... which at 100 TB stays a user-keyed equi join: both
-    * sides are already user-partitioned from the first agg, so the
-    * second shuffle is avoidable (exchange reuse), and the matrix
-    * itself is tiny (days × offsets). */
+    * (the product-analytics triangle). ONE user-keyed exchange carries
+    * everything per-user: the cohort is `min(day)` as a WINDOW over the
+    * user partition (not an aggregate joined back — that shape pays a
+    * second user-keyed shuffle or a broadcast), and the per-(user,
+    * cohort, offset) dedup that makes the count distinct runs on the
+    * SAME partitioning with no new exchange, because hashpartitioning
+    * on user_id already satisfies a clustered distribution on any key
+    * set containing user_id. Only the final combine to the tiny
+    * (days × offsets) matrix shuffles again. RetentionPlanSpec asserts
+    * exactly one user-keyed exchange and zero joins. `count(*)` after
+    * the dedup equals `count(DISTINCT user_id)` because cohort_day is
+    * functionally dependent on user_id. */
   def q114RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-    ev.join(cohort, "user_id")
-      .select(col("user_id"), col("cohort_day"),
-        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .withColumn("cohort_day", min("day").over(byUser))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .dropDuplicates("user_id", "cohort_day", "day_offset")
       .groupBy("cohort_day", "day_offset")
-      .agg(countDistinct("user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
 

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnalyticsQueries
+import graft.sources.Tables
+
+/** q121 (TPC-H Q17 shape): the analyst writes a per-row correlated
+  * scalar aggregate subquery; the PLANNER must decorrelate it into one
+  * per-part aggregate joined back to the fact. The DuckDB oracle checks
+  * the answer; these specs check the property the oracle cannot see —
+  * that no per-row subquery re-execution survives in the plan — and pin
+  * the SQL text to an explicitly hand-decorrelated DataFrame twin.
+  */
+class CorrelatedSubquerySpec extends SparkSpec {
+
+  test("q121's correlated subquery decorrelates to one aggregate feeding a join") {
+    val df = AnalyticsQueries.q121CorrelatedSubquery(spark, sf())
+    val opt = df.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have eliminated the subquery
+    // expression entirely — a surviving scalar-subquery is a scan of
+    // lineitem PER ROW of lineitem at 100 TB
+    assert(!opt.toLowerCase.contains("subquery"),
+      s"correlated subquery survived optimization:\n$opt")
+    // ...replacing it with the per-part aggregate joined to the fact
+    assert("Aggregate \\[l_partkey".r.findFirstIn(opt).isDefined,
+      s"expected a per-part aggregate in the optimized plan:\n$opt")
+    assert(opt.contains("Join"), s"expected a join-back:\n$opt")
+  }
+
+  test("q121 equals the hand-decorrelated DataFrame formulation") {
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 1e6).cast("long").as("price_micro"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum("qty").as("s"), count(lit(1)).as("n"))
+    val part = Tables.part(spark, sf())
+      .select("p_partkey", "p_brand", "p_size")
+      .filter(col("p_size") <= 10)
+    val want = li
+      .join(stats, "l_partkey")
+      .join(part, col("p_partkey") === col("l_partkey"))
+      // the same IEEE op sequence as the SQL: sum→double, /count, ×0.2
+      .filter(col("qty").cast("double") <
+        lit(0.2) * (col("s").cast("double") / col("n")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"), sum("price_micro").as("price_micro"))
+      .orderBy("p_brand")
+      .collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q121CorrelatedSubquery(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "the small-quantity band must be inhabited")
+  }
+}

@@ -62,6 +62,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("reliable checkpoint mode: components and PageRank survive the checkpoint() path") {
+    import graft.operators.Lineage
+    // graft.checkpoint.reliable=true routes every iterative lineage cut
+    // through reliable checkpoint() (executor-loss-surviving) instead
+    // of localCheckpoint — answers must be identical in both modes
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("ia", "ib")
+    val localCc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val localStar = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val localPr = graft.queries.AnalyticsQueries.q115PageRank(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(Lineage.ReliableFlag, "true")
+    try {
+      val cc = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pr = graft.queries.AnalyticsQueries.q115PageRank(spark, sf())
+        .collect().map(_.toSeq).toSeq
+      assert(cc == localCc && star == localStar)
+      assert(pr == localPr)
+      // reliable mode really did write to a checkpoint dir
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.isDefined, "reliable mode must provision a checkpoint dir")
+      assert(new java.io.File(new java.net.URI(dir.get)).exists())
+    } finally spark.conf.unset(Lineage.ReliableFlag)
+  }
+
   test("large-star/small-star components equal min-label propagation (incl. long chain)") {
     // a 40-node chain (diameter 39: the adversarial case where min-label
     // propagation needs ~40 rounds and the star algorithm O(log n)),
