@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   * a genuine marker-segment walk, since its offset varies per file) —
   * parsed straight from the bytes with column expressions and checked
   * against ground truth persisted independently of the parser
-  * (fixtures/{png,wav,jpeg}_assets.parquet).
-  * Formats whose metadata needs a full codec fall back to a
-  * *deterministic documented STUB* (md5-derived pseudo-header, exact
-  * byte statistics) — this container ships no native codecs.
+  * (fixtures/{png,wav,jpeg}_assets.parquet). For canonical PCM WAV the
+  * decode goes PAST the header: [[pcmSampleStats]] decodes the data
+  * chunk's samples themselves (pure byte arithmetic — count/sum/peak,
+  * sample-exact vs an independent Python decoder), so one modality's
+  * data arm is fully real.
+  * Formats whose decode needs a full codec (compressed audio, image
+  * pixels, video frames) fall back to a *deterministic documented
+  * STUB* (md5-derived pseudo-header, exact byte statistics) — this
+  * container ships no native codecs.
   * Everything around the kernels — schema, binary handling,
   * per-partition batch iteration, explode shape for frame sampling —
   * is the real plumbing a codec drops into (swap the kernel for a
@@ -262,6 +267,52 @@ object MultiModal {
       substring(content, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
       substring(content, 9, 8) === lit("WAVEfmt ".getBytes("US-ASCII")) &&
       substring(content, 37, 4) === lit("data".getBytes("US-ASCII"))
+
+  /** PCM SAMPLE decode for canonical WAV — the one modality whose
+    * sample data (not just headers) is pure arithmetic over bytes, so
+    * the decode arm is REAL here, no codec needed: 16-bit frames are
+    * signed little-endian, 8-bit frames unsigned centered at 128 (the
+    * WAV conventions). Returns struct(n_samples, sample_sum,
+    * sample_peak) — count, exact signed sum (mean = sum/n), and max
+    * absolute amplitude — folded over the data chunk in one
+    * `aggregate` pass per row (O(samples), fully distributed; a
+    * production deploy swaps this interpreted fold for a vectorized
+    * kernel at the [[byteFeatures]] batch boundary — same semantics,
+    * which is exactly what this arm pins down). Ground truth is
+    * persisted at fixture generation by an independent Python decoder
+    * (tools/gen_wav_fixture.py `pcm_samples`). Compressed audio
+    * formats remain on the documented stub arm. Reference behavior:
+    * provider payload normalization, src/etl.py:24-44 (the engine
+    * generalizes it to binary columns).
+    *
+    * Extract MULTIPLE fields via one staged `withColumn` then field
+    * reads (the [[withMp4Meta]] discipline) — the struct producer is
+    * multiply-referenced but evaluated once. */
+  def pcmSampleStats(content: Column): Column = {
+    val bits = leLong(content, 35, 2)
+    val dataLen = leLong(content, 41, 4)
+    val nSamples = floorDiv(dataLen, floorDiv(bits, lit(8)))
+    // sequence(0, n-1) DESCENDS when n == 0 (start > stop) — guard the
+    // empty data chunk to an empty index array instead
+    val idx = when(nSamples > 0, sequence(lit(0L), nSamples - 1))
+      .otherwise(array().cast("array<bigint>"))
+    val folded = aggregate(
+      idx,
+      struct(lit(0L).as("sum"), lit(0L).as("peak")),
+      (st, i) => {
+        val o16 = lit(45L) + i * 2L
+        val u16 = byteAt(content, o16) + byteAt(content, o16 + 1) * 256L
+        val s16 = when(u16 >= 32768L, u16 - 65536L).otherwise(u16)
+        val s8 = byteAt(content, lit(45L) + i) - 128L
+        val s = when(bits === 16L, s16).otherwise(s8)
+        struct((st.getField("sum") + s).as("sum"),
+          greatest(st.getField("peak"), abs(s)).as("peak"))
+      })
+    when(isWav(content) && leLong(content, 21, 2) === 1L && bits.isin(8L, 16L),
+      struct(nSamples.as("n_samples"),
+        folded.getField("sum").as("sample_sum"),
+        folded.getField("peak").as("sample_peak")))
+  }
 
   /** "Decode": REAL header parse for PNG payloads (width/height/
     * bit-depth/color-type straight from the IHDR bytes), md5-derived

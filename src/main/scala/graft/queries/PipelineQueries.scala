@@ -170,10 +170,23 @@ object PipelineQueries {
     * quality-filtered and then language-rebalanced with the
     * deterministic sampler. Every stage is the oracle-checked operator
     * from its own query (q39/q48/q26/q49) — this composes them the way
-    * a 100 TB pre-training data job would. */
+    * a 100 TB pre-training data job would.
+    *
+    * OBSERVABILITY: the input, post-curation, and output stages carry
+    * named `observe` nodes (`q51_input/q51_canonical/q51_output`) — the
+    * row-count metrics a deployed pipeline alerts on, collected by the
+    * SAME job that computes the result (observe is a zero-cost
+    * passthrough aggregated alongside the plan, not a second count()
+    * scan). Read them off `queryExecution.observedMetrics` or any
+    * QueryExecutionListener; ObservabilitySpec asserts they equal
+    * independently computed counts. */
   def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // the input metric rides the (row-preserving) scoring branch, not
+    // `docs` itself — docs feeds BOTH the scoring and clustering
+    // subtrees, and a shared observe node would be collected twice
     val scored = TextAnalysis.languageId(TextAnalysis.textStats(docs, "text"), "text")
+      .observe("q51_input", count(lit(1)).as("n_docs"))
     val clusters = Dedup.connectedComponents(
         Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
           threshold = 0.8, maxDocFreq = 5))
@@ -181,11 +194,18 @@ object PipelineQueries {
     val canonical = scored.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .filter(col("quality_score") >= 0.35)
+      .observe("q51_canonical", count(lit(1)).as("n_canonical"))
+    // NO final global sort: a range exchange SAMPLES its child to pick
+    // partition boundaries, re-executing the observed stages and
+    // double-counting every metric beneath it (verified empirically —
+    // observe+orderBy reported 2× on a 100-row probe). The driver's
+    // comparator sorts rows itself; consumers needing order sort the
+    // tiny result above the metrics.
     Sampling.stratifiedSample(canonical,
         stratum = col("lang_pred"), key = col("doc_id"),
         rates = Map("en" -> 0.5, "zh" -> 1.0), defaultRate = 0.25)
       .select("doc_id", "lang_pred", "quality_score")
-      .orderBy("doc_id")
+      .observe("q51_output", count(lit(1)).as("n_sampled"))
   }
 
   /** Corpus vocabulary statistics — the seed of tokenizer training:
@@ -299,6 +319,26 @@ object PipelineQueries {
         col("precision").as("bit_depth"),
         col("n_components"), col("progressive"),
         length(col("content")).cast("long").as("n_bytes"))
+      .orderBy("asset_id")
+
+  /** q123: full PCM sample decode for canonical WAV — the first
+    * modality whose DATA (not just header) is decoded for real:
+    * [[MultiModal.pcmSampleStats]] folds the data chunk's frames
+    * (16-bit signed LE / 8-bit unsigned-centered) into exact
+    * count/sum/peak per asset, pure byte arithmetic in the plan, no
+    * codec. The oracle reads ground truth persisted at fixture
+    * generation by an INDEPENDENT Python decoder (struct.unpack), so a
+    * hash match is a genuine sample-level decode check — headers
+    * cross-checked too (bit depth from the fmt chunk). One staged
+    * `_pcm` column keeps the O(samples) fold at one evaluation per row
+    * (the withMp4Meta discipline). */
+  def q123PcmDecode(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(WavFixture)
+      .withColumn("_pcm", MultiModal.pcmSampleStats(col("content")))
+      .select(col("asset_id"),
+        col("_pcm.n_samples").as("n_samples"),
+        col("_pcm.sample_sum").as("sample_sum"),
+        col("_pcm.sample_peak").as("sample_peak"))
       .orderBy("asset_id")
 
   /** q92: PII redaction over the corpus — the scrub pass every shared
@@ -950,6 +990,14 @@ object PipelineQueries {
         |       CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_sum,
         |       CAST(list_max(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS BIGINT) AS byte_max
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // ground truth computed by the independent Python PCM decoder at
+    // fixture-generation time — never by the parser under test
+    "q123_pcm_decode" ->
+      s"""SELECT asset_id, true_n_samples AS n_samples,
+         |       true_sample_sum AS sample_sum,
+         |       true_sample_peak AS sample_peak
+         |FROM '$WavFixture' ORDER BY asset_id""".stripMargin,
 
     // identical dirty-text construction, then RE2 replacements; the
     // patterns are written in the Java-regex/RE2 common subset so both

@@ -38,11 +38,27 @@ object StreamingQueries {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Progress snapshots of the most recent [[q30StreamTumbling]] run —
+    * the per-batch `StreamingQueryProgress` records (input rows, state
+    * rows, watermark-dropped rows, observed metrics) a deployed
+    * pipeline ships to its monitoring system via a
+    * StreamingQueryListener. Captured here after termination so
+    * ObservabilitySpec can assert the metrics against oracle counts
+    * without changing q30's registry signature. */
+  @volatile var lastQ30Progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   /** q30: per-day, per-ticker tumbling-window counts and exact-decimal
     * value sums over the event stream. Complete-mode aggregate lands in
     * a parquet sink via foreachBatch (each trigger overwrites with the
     * full updated aggregate) — nothing is materialized on the driver,
-    * unlike a memory sink. */
+    * unlike a memory sink.
+    *
+    * OBSERVABILITY: the pre-aggregation stream carries an `observe`
+    * node (`q30_input`: row count + min/max event time per batch), so
+    * every micro-batch's progress event reports the custom metric next
+    * to the engine's own numInputRows / numRowsDroppedByWatermark —
+    * the late-data telemetry a production stream alerts on. The run's
+    * progress records are kept in [[lastQ30Progress]]. */
   def q30StreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
     // the file streaming source wants a directory; stage a symlink dir.
@@ -57,6 +73,8 @@ object StreamingQueries {
     val stream = spark.readStream.schema(eventsLongTsSchema)
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .observe("q30_input", count(lit(1)).as("n_input_rows"),
+        min(col("ts")).as("min_event_ts"), max(col("ts")).as("max_event_ts"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -69,6 +87,7 @@ object StreamingQueries {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastQ30Progress = q.recentProgress.toSeq
     spark.read.parquet(out)
       .select(to_date(col("window.start")).as("window_day"),
         col("event_type").as("ticker"), col("n_events"),

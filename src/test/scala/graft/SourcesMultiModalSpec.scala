@@ -145,6 +145,31 @@ class SourcesMultiModalSpec extends SparkSpec {
     assert(dec.select("channels").distinct().count() == 2)
   }
 
+  test("multimodal: PCM sample decode matches the independent Python decoder") {
+    import org.apache.spark.sql.functions._
+    val wav = spark.read.parquet(graft.queries.PipelineQueries.WavFixture)
+    val dec = wav
+      .withColumn("_pcm", MultiModal.pcmSampleStats($"content"))
+      .select($"asset_id", $"true_bits", $"_pcm.n_samples".as("n"),
+        $"_pcm.sample_sum".as("s"), $"_pcm.sample_peak".as("p"),
+        $"true_n_samples", $"true_sample_sum", $"true_sample_peak")
+    // every asset, both bit depths, sample-exact against ground truth
+    // computed by struct.unpack at fixture-generation time
+    assert(dec.filter($"n" =!= $"true_n_samples" || $"s" =!= $"true_sample_sum" ||
+      $"p" =!= $"true_sample_peak").count() == 0)
+    assert(dec.filter($"true_bits" === 16).count() > 0)
+    assert(dec.filter($"true_bits" === 8).count() > 0)
+    // amplitude domain sanity: 16-bit |sample| <= 32768 (abs of the
+    // asymmetric two's-complement minimum), 8-bit within [0, 128]
+    assert(dec.filter($"true_bits" === 16 && ($"p" < 0 || $"p" > 32768)).count() == 0)
+    assert(dec.filter($"true_bits" === 8 && ($"p" < 0 || $"p" > 128)).count() == 0)
+    // a non-WAV payload decodes to null, not garbage
+    val junk = spark.range(1)
+      .select(lit("not a riff file at all".getBytes("US-ASCII")).as("content"))
+      .select(MultiModal.pcmSampleStats($"content").as("pcm"))
+    assert(junk.collect().head.isNullAt(0))
+  }
+
   test("multimodal: JPEG SOF parse via segment walk matches stored ground truth") {
     import org.apache.spark.sql.functions._
     val jp = spark.read.parquet(graft.queries.PipelineQueries.JpegFixture)

@@ -33,12 +33,22 @@ def stub_dim(content: bytes, lo: int, hi: int) -> int:
     return int(h[lo:hi], 16) % 240 + 16
 
 
+def pcm_samples(data: bytes, bits: int):
+    """Decode the data chunk's PCM samples: 16-bit signed LE frames, or
+    8-bit unsigned centered at 128 (the WAV conventions). Ground truth
+    for the Spark-side byte-level sample decode (q123)."""
+    if bits == 16:
+        return list(struct.unpack("<%dh" % (len(data) // 2), data))
+    return [b - 128 for b in data]
+
+
 def main():
     rnd = random.Random(11)
     cols = {k: [] for k in ("asset_id", "content", "true_sample_rate",
                             "true_channels", "true_bits", "true_duration_ms",
                             "true_n_bytes", "true_byte_sum", "true_byte_max",
-                            "true_width", "true_height")}
+                            "true_width", "true_height", "true_n_samples",
+                            "true_sample_sum", "true_sample_peak")}
     for i in range(200):
         rate = rnd.choice([8000, 16000, 22050, 44100, 48000])
         ch = rnd.choice([1, 2])
@@ -47,6 +57,7 @@ def main():
         content = wav(n_frames, rate, ch, bits, rnd)
         data_len = len(content) - 44
         byte_rate = rate * ch * bits // 8
+        samples = pcm_samples(content[44:], bits)
         cols["asset_id"].append(2000000 + i)
         cols["content"].append(content)
         cols["true_sample_rate"].append(rate)
@@ -58,6 +69,9 @@ def main():
         cols["true_byte_max"].append(max(content))
         cols["true_width"].append(stub_dim(content, 0, 7))
         cols["true_height"].append(stub_dim(content, 7, 14))
+        cols["true_n_samples"].append(len(samples))
+        cols["true_sample_sum"].append(sum(samples))
+        cols["true_sample_peak"].append(max(abs(s) for s in samples))
     table = pa.table({k: pa.array(v, pa.binary() if k == "content" else pa.int64())
                       for k, v in cols.items()})
     pq.write_table(table, "fixtures/wav_assets.parquet")
