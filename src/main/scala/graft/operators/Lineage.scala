@@ -42,4 +42,23 @@ object Lineage {
       df.checkpoint()
     } else df.localCheckpoint()
   }
+
+  /** [[truncate]] that PRESERVES the frame's physical partitioning
+    * across the lineage cut. Under AQE the checkpointed LogicalRDD
+    * records the adaptive plan's opaque final partitioning, so a frame
+    * deliberately `repartition(key)`-ed before its cut gets RE-EXCHANGED
+    * by every downstream join/aggregation on that key — observed on
+    * q115, where the edge list was shuffle-written again on every
+    * iteration. Materializing the cut with AQE disabled records plain
+    * `HashPartitioning(key)`, which downstream ENSURE_REQUIREMENTS
+    * recognizes and skips the exchange; AQE stays on for everything
+    * after the cut. Use for loop-invariant relations partitioned on
+    * their join key (the big side of an iterative join). */
+  def truncateKeepPartitioning(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try truncate(df)
+    finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
 }

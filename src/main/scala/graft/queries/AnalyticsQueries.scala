@@ -513,12 +513,22 @@ object AnalyticsQueries {
     * dangling-mass term needed). */
   def q115PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    // edges are partitioned by the join key ONCE, before the lineage
+    // cut, and the cut PRESERVES that partitioning (truncateKeep-
+    // Partitioning) — so every iteration's edge⋈rank join and the deg
+    // aggregation read the checkpointed blocks in place and shuffle
+    // only the COMPACT rank table, never the edge list again. At
+    // 100 TB the edge list is the dominant relation; re-exchanging it
+    // per iteration would multiply the job's shuffle volume by the
+    // round count (and did, until the partitioning survived the cut —
+    // see Lineage.truncateKeepPartitioning).
     val edges = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-      .transform(graft.operators.Lineage.truncate)
+      .repartition(col("u"))
+      .transform(graft.operators.Lineage.truncateKeepPartitioning)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
     var rank = deg.withColumn("rank_micro", lit(1000000L))
       .select(col("u").as("node"), col("deg"), col("rank_micro"))

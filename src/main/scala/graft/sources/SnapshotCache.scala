@@ -29,6 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan; generations before that are deleted. The clock is INJECTED so
   * expiry is testable without sleeping; the pointer is a sibling file,
   * not parquet metadata, so freshness checks never open footers.
+  *
+  * Concurrency contract: ANY number of concurrent readers is safe (the
+  * pointer flip is atomic and snapshots immutable), but rebuilds assume
+  * ONE writer at a time per cache dir — like the reference's
+  * per-process `st.cache_data`, the cache is owned by the job that
+  * populates it. Two simultaneous rebuilders could pick the same next
+  * version number; a multi-writer deployment must serialize rebuilds
+  * (e.g. a scheduler-level lock or one owning job per cache).
   */
 object SnapshotCache {
 
