@@ -157,13 +157,22 @@ object Dedup {
     * aggregate over the checkpointed blocks — no second label-join, no
     * extra shuffle. Superseded round RDDs are unreferenced on
     * reassignment and reclaimed by the context cleaner.
+    *
+    * SHUFFLE SHAPE: the loop-invariant edge list is partitioned by its
+    * join key `b` once and cut with
+    * [[Lineage.truncateKeepPartitioning]], so every round's label join
+    * reads the edge blocks IN PLACE — at 100 TB the edge list is the
+    * dominant relation and moves once, not once per round (the q115
+    * discipline). Per round only the label table and the propagated
+    * minima shuffle.
     * Returns (doc, cluster) with cluster = min doc id in the component;
     * isolated docs are not returned (they are their own cluster). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
       .distinct()
-      .persist()
+      .repartition(col("b"))
+      .transform(Lineage.truncateKeepPartitioning)
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
       .transform(Lineage.truncate)
@@ -187,7 +196,6 @@ object Dedup {
       labels = next.drop("chg")
       converged = !changed
     }
-    edges.unpersist()
     labels
   }
 
