@@ -92,36 +92,33 @@ object Dedup {
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH banded near-dup detection: k minhashes in `bands`
-    * bands of k/bands rows; docs sharing any band bucket become
-    * candidate pairs; candidates are verified with exact Jaccard.
-    * Returns (ia, ib, jaccard) for verified pairs >= threshold. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, bands: Int, threshold: Double): DataFrame = {
+  /** Banded minhash signature table — one row per (doc, band) with the
+    * band's bucket hash. This is the PERSISTABLE dedup index: at 100 TB
+    * a growing corpus stores this table once per batch (a few dozen
+    * bytes per doc) and never recomputes signatures for text it has
+    * already seen — see [[minhashLshIncrementalPairs]]. */
+  def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // no .cache(): the returned plan is lazy, so a cache here would pin
-    // memory for the session; Spark's exchange reuse covers the shared
-    // shingle scan within the single triggered plan.
-    val s = shingles(docs, idCol, textCol)
-    val sig = minhashSignature(s, k)
+    val sig = minhashSignature(shingles(docs, idCol, textCol), k)
     // one row per (doc, band): band hash = md5 of the band's minhashes
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         md5(concat((0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("bh"))): _*)
-    val bandHash = sig
+    sig
       .select(col("doc"), explode(bandStructs).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.bh").as("bh"))
-    val cand = bandHash.as("x").join(bandHash.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
-    // exact-Jaccard verify restricted to LSH candidates: semi-join the
-    // shingle set down to docs that appear in some candidate pair, gather
-    // each doc's (distinct) shingles into one array, then join candidate
-    // pairs to the two arrays and intersect. Verify work is proportional
-    // to candidate pairs — NOT the all-pairs co-shingle join, which would
-    // redo the brute-force path and negate LSH at scale.
+  }
+
+  /** Exact-Jaccard verify restricted to candidate pairs: semi-join the
+    * shingle set down to docs that appear in some candidate pair, gather
+    * each doc's (distinct) shingles into one array, then join candidate
+    * pairs to the two arrays and intersect. Verify work is proportional
+    * to candidate pairs — NOT the all-pairs co-shingle join, which would
+    * redo the brute-force path and negate LSH at scale. */
+  private def jaccardVerify(cand: DataFrame, s: DataFrame,
+                            threshold: Double): DataFrame = {
     val candDocs = cand.select(col("ia").as("doc"))
       .union(cand.select(col("ib").as("doc"))).distinct()
     val docShingles = s.join(candDocs, Seq("doc"), "left_semi")
@@ -134,6 +131,44 @@ object Dedup {
         col("c").cast("double") / (size(col("sa")) + size(col("sb")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("ia", "ib", "jaccard")
+  }
+
+  /** MinHash + LSH banded near-dup detection: k minhashes in `bands`
+    * bands of k/bands rows; docs sharing any band bucket become
+    * candidate pairs; candidates are verified with exact Jaccard.
+    * Returns (ia, ib, jaccard) for verified pairs >= threshold. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, bands: Int, threshold: Double): DataFrame = {
+    // no .cache(): the returned plan is lazy, so a cache here would pin
+    // memory for the session; Spark's exchange reuse covers the shared
+    // shingle scan within the single triggered plan.
+    val bandHash = minhashBandTable(docs, idCol, textCol, k, bands)
+    val cand = bandHash.as("x").join(bandHash.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
+    jaccardVerify(cand, shingles(docs, idCol, textCol), threshold)
+  }
+
+  /** INCREMENTAL MinHash-LSH: the pairs a NEW batch introduces against
+    * a corpus whose signatures are already in the index. `sigs` is the
+    * full banded signature table (doc, band, bh, is_new) — stored rows
+    * read back from the index plus the new batch's freshly computed
+    * rows — and `s` the shingle set used only to verify candidates.
+    * Candidate pairs require AT LEAST ONE new side: old–old pairs were
+    * reported by previous runs and are never re-derived, so per-batch
+    * work is proportional to the batch's bucket overlaps, not the
+    * corpus — the property that makes daily dedup of a growing 100 TB
+    * corpus affordable. Verify touches only candidate docs' text
+    * (bounded), exactly like the one-shot path. */
+  def minhashLshIncrementalPairs(sigs: DataFrame, s: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
+    jaccardVerify(cand, s, threshold)
   }
 
   /** Connected components over an undirected pair list (ia, ib) —

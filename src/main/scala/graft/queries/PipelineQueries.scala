@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -54,6 +55,38 @@ object PipelineQueries {
         Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
           threshold = 0.8, maxDocFreq = 5))
       .orderBy("doc")
+
+  /** q124: INCREMENTAL dedup against a persisted signature index — the
+    * shape a growing corpus actually runs: the existing corpus
+    * (doc_id % 4 != 0) committed its banded minhash signatures to a
+    * store in a prior run; the arriving batch (doc_id % 4 == 0)
+    * computes signatures ONLY for itself, appends them, and
+    * bucket-joins the whole index with an at-least-one-new predicate —
+    * old–old pairs were reported by earlier runs and are never
+    * re-derived. Signature work per run is proportional to the BATCH;
+    * the stored corpus's text is touched only to verify the bounded
+    * candidate set. The oracle recomputes the full LSH from scratch
+    * and filters to pairs with a new side — the incremental path must
+    * agree exactly with the from-scratch path, which is the index's
+    * correctness contract. */
+  def q124IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = Files.createTempDirectory("graft_q124")
+      .resolve("sigs").toString
+    val docs = Tables.documents(spark, sfDir)
+    // prior run: the existing corpus committed its signatures
+    Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", k = 16, bands = 4)
+      .write.mode("overwrite").parquet(store)
+    // this run: sign ONLY the new batch, commit, read the whole index
+    Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 16, bands = 4)
+      .write.mode("append").parquet(store)
+    val sigs = spark.read.parquet(store)
+      .withColumn("is_new", pmod(col("doc"), lit(4)) === 0)
+    Dedup.minhashLshIncrementalPairs(sigs,
+        Dedup.shingles(docs, "doc_id", "text"), threshold = 0.8)
+      .orderBy("ia", "ib")
+  }
 
   def q23Simhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, sfDir), "doc_id", "text")
@@ -805,6 +838,30 @@ object PipelineQueries {
          |cand AS (
          |  SELECT DISTINCT x.doc AS ia, y.doc AS ib
          |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv AND x.doc < y.doc)
+         |SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
+         |FROM cand JOIN common USING (ia, ib)
+         |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc
+         |WHERE CAST(c AS DOUBLE)/(na.ns + nb.ns - c) >= 0.8
+         |ORDER BY ia, ib""".stripMargin,
+
+    // the from-scratch recompute restricted to pairs with a new side —
+    // the incremental index path must agree with it exactly
+    "q124_incremental_dedup" ->
+      s"""WITH $shingleCtes,
+         |hs AS (
+         |  SELECT doc, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+         |  FROM s CROSS JOIN (SELECT range AS i FROM range(16)) GROUP BY doc, i),
+         |bh AS (
+         |  SELECT doc, CAST(i // 4 AS INT) AS band,
+         |         md5(max(CASE WHEN i % 4 = 0 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 1 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 2 THEN mh END)
+         |          || max(CASE WHEN i % 4 = 3 THEN mh END)) AS bhv
+         |  FROM hs GROUP BY doc, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc AS ia, y.doc AS ib
+         |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv AND x.doc < y.doc
+         |  WHERE x.doc % 4 = 0 OR y.doc % 4 = 0)
          |SELECT ia, ib, CAST(c AS DOUBLE)/(na.ns + nb.ns - c) AS jaccard
          |FROM cand JOIN common USING (ia, ib)
          |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc

@@ -52,6 +52,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental LSH equals the from-scratch pairs restricted to the new batch") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    // from-scratch LSH over everything, then keep pairs with a new side
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.8)
+      .filter(col("ia") % 4 === 0 || col("ib") % 4 === 0)
+      .collect().map(_.toSeq).toSet
+    // incremental path: stored old signatures + freshly signed batch
+    val oldSigs = Dedup.minhashBandTable(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", 16, 4)
+    val newSigs = Dedup.minhashBandTable(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", 16, 4)
+    val sigs = oldSigs.withColumn("is_new", lit(false))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
+    val inc = Dedup.minhashLshIncrementalPairs(sigs,
+        Dedup.shingles(docs, "doc_id", "text"), 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full, "index path must agree with the from-scratch path")
+    // the index really is per-doc bounded: 4 band rows per signed doc
+    val signable = Dedup.shingles(docs, "doc_id", "text")
+      .select("doc").distinct().count()
+    assert(oldSigs.count() + newSigs.count() == signable * 4)
+    // and old-old pairs are never re-derived
+    val allOld = sigs.withColumn("is_new", lit(false))
+    assert(Dedup.minhashLshIncrementalPairs(allOld,
+      Dedup.shingles(docs, "doc_id", "text"), 0.8).count() == 0)
+  }
+
   test("connected components: multi-hop chains collapse to the min label") {
     // components: {1,2,3,9} via chain 9-3-2-1 (diameter 3 — needs
     // multiple propagation rounds), {5,6}, isolated 8 (not returned)
