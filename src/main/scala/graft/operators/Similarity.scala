@@ -94,14 +94,26 @@ object Similarity {
     cents.select(col("cid").as("vec_id"), col("cv").as("embedding"))
   }
 
-  /** IVF top-k: assign every vector to its nearest centroid (argmax
-    * cosine, centroid-id tiebreak), probe the `nprobe` closest buckets
-    * per query, rank within the probed candidates only. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int): DataFrame = {
+  /** Bucket assignment for a PERSISTABLE IVF index: every corpus
+    * vector labelled with its nearest centroid. Written out partitioned
+    * by `cid` (with the centroid table beside it), this IS the stored
+    * index — the build-once half of build-once/query-many; the query
+    * half ([[ivfTopKAssigned]]) then never recomputes assignments and
+    * reads only probed buckets. Returns (vec_id, embedding, cid). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignToNearest(corpus,
+      centroids.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+
+  /** IVF query path over an ALREADY-ASSIGNED corpus (freshly computed
+    * or read back from a stored index): probe the `nprobe` closest
+    * buckets per query, rank within the probed candidates only. When
+    * `assigned` is a cid-partitioned table, the probe join prunes the
+    * scan to probed buckets (dynamic partition pruning — the q89
+    * machinery applied to ANN). */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val assigned = assignToNearest(corpus, c)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // probe ranking stays a window: it needs top-nprobe (not argmax) and
     // runs over the tiny query set ×k only, never the corpus
@@ -119,6 +131,13 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
   }
+
+  /** IVF top-k: assign every vector to its nearest centroid (argmax
+    * cosine, centroid-id tiebreak), probe the `nprobe` closest buckets
+    * per query, rank within the probed candidates only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame =
+    ivfTopKAssigned(ivfAssign(corpus, centroids), queries, centroids, k, nprobe)
 
   /** All m subvectors of every vector as one exploded frame
     * (vec_id, sub, sv) — the layout that lets PQ train, encode, and

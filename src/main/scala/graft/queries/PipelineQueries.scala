@@ -151,6 +151,34 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q125: the PERSISTED IVF index — build-once/query-many, the shape
+    * an ANN service actually deploys. Build: train centroids, assign
+    * every vector to its bucket, write the assignments PARTITIONED BY
+    * cid with the centroid table beside them. Query: probe selection
+    * reads only the tiny centroid table; the candidate scan joins the
+    * bucket-partitioned store on its PARTITION column, so dynamic
+    * partition pruning (the q89 machinery) reads only probed buckets'
+    * files — at 100 TB the index is rebuilt on corpus changes, not per
+    * query, and each query touches nprobe/k_centroids of the data.
+    * Results must equal q75's freshly-trained run bit-for-bit (same
+    * brute-force oracle — the store round-trip may not perturb
+    * anything). */
+  def q125IvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_q125").toString
+    val emb = spark.read.parquet(ClusteredEmbFixture)
+    // index BUILD (once per corpus version)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    trained.write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.ivfAssign(emb, trained)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/buckets")
+    // QUERY path: the stored index only — no training, no assignment
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val buckets = spark.read.parquet(s"$dir/buckets")
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    Similarity.ivfTopKAssigned(buckets, queries, centroids, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, IVF-bucketed: only pairs
     * sharing a centroid bucket are compared (the scalable near-dup
     * shape — recall bounded by bucketing, like any LSH). Threshold 0.4
@@ -948,6 +976,23 @@ object PipelineQueries {
 
     // trained IVF must reproduce brute force on clustered data
     "q75_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         list_cosine_similarity(qv, embedding) AS sim
+        |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // identical to q75's oracle: the persisted-index query path must
+    // reproduce the freshly-trained run exactly (nprobe=2 on the
+    // clustered fixture recovers brute-force top-k)
+    "q125_ivf_persisted" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
         |q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
