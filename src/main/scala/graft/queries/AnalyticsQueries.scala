@@ -495,6 +495,32 @@ object AnalyticsQueries {
     spark.sql(Q121Sql)
   }
 
+  /** q126: global-threshold HAVING (TPC-H Q11 shape) — keep suppliers
+    * whose revenue exceeds a fraction of TOTAL revenue. The analyst
+    * form is an uncorrelated scalar subquery
+    * (`HAVING sum(rev) > (SELECT sum(rev) * 0.0001 FROM lineitem)`),
+    * which planners execute as a SECOND full fact scan. This engine
+    * derives the total FROM the grouped aggregate it already computed
+    * — a broadcast one-row join over the per-supplier sums — so the
+    * fact table is scanned ONCE (plan-asserted in
+    * CorrelatedSubquerySpec: exactly one lineitem scan). With q121
+    * (correlated scalar) and q108 (correlated EXISTS), this closes the
+    * subquery taxonomy: all three classic shapes plan without per-row
+    * or per-group re-execution, and the third without even a second
+    * scan. Threshold arithmetic is exact: micro-long revenue,
+    * `100 * value > total` instead of a fractional multiply. */
+  def q126GlobalThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, sfDir)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+        .cast("long")).as("rev_micro"))
+    val total = perSupp.agg(sum("rev_micro").as("total_micro"))
+    perSupp.join(broadcast(total))
+      .filter(col("rev_micro") * 100 > col("total_micro"))
+      .select(col("l_suppkey"), col("rev_micro"))
+      .orderBy(col("rev_micro").desc, col("l_suppkey").asc)
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -672,6 +698,17 @@ object AnalyticsQueries {
     "q109_sql_bridge" -> Q109Sql,
 
     "q115_pagerank" -> Q115Sql,
+
+    // the analyst's scalar-subquery formulation — DuckDB may scan
+    // twice; the engine's single-scan derivation must agree exactly
+    "q126_global_threshold" ->
+      """WITH s AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, rev_micro FROM s
+        |WHERE rev_micro * 100 > (SELECT SUM(rev_micro) FROM s)
+        |ORDER BY rev_micro DESC, l_suppkey ASC""".stripMargin,
 
     // the same correlated text over CTE-prepared columns — DuckDB
     // decorrelates with its own planner, independently of Catalyst

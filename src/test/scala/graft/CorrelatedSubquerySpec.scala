@@ -27,6 +27,38 @@ class CorrelatedSubquerySpec extends SparkSpec {
     assert(opt.contains("Join"), s"expected a join-back:\n$opt")
   }
 
+  test("q126 scans the fact table once — the total reuses the grouped exchange") {
+    val df = AnalyticsQueries.q126GlobalThreshold(spark, sf())
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // scans only in the final plan, which is what actually executed
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the per-supplier aggregate and the global total share one
+    // exchange over one scan: the second reference must be a reuse,
+    // not a second read of the fact table
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    val reuse = plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+    assert(scans == 1 && reuse,
+      s"expected one lineitem scan + exchange reuse (scans=$scans, reuse=$reuse):\n$plan")
+  }
+
+  test("q126 equals the scalar-subquery formulation") {
+    val perSupp = Tables.lineitem(spark, sf())
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+        .cast("long")).as("rev_micro"))
+    perSupp.createOrReplaceTempView("q126_spec_s")
+    val want = spark.sql(
+      """SELECT l_suppkey, rev_micro FROM q126_spec_s
+        |WHERE rev_micro * 100 > (SELECT SUM(rev_micro) FROM q126_spec_s)
+        |ORDER BY rev_micro DESC, l_suppkey ASC""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q126GlobalThreshold(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q121 equals the hand-decorrelated DataFrame formulation") {
     val li = Tables.lineitem(spark, sf())
       .select(col("l_partkey"),
