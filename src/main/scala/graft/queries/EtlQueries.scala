@@ -186,11 +186,12 @@ object EtlQueries {
     *  3. dynamic partition overwrite rewrites ONLY the touched shard
     *     directories (the q62 incremental-recompute shape).
     *
-    * Tombstones must persist: dropping a 'D' row would let an older
-    * late-arriving upsert resurrect the key. (Production would age them
-    * out past the max replay horizon, and commit via snapshot dirs /
-    * a Delta log rather than in-place overwrite; the localCheckpoint
-    * below materializes the merge before the overwrite for the same
+    * Tombstones must persist while a replay could still carry an older
+    * upsert: dropping a 'D' row early would let it resurrect the key.
+    * [[cdcVacuumTombstones]] ages them out once they clear the replay
+    * horizon. (Production commits via snapshot dirs / a Delta log
+    * rather than in-place overwrite; the localCheckpoint below
+    * materializes the merge before the overwrite for the same
     * read-then-replace safety.) */
   def cdcMergeIntoStore(stateDir: String, batch: DataFrame): Unit = {
     val spark = batch.sparkSession
@@ -217,6 +218,50 @@ object EtlQueries {
     try merged.localCheckpoint().write.partitionBy("shard")
       .mode("overwrite").parquet(stateDir)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Tombstone aging for the CDC store: drop 'D' rows whose version
+    * timestamp has cleared `horizon`. Past the pipeline's maximum
+    * replay/out-of-order delay no in-flight batch can still carry an
+    * OLDER upsert for the key, so the tombstone's shadowing job is done
+    * — retaining it forever would grow the store by every key ever
+    * deleted, which at 100 TB of churn is unbounded. Only shards that
+    * actually hold expired tombstones are rewritten (the merge's
+    * dynamic-partition-overwrite discipline); a shard left with zero
+    * rows is physically reclaimed, since dynamic overwrite cannot
+    * express "this partition is now empty".
+    *
+    * SAFETY CONTRACT (spec-demonstrated from both sides): `horizon`
+    * must be at least the max replay delay — vacuuming younger
+    * tombstones re-opens exactly the resurrection window the tombstone
+    * existed to close. */
+  def cdcVacuumTombstones(spark: SparkSession, stateDir: String,
+                          horizon: java.sql.Timestamp): Unit = {
+    if (!new java.io.File(stateDir).isDirectory) return
+    val expiredPred = col("op") === "D" && col("ts") < lit(horizon)
+    val state = spark.read.parquet(stateDir)
+    // bounded driver metadata: <= 8 shard ids, like the merge's
+    // pruning (cast: directory-inferred partition columns read as int)
+    val touched = state.filter(expiredPred)
+      .select(col("shard").cast("long")).distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val kept = state.filter(col("shard").isin(touched.toIndexedSeq: _*))
+      .filter(!expiredPred)
+      .localCheckpoint()
+    val emptied = touched.toSet --
+      kept.select(col("shard").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.write.partitionBy("shard").mode("overwrite").parquet(stateDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    emptied.foreach { s =>
+      val dir = java.nio.file.Paths.get(stateDir, s"shard=$s")
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+    }
   }
 
   /** Incremental aggregate maintenance: a materialized aggregate is

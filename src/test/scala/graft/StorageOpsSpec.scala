@@ -109,6 +109,59 @@ class StorageOpsSpec extends SparkSpec {
     assert(dead == 1L)
   }
 
+  test("cdcVacuumTombstones ages tombstones past the horizon, both safety sides shown") {
+    import spark.implicits._
+    def batch(rows: Seq[(Long, String, java.sql.Timestamp, Long, String, Long)]) =
+      rows.toDF("user_id", "event_id_ts", "ts", "event_id", "op", "value_micro")
+        .withColumnRenamed("event_id_ts", "event_type")
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum")
+      .resolve("state").toString
+    // old tombstone (t=10) for (1,a); RECENT tombstone (t=100) for
+    // (2,b); a live upsert for (3,c)
+    EtlQueries.cdcMergeIntoStore(dir, batch(Seq(
+      (1L, "a", t(10), 1L, "D", 0L),
+      (2L, "b", t(100), 2L, "D", 0L),
+      (3L, "c", t(90), 3L, "U", 300L))))
+    EtlQueries.cdcVacuumTombstones(spark, dir, t(50))
+    val after = spark.read.parquet(dir)
+      .select("user_id", "event_type", "op").as[(Long, String, String)]
+      .collect().toSet
+    // expired tombstone reclaimed; young tombstone and upsert intact
+    assert(after == Set((2L, "b", "D"), (3L, "c", "U")))
+    // retained tombstone still shadows a late older upsert...
+    EtlQueries.cdcMergeIntoStore(dir, batch(Seq((2L, "b", t(60), 9L, "U", 999L))))
+    val live = spark.read.parquet(dir).filter($"op" =!= "D")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(!live.contains((2L, "b")), "young tombstone must still shadow")
+    // ...while the vacuumed key is open to resurrection by a replay
+    // OLDER than the vacuumed tombstone — the exact window the horizon
+    // contract exists to keep closed (replays must never lag past it)
+    EtlQueries.cdcMergeIntoStore(dir, batch(Seq((1L, "a", t(5), 8L, "U", 888L))))
+    val resurrection = spark.read.parquet(dir).filter($"op" =!= "D")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(resurrection.contains((1L, "a")),
+      "vacuum past the horizon re-opens the window — the contract's other side")
+  }
+
+  test("cdcVacuumTombstones physically reclaims a shard emptied by the vacuum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum2")
+      .resolve("state").toString
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one single-key store: its only row is an expired tombstone, so
+    // the vacuum must delete the whole shard directory (dynamic
+    // overwrite alone cannot express an emptied partition)
+    EtlQueries.cdcMergeIntoStore(dir,
+      Seq((1L, "a", t(10), 1L, "D", 0L))
+        .toDF("user_id", "event_type", "ts", "event_id", "op", "value_micro"))
+    val shardDirsBefore = new java.io.File(dir).list().count(_.startsWith("shard="))
+    assert(shardDirsBefore == 1)
+    EtlQueries.cdcVacuumTombstones(spark, dir, t(50))
+    val shardDirsAfter = new java.io.File(dir).list().count(_.startsWith("shard="))
+    assert(shardDirsAfter == 0, "emptied shard directory must be reclaimed")
+  }
+
   test("q102 streaming CDC state equals the one-shot batch apply (q96)") {
     val streamed = graft.streaming.StreamingQueries
       .q102StreamCdcApply(spark, sf()).collect().toSeq
