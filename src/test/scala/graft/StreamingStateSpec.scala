@@ -53,6 +53,67 @@ class StreamingStateSpec extends SparkSpec {
     assert(user9.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("a restarted query resumes from its checkpoint: state restored, nothing reprocessed") {
+    // THE recovery contract a deployed stream lives on: after a stop,
+    // a restart with the same checkpoint must (a) restore aggregation
+    // state and (b) skip every already-committed source offset. The
+    // running aggregate discriminates all failure modes: reprocessing
+    // b0 would double-count it (n=5), losing state would undercount
+    // (n=1) — only restore-and-resume yields n=3.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_restart")
+        .toFile.getAbsolutePath
+      val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      var nextMtime = 1700000000000L
+      def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+        val stage = s"$tmp/stage_$name"
+        rows.toDF("user_id", "event_id").coalesce(1).write.parquet(stage)
+        val f = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(nextMtime); nextMtime += 10000
+      }
+      val schema = Seq((0L, 0L)).toDF("user_id", "event_id").schema
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("s"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def state(): Set[(Long, Long, Long)] = spark.read.parquet(out)
+        .as[(Long, Long, Long)].collect().toSet
+      addFile("b0", Seq((1L, 10L), (1L, 20L)))
+      runOnce()
+      assert(state() == Set((1L, 2L, 30L)))
+      // stop/restart with new data: counts CONTINUE from restored state
+      addFile("b1", Seq((1L, 5L), (2L, 7L)))
+      runOnce()
+      assert(state() == Set((1L, 3L, 35L), (2L, 1L, 7L)),
+        "restart must restore state (not 1) and skip b0 (not 5)")
+      // restart with nothing new: no batch fires, the result is intact
+      runOnce()
+      assert(state() == Set((1L, 3L, 35L), (2L, 1L, 7L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState and sessionization run on the RocksDB state store") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
