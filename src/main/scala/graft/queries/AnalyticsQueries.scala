@@ -187,6 +187,32 @@ object AnalyticsQueries {
         expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"))
       .orderBy("l_returnflag")
 
+  /** q127: HyperLogLog cardinality with an ORACLE-VISIBLE accuracy
+    * contract — the sketch family's classic member (count-min q57,
+    * bloom q78, exact bitmap q72, histogram q79 already green).
+    * `approx_count_distinct` (HLL++, rsd 0.05) is deterministic for a
+    * given dataset — register maxima are order- and merge-independent
+    * — but its VALUE is engine-specific, so the estimate itself can't
+    * hash-match DuckDB. What can is the contract: the output carries
+    * the exact distinct count and a boolean `within_10pct` (2×rsd)
+    * that the oracle asserts as literal TRUE. A Spark upgrade or
+    * sketch regression that drifts past the bound flips the boolean
+    * and fails the hash — the approx row becomes oracle-checkable
+    * without pretending two HLL implementations agree. (At 100 TB the
+    * sketch is the scale path: mergeable fixed-size state per group vs
+    * countDistinct's expanded shuffle; the exact side here exists to
+    * judge the sketch, the way q36's envelope judges
+    * [[approxStatsCompanion]].) */
+  def q127HllContract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("_hll"))
+      .select(col("event_type").as("ticker"), col("n_exact"),
+        (abs(col("_hll") - col("n_exact")).cast("double") / col("n_exact")
+          <= 0.10).as("within_10pct"))
+      .orderBy("ticker")
+
   /** q57: the mergeable-sketch pipeline — per-day count-min sketches of
     * the event-type stream ([[graft.functions.CountMinAgg]]), unioned
     * across days by element-wise addition ([[CountMinMergeAgg]]) without
@@ -698,6 +724,14 @@ object AnalyticsQueries {
     "q109_sql_bridge" -> Q109Sql,
 
     "q115_pagerank" -> Q115Sql,
+
+    // the oracle sees the exact count and asserts the accuracy
+    // contract as a literal — see q127's scaladoc
+    "q127_hll_contract" ->
+      """SELECT event_type AS ticker,
+        |       COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY ticker""".stripMargin,
 
     // the analyst's scalar-subquery formulation — DuckDB may scan
     // twice; the engine's single-scan derivation must agree exactly
