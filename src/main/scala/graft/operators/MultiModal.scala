@@ -274,21 +274,32 @@ object MultiModal {
     * signed little-endian, 8-bit frames unsigned centered at 128 (the
     * WAV conventions). Returns struct(n_samples, sample_sum,
     * sample_peak) — count, exact signed sum (mean = sum/n), and max
-    * absolute amplitude — folded over the data chunk in one
-    * `aggregate` pass per row (O(samples), fully distributed; a
-    * production deploy swaps this interpreted fold for a vectorized
-    * kernel at the [[byteFeatures]] batch boundary — same semantics,
-    * which is exactly what this arm pins down). Ground truth is
+    * absolute amplitude. Runs as [[graft.functions.PcmFold]], a
+    * codegen'd single-pass kernel: O(blob) per row, one byte-array
+    * read, primitive loop inside whole-stage codegen. Ground truth is
     * persisted at fixture generation by an independent Python decoder
-    * (tools/gen_wav_fixture.py `pcm_samples`). Compressed audio
+    * (tools/gen_wav_fixture.py `pcm_samples`), and the kernel is
+    * spec-pinned bit-equal to [[pcmSampleStatsHof]]. Compressed audio
     * formats remain on the documented stub arm. Reference behavior:
     * provider payload normalization, src/etl.py:24-44 (the engine
-    * generalizes it to binary columns).
+    * generalizes it to binary columns). */
+  def pcmSampleStats(content: Column): Column =
+    graft.functions.PcmFold.pcmStats(content)
+
+  /** The declarative HOF form of [[pcmSampleStats]] — the semantic
+    * REFERENCE the codegen'd kernel is proven against, not the
+    * deployment path: Spark's higher-order functions stay interpreted,
+    * and each per-sample `substr` in the lambda re-materializes the
+    * whole binary field from the UnsafeRow (`getBinary` copies), so
+    * this form is O(samples × blob) in memory traffic — found burning
+    * 800+ CPU-seconds on the 200-asset fixture. Kept (test-only) so
+    * the kernel's semantics have an in-plan executable twin; never
+    * call it on real data.
     *
     * Extract MULTIPLE fields via one staged `withColumn` then field
     * reads (the [[withMp4Meta]] discipline) — the struct producer is
     * multiply-referenced but evaluated once. */
-  def pcmSampleStats(content: Column): Column = {
+  private[graft] def pcmSampleStatsHof(content: Column): Column = {
     val bits = leLong(content, 35, 2)
     val dataLen = leLong(content, 41, 4)
     val nSamples = floorDiv(dataLen, floorDiv(bits, lit(8)))

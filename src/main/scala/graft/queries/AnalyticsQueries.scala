@@ -547,6 +547,232 @@ object AnalyticsQueries {
       .orderBy(col("rev_micro").desc, col("l_suppkey").asc)
   }
 
+  /** q128: normalized-rank distribution analytics — PERCENT_RANK and
+    * CUME_DIST over per-customer spend within each market segment, the
+    * two window ranks q35's family leaves out (both need the partition
+    * SIZE, not just the running position, so the window operator must
+    * buffer the frame boundary — a different execution obligation than
+    * row_number/rank). The fact table reduces FIRST to per-customer
+    * sums (one shuffle, |orders| → |customers| rows), the dimension
+    * attaches by broadcast, and the rank windows partition by segment —
+    * no global single-partition sort anywhere in the plan, which is the
+    * classic global-ORDER-BY window trap at 100 TB. Ranks ship as
+    * micro-longs: the (spend desc, custkey asc) order is total, and
+    * (rank−1)/(n−1), k/n are single IEEE divisions both engines compute
+    * identically. */
+  def q128RankDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 1e6).cast("long")).as("spend_micro"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("spend_micro").desc, col("custkey").asc)
+    spend.join(broadcast(cust), "custkey")
+      .select(col("segment"), col("custkey"), col("spend_micro"),
+        round(percent_rank().over(w) * 1e6).cast("long").as("pr_micro"),
+        round(cume_dist().over(w) * 1e6).cast("long").as("cd_micro"))
+      .orderBy("segment", "custkey")
+  }
+
+  /** q129: NESTED decorrelation, the TPC-H Q20 shape — "suppliers that
+    * shipped more than half their all-time volume of some part in
+    * 1995". The analyst's form (the oracle text, run verbatim by
+    * DuckDB) nests a correlated scalar aggregate inside the HAVING of
+    * an IN-subquery; executed naively that is one fact scan per
+    * (supplier, part) group. This engine collapses BOTH aggregates —
+    * the 1995 slice and the all-time total — into ONE pass over
+    * lineitem with conditional aggregation (`sum(when(...))`, the
+    * map-side-combined FILTER form), then a single semi-join into the
+    * supplier dim: no re-execution, and not even a second scan where
+    * the classic decorrelation (q121's aggregate-joined-back) still
+    * pays one. CorrelatedSubquerySpec asserts exactly one lineitem
+    * scan in the physical plan. */
+  def q129NestedDecorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(
+        sum(when(year(to_date(col("l_shipdate"))) === 1995,
+          round(col("l_quantity")).cast("long")).otherwise(0L)).as("qty_1995"),
+        sum(round(col("l_quantity")).cast("long")).as("qty_all"))
+      .filter(col("qty_1995") * 2 > col("qty_all"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q130: TPC-H Q22 shape — "high-balance customers gone quiet":
+    * balance above the positive-balance mean (uncorrelated scalar
+    * subquery) AND no orders since 2000 (NOT EXISTS), rolled up per
+    * market segment. The threshold comparison stays in exact integer
+    * space — `bal_cents · n_pos > total_cents` instead of comparing
+    * against a floating mean — so the boundary customer cannot flip
+    * between engines on summation order. Plan shape: the scalar
+    * aggregate is a one-row broadcast over the dimension (never a
+    * per-row re-scan), and the NOT EXISTS is a shuffle anti-join whose
+    * probe side is date-pruned BEFORE the exchange, so the anti-join
+    * moves only the recent slice of orders at 100 TB. */
+  def q130DormantSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val thr = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("total_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(thr))
+      .filter(col("bal_cents") * col("n_pos") > col("total_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("bal_cents_sum"))
+      .orderBy("segment")
+  }
+
+  /** q131: FILTER-clause conditional aggregation — four differently
+    * predicated metrics per return flag in ONE pass over the fact
+    * table. The UNION-of-filtered-scans formulation some analysts
+    * write would read the 100 TB fact once per metric; here every
+    * conditional is a codegen'd `when()` inside the same partial
+    * aggregate (count skips nulls, so `count(when(p, 1))` IS
+    * `COUNT(*) FILTER (WHERE p)`), and the plan is one scan feeding
+    * one partial/final aggregate pair — asserted in
+    * CorrelatedSubquerySpec. Sums carry explicit `otherwise(0)` so an
+    * empty predicate slice yields 0 in both engines (DuckDB's FILTER
+    * sum is NULL on empty — the oracle wraps in COALESCE). */
+  def q131FilteredAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_hi_disc"),
+        sum(when(year(to_date(col("l_shipdate"))) === 1995,
+          round(col("l_quantity")).cast("long")).otherwise(0L)).as("qty_1995"),
+        sum(when(col("l_tax") < 0.04,
+          round(col("l_extendedprice") * 1e6).cast("long")).otherwise(0L))
+          .as("rev_low_tax_micro"))
+      .orderBy("l_returnflag")
+
+  /** The q132 text — ONE recursive SQL string, two engines (the q109
+    * guarantee: textual identity pins the dialect). The recursion
+    * generates the month spine; the anchor/terminal dates deliberately
+    * overhang the data range (orders span 1995-01…2001-08) so the
+    * LEFT JOIN provably exercises gap months on BOTH ends, coalesced
+    * to zero — the gap-fill contract a calendar join exists for. */
+  private val Q132Sql =
+    """WITH RECURSIVE cal(m) AS (
+      |  SELECT DATE '1994-10-01'
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM cal WHERE m < DATE '2002-03-01'
+      |),
+      |rev AS (
+      |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+      |         CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro,
+      |         COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT cal.m, COALESCE(rev.rev_micro, 0) AS rev_micro,
+      |       COALESCE(rev.n_orders, 0) AS n_orders
+      |FROM cal LEFT JOIN rev ON rev.m = cal.m
+      |ORDER BY cal.m""".stripMargin
+
+  /** q132: recursive CTE — Spark 4's UnionLoop operator driven through
+    * the SQL surface, on the classic bounded-recursion workload: a
+    * calendar month spine (anchor row + INTERVAL step until the
+    * terminal date) LEFT-JOINed to monthly revenue so silent gaps in
+    * the fact table surface as explicit zero rows. The recursion is
+    * driver-paced but each step is a distributed plan; depth is the
+    * month count (90), not the data size, so the shape is 100 TB-safe
+    * — the spine is 90 rows broadcast against the aggregated (already
+    * small) monthly rollup. DuckDB executes the identical text with
+    * its own recursive-CTE machinery. */
+  def q132RecursiveSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(Q132Sql)
+  }
+
+  /** q133: approx-percentile accuracy contract, the q127 pattern — the
+    * oracle row carries the exact cents-rounded median plus the
+    * contract column as a literal TRUE; if `approx_percentile` (GK
+    * summary, accuracy 10000 → rank error ≤ n/10⁴) ever drifted
+    * outside ±5% of the exact value the engine would emit FALSE and
+    * the row would hash-fail. This turns the sketch's error bound into
+    * a scoreboard-visible guarantee (q36's envelope bounds it only in
+    * a spec) while the sketch internals — which legitimately differ
+    * across engines — never touch the hash. */
+  def q133ApproxPercentileContract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_ap"))
+      .select(col("l_returnflag"),
+        round(col("_exact") * 100).cast("long").as("p50_cents"),
+        (abs(col("_ap") - col("_exact")) <= col("_exact") * 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+
+  /** q136: rolling 7-day distinct users — windowed COUNT(DISTINCT),
+    * the engagement metric naive SQL can only compute by re-scanning
+    * the raw stream once per window (exactly what the DuckDB oracle
+    * twin does). The scale shape: ONE pass reduces the stream to one
+    * exact bitmap sketch per day ([[graft.functions.BitmapAgg]],
+    * kilobytes per row, map-side combinable), then the 7-day range
+    * window merges daily sketches by bitwise OR and popcounts — work
+    * proportional to days × sketch words, never a second look at the
+    * events. The window's global ordering runs over |days| rows,
+    * bounded by the calendar rather than the data, so the
+    * single-partition window sort that makes global windows fatal at
+    * 100 TB never sees more than a few thousand kilobyte-sized rows.
+    * q72 merges the same sketches per type; this is their WINDOWED
+    * composition — the "sketch once, roll up forever" telemetry
+    * pattern in its sliding form. */
+  def q136RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BitmapDistinct._
+    val maxId = 1 << 14
+    val daily = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(bitmapSketch(col("user_id"), maxId).as("sk"))
+    val w = Window
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sks", collect_list(col("sk")).over(w))
+      .select(col("day"),
+        cardinality(aggregate(col("sks"),
+          array_repeat(lit(0L), maxId / 64),
+          (acc, x) => zip_with(acc, x, (a, b) => a.bitwiseOR(b))))
+          .as("users_7d"))
+      .orderBy("day")
+  }
+
+  /** q137: top-k rows per group as an AGGREGATE, not a window —
+    * [[graft.functions.TopKRows]] keeps an O(k) bounded heap per group
+    * with map-side partial aggregation: each task ships at most k rows
+    * per group to the exchange, and merge unions heaps. The
+    * `row_number() <= k` window form (the oracle's formulation) must
+    * instead sort EVERY group's full row set after shuffling all of
+    * it — at 100 TB that is a full-data exchange plus a per-group sort
+    * for an output of 5k rows. Priority is the micro-long price in
+    * double (exact to 2⁵³), ties break on the zero-padded order key so
+    * the k-boundary is total-ordered in both engines. */
+  def q137TopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority"), col("o_orderkey"),
+      round(col("o_totalprice") * 1e6).cast("long").as("price_micro"))
+    val entry = struct(
+      col("price_micro").cast("double").as("_pri"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("_tb"),
+      struct(col("o_orderpriority"), col("o_orderkey"), col("price_micro")).as("_row"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKRows.topKRows(entry, k).as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e._row.*"))
+      .orderBy(col("o_orderpriority"), col("price_micro").desc,
+        col("o_orderkey").asc)
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -724,6 +950,94 @@ object AnalyticsQueries {
     "q109_sql_bridge" -> Q109Sql,
 
     "q115_pagerank" -> Q115Sql,
+
+    // the recursive text is shared verbatim — see Q132Sql's scaladoc
+    "q132_recursive_spine" -> Q132Sql,
+
+    // the per-window re-scan formulation the sketch pipeline avoids —
+    // see q136's scaladoc
+    "q136_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS users_7d
+        |      FROM d JOIN events e
+        |        ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+        |      GROUP BY d.day)
+        |SELECT day, users_7d FROM r ORDER BY day""".stripMargin,
+
+    // the full-sort window formulation the O(k) heap replaces — see
+    // q137's scaladoc
+    "q137_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(ROUND(o_totalprice*1000000.0) AS BIGINT) AS price_micro,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(ROUND(o_totalprice*1000000.0) AS BIGINT) DESC,
+        |                      o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, price_micro
+        |FROM r WHERE rn <= 10
+        |ORDER BY o_orderpriority, price_micro DESC, o_orderkey ASC""".stripMargin,
+
+    "q128_rank_distribution" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(SUM(CAST(ROUND(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS spend_micro
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment AS segment, s.custkey, s.spend_micro,
+        |       CAST(ROUND(PERCENT_RANK() OVER w * 1000000.0) AS BIGINT) AS pr_micro,
+        |       CAST(ROUND(CUME_DIST() OVER w * 1000000.0) AS BIGINT) AS cd_micro
+        |FROM s JOIN customer c ON c.c_custkey = s.custkey
+        |WINDOW w AS (PARTITION BY c.c_mktsegment
+        |             ORDER BY s.spend_micro DESC, s.custkey ASC)
+        |ORDER BY segment, custkey""".stripMargin,
+
+    // the analyst's nested form: correlated scalar aggregate inside
+    // the HAVING of an IN-subquery — DuckDB decorrelates it with its
+    // own planner; the engine computes both aggregates in one scan
+    "q129_nested_decorrelation" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) = 1995
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) * 2 >
+        |         (SELECT SUM(CAST(ROUND(i.l_quantity) AS BIGINT))
+        |          FROM lineitem i
+        |          WHERE i.l_suppkey = l.l_suppkey
+        |            AND i.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q130_dormant_segments" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal*100.0) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+        |       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+        |FROM c
+        |WHERE bal_cents * (SELECT COUNT(*) FROM c WHERE bal_cents > 0) >
+        |      (SELECT SUM(bal_cents) FROM c WHERE bal_cents > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    "q131_filtered_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_total,
+        |       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+        |       CAST(COALESCE(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+        |           FILTER (WHERE EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) = 1995), 0) AS BIGINT) AS qty_1995,
+        |       CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*1000000.0) AS BIGINT))
+        |           FILTER (WHERE l_tax < 0.04), 0) AS BIGINT) AS rev_low_tax_micro
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact median to the cent; the sketch's ±5% contract as a
+    // literal — the q127 pattern (see q133's scaladoc)
+    "q133_approx_percentile_contract" ->
+      """SELECT l_returnflag,
+        |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 100.0) AS BIGINT) AS p50_cents,
+        |       TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle sees the exact count and asserts the accuracy
     // contract as a literal — see q127's scaladoc

@@ -282,6 +282,33 @@ object PipelineQueries {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(100)
 
+  /** q134: out-of-vocabulary rate per corpus source — the
+    * tokenizer-coverage curation signal: score each slice of the
+    * corpus by the share of its tokens a top-K vocabulary does not
+    * cover (high OOV → the slice is out-of-distribution for the
+    * tokenizer trained on this vocab). Two passes by necessity — the
+    * vocabulary IS an aggregate of pass one — but the second pass
+    * joins the exploded token stream against a BROADCAST K-row vocab,
+    * so no exchange ever carries the token stream; the only shuffle is
+    * the final per-source rollup. The K-boundary is total-ordered
+    * (tf desc, token asc), making the vocab set deterministic, and
+    * rates are parts-per-million by integer floor division — no
+    * floating ratios near the hash. */
+  def q134OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc).limit(16)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_tok"),
+        count(when(col("vtok").isNull, lit(1))).as("oov_tok"))
+      .select(col("source"), col("total_tok"), col("oov_tok"),
+        expr("(oov_tok * 1000000) div total_tok").as("oov_ppm"))
+      .orderBy("source")
+  }
+
   /** q63: context-window chunking — every document split into 50-token
     * windows on a 40-token stride (10-token overlap), the
     * sequence-packing prep step of an LLM training pipeline. Pure
@@ -611,6 +638,21 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q134_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok FROM (SELECT tok, COUNT(*) AS tf FROM tok
+        |                   GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 16)),
+        |g AS (
+        |  SELECT source, COUNT(*) AS total_tok,
+        |         COUNT(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v)) AS oov_tok
+        |  FROM tok GROUP BY source)
+        |SELECT source, total_tok, oov_tok,
+        |       CAST((oov_tok * 1000000) // total_tok AS BIGINT) AS oov_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
     "q117_decontamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

@@ -134,7 +134,41 @@ object SearchQueries {
       .limit(k)
   }
 
+  /** q135: positional-index phrase search — "hash join" as an ADJACENT
+    * token pair, not a bag-of-words conjunction. [[postings]] gives
+    * each token its offset; the phrase is a self-equi-join on
+    * (doc_id, pos+1) between the two terms' posting extractions, so
+    * the join input is each term's posting list (sized by the rarer
+    * term's df), never the full token stream — the inverted-index
+    * phrase plan, where an engine without positions is forced into a
+    * LIKE-scan of every document. Both posting sides prune from the
+    * same scan; one shuffle on doc_id; occurrence counts per doc. */
+  def q135PhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = postings(Tables.documents(spark, sfDir))
+    val first = pos.filter(col("token") === "hash")
+      .select(col("doc_id"), col("pos"))
+    val second = pos.filter(col("token") === "join")
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    first.join(second,
+        col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q135_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+        |         unnest(toks) AS tok
+        |  FROM t)
+        |SELECT a.doc_id, COUNT(*) AS n_hits
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'hash' AND b.tok = 'join'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
     "q103_inverted_index" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -170,6 +170,28 @@ class SourcesMultiModalSpec extends SparkSpec {
     assert(junk.collect().head.isNullAt(0))
   }
 
+  test("multimodal: PcmFold kernel is bit-equal to the interpreted HOF reference fold") {
+    import org.apache.spark.sql.functions._
+    // the HOF twin is O(samples × blob) — run it on a small slice only
+    val wav = spark.read.parquet(graft.queries.PipelineQueries.WavFixture)
+      .orderBy(length($"content").asc).limit(5)
+    val both = wav.select($"asset_id",
+        MultiModal.pcmSampleStats($"content").as("fast"),
+        MultiModal.pcmSampleStatsHof($"content").as("ref"))
+      .select($"asset_id",
+        $"fast.n_samples" === $"ref.n_samples",
+        $"fast.sample_sum" === $"ref.sample_sum",
+        $"fast.sample_peak" === $"ref.sample_peak")
+    assert(both.collect().forall(r => r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)))
+    // and both agree the junk payload is null
+    val junk = spark.range(1)
+      .select(lit("RIFFxxxxJUNK".getBytes("US-ASCII")).as("content"))
+      .select(MultiModal.pcmSampleStats($"content").as("a"),
+        MultiModal.pcmSampleStatsHof($"content").as("b"))
+      .collect().head
+    assert(junk.isNullAt(0) && junk.isNullAt(1))
+  }
+
   test("multimodal: JPEG SOF parse via segment walk matches stored ground truth") {
     import org.apache.spark.sql.functions._
     val jp = spark.read.parquet(graft.queries.PipelineQueries.JpegFixture)

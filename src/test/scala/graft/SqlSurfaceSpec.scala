@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQueries, PipelineQueries, SearchQueries}
+import graft.sources.Tables
+
+/** Plan-shape and twin-formulation properties for the q128–q135 SQL
+  * surface close-outs — the facts the DuckDB hash oracle cannot see:
+  * how many times the fact table is scanned, which side broadcasts,
+  * and that the recursive spine really manufactures rows the data
+  * does not contain.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — assert
+    // only on the final plan, which is what actually executed
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def lineitemScans(plan: String): Int =
+    plan.split("\n").count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+
+  test("q129 computes both correlated aggregates in ONE lineitem scan") {
+    val plan = finalPlan(AnalyticsQueries.q129NestedDecorrelation(spark, sf()))
+    // the nested form (oracle text) naively scans lineitem per group
+    // PLUS once for the outer; the conditional-aggregation derivation
+    // must touch the fact exactly once
+    assert(lineitemScans(plan) == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+  }
+
+  test("q129 equals the two-scan decorrelated formulation") {
+    val li = Tables.lineitem(spark, sf())
+    val q95 = li.filter(year(to_date(col("l_shipdate"))) === 1995)
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q95"))
+    val all = li.groupBy("l_suppkey", "l_partkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qall"))
+    val keys = all.join(q95, Seq("l_suppkey", "l_partkey"), "left")
+      .filter(coalesce(col("q95"), lit(0L)) * 2 > col("qall"))
+      .select("l_suppkey")
+    val want = Tables.supplier(spark, sf())
+      .join(keys, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name").orderBy("s_suppkey")
+      .collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q129NestedDecorrelation(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q131 runs all four filtered metrics in one scan + one aggregate pair") {
+    val plan = finalPlan(AnalyticsQueries.q131FilteredAgg(spark, sf()))
+    assert(lineitemScans(plan) == 1,
+      s"expected exactly one lineitem scan:\n$plan")
+    val aggs = plan.split("\n").count(_.contains("HashAggregate"))
+    assert(aggs == 2,
+      s"expected one partial/final HashAggregate pair, found $aggs:\n$plan")
+  }
+
+  test("q132's recursive spine manufactures the gap months as zero rows") {
+    val rows = AnalyticsQueries.q132RecursiveSpine(spark, sf())
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.length == 90, s"expected 90 spine months, got ${rows.length}")
+    // data spans 1995-01…2001-08; the spine overhangs on both ends, so
+    // those months MUST exist and MUST be zero — rows the orders table
+    // cannot produce, only the recursion can
+    val byMonth = rows.map(r => r._1 -> r._2).toMap
+    Seq("1994-10-01", "1994-12-01", "2001-09-01", "2002-03-01").foreach { m =>
+      assert(byMonth(m) == 0L, s"gap month $m should be zero-filled")
+    }
+    assert(rows.count(_._2 > 0) > 0)
+    // conservation: the gap-fill must not invent or drop orders
+    val totalOrders = rows.map(_._3).sum
+    assert(totalOrders == Tables.orders(spark, sf()).count())
+  }
+
+  test("q128's normalized ranks hit their boundary values per segment") {
+    val rows = AnalyticsQueries.q128RankDistribution(spark, sf()).collect()
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (seg, rs) =>
+      val pr = rs.map(_.getLong(3)); val cd = rs.map(_.getLong(4))
+      assert(pr.min == 0L, s"$seg: percent_rank must start at 0")
+      assert(pr.max == 1000000L, s"$seg: percent_rank must end at 1")
+      assert(cd.max == 1000000L, s"$seg: cume_dist must reach 1")
+      assert(cd.min > 0L, s"$seg: cume_dist is strictly positive")
+    }
+    // every ordering customer appears exactly once
+    assert(rows.length ==
+      Tables.orders(spark, sf()).select("o_custkey").distinct().count())
+  }
+
+  test("q134 broadcasts the vocabulary — the token stream is never exchanged pre-rollup") {
+    val df = PipelineQueries.q134OovRate(spark, sf())
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab side must broadcast:\n$plan")
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (total, oov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(oov <= total && ppm == oov * 1000000L / total)
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf())
+        .select(explode(split(col("text"), " "))).count())
+  }
+
+  test("q135 phrase matches equal the brute-force adjacent-pair scan") {
+    val want = Tables.documents(spark, sf())
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), expr(
+        "size(filter(sequence(0, size(t)-2), i -> t[i] = 'hash' AND t[i+1] = 'join'))")
+        .cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = SearchQueries.q135PhraseSearch(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q133's sketch median honors the ±5% contract") {
+    val rows = AnalyticsQueries.q133ApproxPercentileContract(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getBoolean(2), s"approx median out of contract for ${r.getString(0)}")
+    }
+  }
+
+  test("q136 scans events once — windows merge daily sketches, never re-scan") {
+    val df = AnalyticsQueries.q136RollingDistinct(spark, sf())
+    val plan = finalPlan(df)
+    val eventScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(eventScans == 1, s"expected one events scan:\n$plan")
+    // exactness: the bitmap-OR rollup equals a brute-force windowed
+    // COUNT(DISTINCT) computed by per-window re-scan
+    val ev = Tables.events(spark, sf())
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val days = ev.select(col("d").as("day")).distinct()
+    val want = days.join(ev,
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == want && want.nonEmpty)
+  }
+
+  test("q137's O(k) heap aggregate equals the full-sort window form — without a Window node") {
+    val df = AnalyticsQueries.q137TopkPerGroup(spark, sf())
+    val plan = finalPlan(df)
+    // the whole point: no per-group full sort — the top-k is an
+    // ObjectHashAggregate (TypedImperativeAggregate) with partials
+    assert(!plan.contains("Window"), s"top-k must not plan a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the heap aggregate:\n$plan")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("price_micro").desc, col("o_orderkey").asc)
+    val want = Tables.orders(spark, sf())
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 1e6).cast("long").as("price_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).drop("rn")
+      .orderBy(col("o_orderpriority"), col("price_micro").desc,
+        col("o_orderkey").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == want && want.nonEmpty)
+  }
+
+  test("q130 finds dormant high-balance customers in every reported segment") {
+    val rows = AnalyticsQueries.q130DormantSegments(spark, sf()).collect()
+    assert(rows.nonEmpty, "the dormant band must be inhabited at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L)
+    }
+  }
+}
