@@ -17,7 +17,8 @@ import graft.functions.{BottomK, CountMinAgg, CountMinMergeAgg, FloatVecDot}
   * depth, width)` (mergeable count-min sketches; `_graft` suffix keeps
   * clear of the built-in `count_min_sketch`), `int8_vec_dot(a, b)`
   * (codegen'd quantized dot product), `zorder2(a, b)` (codegen'd
-  * Morton interleave); plus the native as-of
+  * Morton interleave), `pcm_fold(content)` (single-pass PCM WAV
+  * sample stats); plus the native as-of
   * join (graft.plans.AsofJoinNode/Exec + its pruning/pushdown rules).
   * `AsofJoin.backwardNative` also self-registers through
   * `spark.experimental` for sessions built without this class.
@@ -80,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "zorder2(a, b) takes two arguments")
         graft.functions.ZOrder2(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pcm_fold"),
+      new ExpressionInfo(classOf[graft.functions.PcmFold].getName, "pcm_fold"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "pcm_fold(content) takes one argument")
+        graft.functions.PcmFold(children.head)
       }))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofRightColumns)

@@ -773,6 +773,65 @@ object AnalyticsQueries {
         col("o_orderkey").asc)
   }
 
+  /** q139: distributed triangle counting over the co-shipment graph —
+    * the clustering-coefficient / community-density primitive. The
+    * id-oriented edge list (u < v) makes every triangle {a<b<c} appear
+    * exactly once as a wedge a→b→c closed by edge (a,c): one equi-join
+    * builds wedges on the middle vertex, one SEMI join closes them
+    * (the closing edge contributes no payload, so the semi form never
+    * widens rows), one aggregation counts per minimum vertex. All
+    * shuffles are equi-key; the wedge fan-out is Σdeg² — the known
+    * cost of exact triangle counting — and the documented skew upgrade
+    * is degree-ordering the orientation (point hot vertices' edges at
+    * cold ones) which bounds per-vertex fan-out without changing the
+    * count. q115/q116 share this edge derivation; this closes the
+    * graph-analytics family (components, ranking, baskets,
+    * triangles). */
+  def q139TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val wedges = e.join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      .select("u", "v", "w")
+    wedges
+      .join(e.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      .orderBy("u")
+  }
+
+  /** q140: audience overlap — |users(view) ∩ users(purchase)| per day
+    * via bitmap-sketch ALGEBRA: the q72/q136 bitmaps support not just
+    * union but intersection (bitwise AND + popcount), so overlap,
+    * churn, and funnel-membership questions all answer from the same
+    * per-day kilobyte sketches with ZERO additional scans — here both
+    * sketches and the intersection come from ONE pass over events
+    * (conditional sketch per type inside the same aggregate), where
+    * the exact-SQL formulation (the oracle) needs a per-user
+    * membership rollup before it can count. The sketch intersection is
+    * EXACT (bounded id domain), so the oracle is plain COUNT
+    * DISTINCT arithmetic. */
+  def q140AudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BitmapDistinct._
+    val maxId = 1 << 14
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        bitmapSketch(when(col("event_type") === "view", col("user_id")), maxId)
+          .as("bv"),
+        bitmapSketch(when(col("event_type") === "purchase", col("user_id")), maxId)
+          .as("bp"))
+      .select(col("day"),
+        cardinality(col("bv")).as("n_view"),
+        cardinality(col("bp")).as("n_purchase"),
+        cardinality(zip_with(col("bv"), col("bp"),
+          (a, b) => a.bitwiseAND(b))).as("n_both"))
+      .orderBy("day")
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -963,6 +1022,30 @@ object AnalyticsQueries {
         |        ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
         |      GROUP BY d.day)
         |SELECT day, users_7d FROM r ORDER BY day""".stripMargin,
+
+    "q139_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT e1.u, COUNT(*) AS n_tri
+        |FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |GROUP BY e1.u ORDER BY e1.u""".stripMargin,
+
+    // the exact formulation needs a per-(day,user) membership rollup
+    // BEFORE it can count — the sketch algebra answers from the same
+    // one-pass bitmaps; see q140's scaladoc
+    "q140_audience_overlap" ->
+      """WITH u AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(SUM(hv) AS BIGINT) AS n_view,
+        |       CAST(SUM(hp) AS BIGINT) AS n_purchase,
+        |       CAST(SUM(hv * hp) AS BIGINT) AS n_both
+        |FROM u GROUP BY day ORDER BY day""".stripMargin,
 
     // the full-sort window formulation the O(k) heap replaces — see
     // q137's scaladoc

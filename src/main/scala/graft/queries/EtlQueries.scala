@@ -64,7 +64,15 @@ object EtlQueries {
     * At 100 TB this is the minimal-movement plan: no self-join, no
     * second shuffle, state per key is O(1). */
   def scd2(changes: DataFrame, key: String, ts: String, tiebreak: String,
-           attr: String): DataFrame = {
+           attr: String): DataFrame =
+    scd2Keyed(changes, key, ts, tiebreak, attr).drop("_tb")
+
+  /** [[scd2]] retaining the ordering tiebreak as `_tb` on every
+    * interval row — the anchor [[scd2Apply]] needs to replay the open
+    * run against a later batch with the ORIGINAL total order, so an
+    * incremental apply reproduces exactly what a full rebuild would. */
+  def scd2Keyed(changes: DataFrame, key: String, ts: String, tiebreak: String,
+                attr: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts, tiebreak)
     changes
       .withColumn("prev_attr", lag(col(attr), 1).over(w))
@@ -72,7 +80,45 @@ object EtlQueries {
       .withColumn("effective_to", lead(col(ts), 1).over(w))
       .select(col(key), col(attr),
         col(ts).as("effective_from"), col("effective_to"),
-        col("effective_to").isNull.cast("long").as("is_current"))
+        col("effective_to").isNull.cast("long").as("is_current"),
+        col(tiebreak).cast("long").as("_tb"))
+  }
+
+  /** Incremental SCD2 maintenance: fold an arriving change batch into
+    * an existing interval history WITHOUT rebuilding it — the 100 TB
+    * form, where the history is years of stored intervals and the
+    * batch is one day. Only three slices move: rows for untouched keys
+    * pass through by anti-join; affected keys' CLOSED intervals pass
+    * through (a later batch can never alter a closed run); each
+    * affected key's OPEN row is turned back into a change record
+    * (its original (ts, tiebreak) anchor preserved via `_tb`) and
+    * replayed with the batch through the same [[scd2Keyed]] fold — the
+    * lag change-detect sees the open run's attribute first, so an
+    * unchanged attribute EXTENDS the run (no new interval) and a
+    * changed one closes it at the batch row's timestamp, exactly as a
+    * full rebuild would. Requires batch events at/after each key's
+    * open-run anchor (append-only in event time); late data belongs to
+    * the q96 CDC path or a rebuild.
+    *
+    * The recompute's shuffle is sized by |affected keys' open rows| +
+    * |batch|, never by the history — the invariant (incremental ==
+    * full rebuild) is what q138's oracle checks, since the oracle
+    * recomputes from the full log while the engine applies
+    * incrementally. */
+  def scd2Apply(history: DataFrame, batch: DataFrame, key: String, ts: String,
+                tiebreak: String, attr: String): DataFrame = {
+    val keys = batch.select(col(key)).distinct()
+    val untouched = history.join(keys, Seq(key), "left_anti")
+    val affected = history.join(keys, Seq(key), "left_semi")
+    val closed = affected.filter(col("is_current") === 0)
+    val reopened = affected.filter(col("is_current") === 1)
+      .select(col(key), col("effective_from").as(ts),
+        col("_tb").as(tiebreak), col(attr))
+    val miniLog = reopened.unionByName(
+      batch.select(col(key), col(ts), col(tiebreak).cast("long").as(tiebreak),
+        col(attr)))
+    untouched.unionByName(closed)
+      .unionByName(scd2Keyed(miniLog, key, ts, tiebreak, attr))
   }
 
   /** Q77: SCD2 over the events change log — `event_type` is the tracked
@@ -80,6 +126,24 @@ object EtlQueries {
   def q77Scd2History(spark: SparkSession, sfDir: String): DataFrame =
     scd2(Tables.events(spark, sfDir), "user_id", "ts", "event_id", "event_type")
       .orderBy("user_id", "effective_from")
+
+  /** q138: incremental SCD2 apply, proven equal to the full rebuild —
+    * the history is built from the first ~24 days of the change log,
+    * the final days arrive as a batch, [[scd2Apply]] folds them in
+    * touching only affected open rows + the batch, and the ORACLE
+    * recomputes the whole history from the full log: a hash match IS
+    * the incremental-equals-rebuild invariant, checked cross-engine. */
+  def q138Scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val cut = expr("TIMESTAMP '2024-01-25 00:00:00'")
+    val hist = scd2Keyed(ev.filter(col("ts") < cut),
+      "user_id", "ts", "event_id", "event_type")
+    val batch = ev.filter(col("ts") >= cut)
+    scd2Apply(hist, batch, "user_id", "ts", "event_id", "event_type")
+      .drop("_tb")
+      .orderBy("user_id", "effective_from")
+  }
 
   /** Snapshot reconciliation: classify every key across two versions of
     * a table as added / removed / changed / unchanged. Each side is
@@ -362,6 +426,21 @@ object EtlQueries {
         |SELECT diff_class, COUNT(*) AS n,
         |       MIN(k) AS min_key, MAX(k) AS max_key
         |FROM d GROUP BY diff_class ORDER BY diff_class""".stripMargin,
+
+    // the FULL-log rebuild — the engine applies the last days
+    // incrementally; hash equality is the maintenance invariant
+    "q138_scd2_apply" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |ch AS (
+        |  SELECT * FROM c WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id, event_type, ts AS effective_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+        |       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+        |FROM ch
+        |ORDER BY user_id, effective_from""".stripMargin,
 
     "q77_scd2_history" ->
       """WITH c AS (

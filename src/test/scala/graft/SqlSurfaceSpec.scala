@@ -171,6 +171,74 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq == want && want.nonEmpty)
   }
 
+  test("q138 incremental SCD2 apply equals the full rebuild, and both merge cases occur") {
+    import graft.queries.EtlQueries
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val full = EtlQueries.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "effective_from")
+      .collect().map(_.toSeq).toSeq
+    val got = EtlQueries.q138Scd2Apply(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == full && got.nonEmpty)
+    // the cut must exercise BOTH replay outcomes: a key whose first
+    // batch attribute equals its open run (extend — no new interval)
+    // and one that differs (close + open)
+    val cut = expr("TIMESTAMP '2024-01-25 00:00:00'")
+    val hist = EtlQueries.scd2Keyed(ev.filter(col("ts") < cut),
+        "user_id", "ts", "event_id", "event_type")
+      .filter(col("is_current") === 1)
+      .select(col("user_id"), col("event_type").as("cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val firstBatch = ev.filter(col("ts") >= cut)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("nxt"))
+    val joined = hist.join(firstBatch, "user_id")
+    assert(joined.filter(col("cur") === col("nxt")).count() > 0, "no extend case")
+    assert(joined.filter(col("cur") =!= col("nxt")).count() > 0, "no close case")
+  }
+
+  test("q139 triangle counts match an independent wedge orientation") {
+    val li = Tables.lineitem(spark, sf())
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    // wedges built from the SHARED LOWEST vertex (u,v),(u,w) with
+    // v < w, closed by (v,w) — a different join order than the
+    // query's middle-vertex wedges, same triangles
+    val want = e.join(e.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") < col("w"))
+      .join(e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      .orderBy("u").collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q139TriangleCount(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q140 bitmap intersection is exact and bounded by its sides") {
+    val rows = AnalyticsQueries.q140AudienceOverlap(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, p, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(b <= math.min(v, p), s"overlap exceeds a side on ${r.get(0)}")
+    }
+    // exact-count twin
+    val want = Tables.events(spark, sf())
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("hv"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hp"))
+      .groupBy("day")
+      .agg(sum("hv").as("n_view"), sum("hp").as("n_purchase"),
+        sum(col("hv") * col("hp")).as("n_both"))
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == want)
+  }
+
   test("q130 finds dormant high-balance customers in every reported segment") {
     val rows = AnalyticsQueries.q130DormantSegments(spark, sf()).collect()
     assert(rows.nonEmpty, "the dormant band must be inhabited at sf0.001")

@@ -100,4 +100,28 @@ class ValidationExtensionsSpec extends SparkSpec {
     val z = spark.sql("SELECT zorder2(0L, 3L) AS z").collect().head.getLong(0)
     assert(z == 10L) // bits of 3 land in the odd interleave positions
   }
+
+  test("pcm_fold is callable from SQL once registered") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pcm_fold",
+      exprs => graft.functions.PcmFold(exprs.head),
+      "scala_udf")
+    // canonical 44-byte-header WAV, fmt=1 (PCM), 16-bit, two samples:
+    // +1 and -2 → n=2, sum=-1, peak=2
+    val hdr = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0,
+      'W', 'A', 'V', 'E', 'f', 'm', 't', ' ',
+      16, 0, 0, 0, 1, 0, 1, 0, 0x44, 0xac.toByte, 0, 0,
+      0x88.toByte, 0x58, 0x01, 0, 2, 0, 16, 0,
+      'd', 'a', 't', 'a', 4, 0, 0, 0,
+      1, 0, 0xfe.toByte, 0xff.toByte)
+    spark.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(hdr)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .createOrReplaceTempView("gx_wav")
+    val r = spark.sql(
+      "SELECT pcm_fold(content).n_samples AS n, pcm_fold(content).sample_sum AS s, " +
+        "pcm_fold(content).sample_peak AS p FROM gx_wav").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == -1L && r.getLong(2) == 2L)
+  }
 }
