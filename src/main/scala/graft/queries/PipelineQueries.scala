@@ -282,6 +282,27 @@ object PipelineQueries {
       .orderBy(col("tf").desc, col("tok").asc)
       .limit(100)
 
+  /** q142: deterministic train/eval split, oracle-checked — membership
+    * is a pure function of the KEY (the md5 coin of
+    * [[graft.operators.Sampling.hashUniform]]), so the split survives
+    * reprocessing, repartitioning, and dataset unions: the property
+    * that makes a 100 TB eval set stay an eval set across pipeline
+    * runs (leakage via re-rolled randomness is how eval contamination
+    * actually happens). Both halves are pure pushed-down FILTERS of
+    * the same scan — no shuffle decides membership — and the DuckDB
+    * oracle recomputes the identical coin from md5, so the hash match
+    * pins the exact per-row assignment, not just the split sizes. */
+  def q142TrainEvalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (train, eval) = Sampling.trainEvalSplit(docs, col("doc_id"), 0.2)
+    train.withColumn("split", lit("train"))
+      .unionByName(eval.withColumn("split", lit("eval")))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("split", "source")
+  }
+
   /** q134: out-of-vocabulary rate per corpus source — the
     * tokenizer-coverage curation signal: score each slice of the
     * corpus by the share of its tokens a top-K vocabulary does not
@@ -638,6 +659,19 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the identical md5 coin, recomputed — the match pins per-row
+    // assignment, not just split sizes (q62's hash precedent)
+    "q142_train_eval_split" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.2 THEN 'eval' ELSE 'train' END AS split,
+        |       source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM h GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
     "q134_oov_rate" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

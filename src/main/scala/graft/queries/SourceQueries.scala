@@ -186,6 +186,39 @@ object SourceQueries {
     * aggregated per type and day. Timestamps and scaled-long sums
     * round-trip exactly, which the oracle (aggregating the original
     * parquet) proves. */
+  /** q141: dead-letter routing at the parse boundary — every 100 TB
+    * ingest meets records that do not parse, and the two failure modes
+    * are silently dropping them (losing data) or failing the job
+    * (losing the day). The pattern: parse PERMISSIVEly, classify rows
+    * by parse outcome IN THE PLAN, aggregate both populations in the
+    * same pass — good rows roll up their payload, bad rows are counted
+    * per slice for the dead-letter queue. The corpus is turned into
+    * JSON lines with a deterministic corruption (doc_id % 7 == 0 rows
+    * lose their closing quote+brace mid-string); the ENGINE must
+    * discover corruption by parsing — the oracle knows it by
+    * construction, so a parser that mis-classifies any row
+    * hash-fails. One scan, one aggregate; `from_json` is codegen'd. */
+  def q141DeadLetter(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(spark, sfDir)
+    val line = when(col("doc_id") % 7 === 0,
+      concat(lit("{\"id\": "), col("doc_id"), lit(", \"src\": \""), col("source")))
+      .otherwise(concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"src\": \""), col("source"),
+        lit("\", \"n\": "), col("n_chars"), lit("}")))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("n", LongType)))
+    docs.select(col("source"), from_json(line, schema).as("p"))
+      .groupBy("source")
+      .agg(
+        count(when(col("p.id").isNotNull, lit(1))).as("n_good"),
+        count(when(col("p.id").isNull, lit(1))).as("n_bad"),
+        sum(when(col("p.id").isNotNull, col("p.n")).otherwise(0L))
+          .as("good_chars"))
+      .orderBy("source")
+  }
+
   def q54JsonSource(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val tmp = Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
@@ -541,6 +574,16 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle knows corruption BY CONSTRUCTION (doc_id % 7); the
+    // engine must discover it by parsing — see q141's scaladoc
+    "q141_dead_letter" ->
+      """SELECT source,
+        |       COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_good,
+        |       COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_bad,
+        |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id % 7 <> 0), 0)
+        |            AS BIGINT) AS good_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q110_ttl_cache" ->
       """WITH p AS (
         |  SELECT event_type AS ticker, ts,
