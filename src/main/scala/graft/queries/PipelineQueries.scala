@@ -288,8 +288,10 @@ object PipelineQueries {
     * reprocessing, repartitioning, and dataset unions: the property
     * that makes a 100 TB eval set stay an eval set across pipeline
     * runs (leakage via re-rolled randomness is how eval contamination
-    * actually happens). Both halves are pure pushed-down FILTERS of
-    * the same scan — no shuffle decides membership — and the DuckDB
+    * actually happens). Both halves are pure codegen'd FILTERS sitting
+    * directly on the scan (the md5 coin is computed, so it cannot
+    * reach PushedFilters — but no shuffle decides membership, and no
+    * state travels between rows) — and the DuckDB
     * oracle recomputes the identical coin from md5, so the hash match
     * pins the exact per-row assignment, not just the split sizes. */
   def q142TrainEvalSplit(spark: SparkSession, sfDir: String): DataFrame = {
