@@ -547,6 +547,104 @@ object SourceQueries {
     (picked, total)
   }
 
+  // ---- q143: bloom-filter file skipping -----------------------------
+
+  /** Per-file bloom index over `l_orderkey`, built once per (JVM,
+    * sfDir) off the q98 fact layout. One aggregation pass produces, per
+    * file: the bloom words, and the min/max key the spec uses to prove
+    * that range stats CANNOT prune these lookups. This is the
+    * Iceberg/Delta secondary bloom index shape: maintained at commit
+    * time in a real store, kilobytes per file, read only by the
+    * planner. */
+  private val q143IndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** ~14 bits/key at sf0.1 (~38k distinct keys/file) → fp ≈ 2e-3;
+    * 64 KiB per file. Real stores size per row group from ndv the same
+    * way (parquet bloom filters, Delta `numDistinctValues`). */
+  private val Q143Bits = 1 << 19
+  private val Q143K = 5
+
+  private def q143Index(spark: SparkSession, sfDir: String): String =
+    q143IndexCache.getOrElseUpdate(sfDir, {
+      val tmp = q98Layout(spark, sfDir)
+      spark.read.parquet(s"$tmp/fact")
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(
+          graft.functions.Bloom.sketch(col("l_orderkey"), Q143Bits, Q143K)
+            .as("bloom"),
+          min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+        .write.mode("overwrite").parquet(s"$tmp/bloom_index")
+      tmp
+    })
+
+  /** The lookup keys: the 3 smallest distinct orderkeys in a fixed
+    * residue class — a deterministic, oracle-reproducible stand-in for
+    * "the ids the user is asking about". Bounded driver metadata
+    * (3 longs). */
+  private def q143Keys(spark: SparkSession, sfDir: String): Array[Long] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(97L)) === lit(11L))
+      .distinct().orderBy("k").limit(3)
+      .collect().map(_.getLong(0))
+
+  /** Files whose bloom says any lookup key might be present (plus the
+    * stats-only count for the spec). Probing is a scan of the 1-row-
+    * per-file index with codegen'd bit tests — O(files) metadata, never
+    * the data. */
+  private def q143PlanFiles(spark: SparkSession, tmp: String,
+                            keys: Array[Long]): Array[String] = {
+    val hit = keys.map(k =>
+        graft.functions.Bloom.mightContain(col("bloom"), lit(k), Q143Bits, Q143K))
+      .reduce(_ || _)
+    spark.read.parquet(s"$tmp/bloom_index")
+      .filter(hit).select("path").collect().map(_.getString(0))
+  }
+
+  /** q143: bloom-filter file skipping — the prune that works when
+    * min/max stats can't. The q98 layout is range-sorted on
+    * `ship_date`, and `l_orderkey` is uncorrelated with ship date, so
+    * every file's [key_lo, key_hi] spans essentially the whole key
+    * space: a point lookup by orderkey gets ZERO files pruned by range
+    * stats (BloomSkipSpec proves this). A per-file bloom over the key
+    * column prunes by membership instead: plan-time probes the
+    * kilobyte-scale index, reads only files that might contain a lookup
+    * key, then re-applies the exact IN-filter — no false negatives, so
+    * the result is layout-independent and the oracle just filters the
+    * raw table. At 100 TB this is the difference between a needle
+    * lookup opening ~4 files and opening every file in the table — the
+    * exact gap Delta/Iceberg bloom indexes and parquet column blooms
+    * exist to close, and it composes with q98's range manifest (each
+    * prunes what the other can't: ranges for the sort column, blooms
+    * for everything else). */
+  def q143BloomSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = q143Index(spark, sfDir)
+    val keys = q143Keys(spark, sfDir)
+    val picked = q143PlanFiles(spark, tmp, keys)
+    val rows =
+      if (picked.isEmpty) spark.read.parquet(s"$tmp/fact").filter(lit(false))
+      else spark.read.parquet(picked.toIndexedSeq: _*)
+    rows.filter(col("l_orderkey").isin(keys.map(Long.box): _*))
+      .groupBy(col("l_orderkey").cast("long").as("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum("rev_micro").as("rev_micro"))
+      .orderBy("l_orderkey")
+  }
+
+  /** (bloom-picked, stats-picked, total) file counts for the spec:
+    * stats-picked uses the same index's min/max ranges, i.e. the best a
+    * range-stats-only planner could do on these keys. */
+  def q143FileCounts(spark: SparkSession, sfDir: String): (Int, Int, Int) = {
+    val tmp = q143Index(spark, sfDir)
+    val keys = q143Keys(spark, sfDir)
+    val idx = spark.read.parquet(s"$tmp/bloom_index")
+    val statsHit = keys.map(k => lit(k).between(col("key_lo"), col("key_hi")))
+      .reduce(_ || _)
+    (q143PlanFiles(spark, tmp, keys).length,
+      idx.filter(statsHit).count().toInt,
+      idx.count().toInt)
+  }
+
   /** q110: the TTL read-through snapshot cache (S10) end-to-end — the
     * latest-price-per-ticker build goes through
     * [[graft.sources.SnapshotCache.readThrough]] twice: the first call
@@ -602,6 +700,17 @@ object SourceQueries {
         |       CAST(CEIL(COUNT(*) / 600.0) AS BIGINT) AS n_files,
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q143_bloom_skipping" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey
+        |  FROM lineitem WHERE l_orderkey % 97 = 11
+        |  ORDER BY l_orderkey LIMIT 3)
+        |SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem l JOIN keys k ON CAST(l.l_orderkey AS BIGINT) = k.l_orderkey
+        |GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
 
     "q98_manifest_skipping" ->
       """SELECT l_returnflag, COUNT(*) AS n,

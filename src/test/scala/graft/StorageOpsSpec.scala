@@ -71,6 +71,39 @@ class StorageOpsSpec extends SparkSpec {
       s"driver-side file list should be the month's overlap, got $picked of $total")
   }
 
+  test("q143 bloom skipping prunes files range stats cannot touch") {
+    val (bloomPicked, statsPicked, total) =
+      SourceQueries.q143FileCounts(spark, sf("sf0.01"))
+    // the layout is sorted by ship_date, so every file's orderkey range
+    // spans ~the whole key space: range stats prune NOTHING for a
+    // point lookup — the scenario bloom indexes exist for
+    assert(statsPicked == total,
+      s"expected min/max stats to be useless here ($statsPicked of $total)")
+    assert(bloomPicked >= 1, "the lookup keys exist in the table")
+    assert(bloomPicked < total,
+      s"bloom index pruned nothing: $bloomPicked of $total files")
+    // 3 orders × a handful of lines each, spread by ship date: the
+    // true hit set is a small fraction of the 16 files, and at fp
+    // ~2e-3 false positives should add ~zero extra files
+    assert(bloomPicked <= 12,
+      s"bloom prune too weak: $bloomPicked of $total files picked")
+  }
+
+  test("q143 pruned result equals the unpruned direct computation") {
+    val got = SourceQueries.q143BloomSkipping(spark, sf("sf0.01")).collect()
+    Tables.lineitem(spark, sf("sf0.01")).createOrReplaceTempView("lineitem")
+    val want = spark.sql(
+      """WITH keys AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+        |  WHERE l_orderkey % 97 = 11 ORDER BY k LIMIT 3)
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |       COUNT(*) AS n_lines,
+        |       SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS rev_micro
+        |FROM lineitem JOIN keys ON CAST(l_orderkey AS BIGINT) = k
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q98 fully-pruned window returns an empty frame, not an error") {
     // a predicate window before any data exists: the manifest prunes
     // every file — the best case for the optimization, which must yield
