@@ -851,6 +851,133 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** q144: growth accounting — every month's active customers
+    * decomposed into new / retained / resurrected, plus churned out of
+    * the prior month (the MAU ledger: active(m) = retained(m) + new(m)
+    * + resurrected(m), churned(m) = active(m−1) − retained(m)). The
+    * whole decomposition rides ONE fact-scale exchange: the explicit
+    * `repartition(cust)` satisfies the (cust, month) distinct, the
+    * per-customer lag window, AND nothing downstream touches per-row
+    * data again — Catalyst inserts no further customer-keyed shuffle
+    * (plan-asserted in GrowthSpec). The naive formulation — month
+    * self-joined to month−1 — shuffles the activity table twice per
+    * month pair; this shuffles it once, total, because classification
+    * is a per-customer sequential property (lag of the active-month
+    * sequence), not a set intersection. The monthly rollup and the
+    * final calendar-lag pass move one row per month (~80 rows), so the
+    * single-partition window there is bounded metadata, not data.
+    * Months absent from the data contribute zero actives; churn out of
+    * an absent month is therefore 0 by the calendar-month guard (lag
+    * must be exactly month−1 to carry actives forward). */
+  def q144GrowthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("cust"),
+        date_trunc("month", to_date(col("o_orderdate"))).cast("date").as("m"))
+      .repartition(col("cust"))
+      .distinct()
+    val perCust = Window.partitionBy("cust").orderBy("m")
+    val cls = cm.withColumn("pm", lag("m", 1).over(perCust))
+      .select(col("m"),
+        when(col("pm").isNull, "new")
+          .when(col("pm") === add_months(col("m"), -1), "retained")
+          .otherwise("resurrected").as("cls"))
+    val monthly = cls.groupBy("m").agg(
+      count(lit(1)).as("n_active"),
+      count(when(col("cls") === "new", 1)).as("n_new"),
+      count(when(col("cls") === "retained", 1)).as("n_retained"),
+      count(when(col("cls") === "resurrected", 1)).as("n_resurrected"))
+    val byMonth = Window.orderBy("m") // one row per month: bounded
+    monthly
+      .withColumn("prev_m", lag("m", 1).over(byMonth))
+      .withColumn("prev_active", lag("n_active", 1).over(byMonth))
+      .withColumn("n_churned",
+        when(col("prev_m") === add_months(col("m"), -1),
+          col("prev_active")).otherwise(lit(0L)) - col("n_retained"))
+      .select("m", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+      .orderBy("m")
+  }
+
+  /** q145: islands & gaps — each user's activity compressed into
+    * maximal runs of consecutive active days via the row_number
+    * difference trick: within a user's sorted distinct days,
+    * `day − row_number()` is constant exactly along a gap-free run, so
+    * run membership is a pure per-row expression over one window — no
+    * self-join, no inequality join, no per-row gap probing. The entire
+    * query runs on ONE exchange (plan-asserted): `repartition(user)`
+    * satisfies the distinct on (user, day), the per-user window, the
+    * per-run rollup on (user, run), and the per-user summary on (user)
+    * — four logical regroupings, one physical shuffle, because every
+    * key is a superset-or-equal of the user partitioning. At 100 TB
+    * this is the difference between a streak computation that moves
+    * the event log once and one that moves it four times. */
+  def q145IslandsGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .repartition(col("user_id"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val runs = ud
+      .withColumn("grp", datediff(col("d"), lit("2024-01-01").cast("date"))
+        - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("d").as("run_start"))
+    runs.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max("len").as("longest_streak"),
+        min("run_start").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  /** q146: distributed skyline (pareto frontier) — the parts no other
+    * part beats on BOTH axes (higher retail price AND smaller-or-equal
+    * size, or equal price and strictly smaller size). The classic
+    * single-machine answer is a global sort + running max — a
+    * one-partition bottleneck at scale. This is the bucketed sweep
+    * instead: coarse size buckets partition the sweep axis, an
+    * in-bucket range-frame window computes max price over strictly
+    * smaller sizes (range -1 excludes ties, range [0,0] spans them, so
+    * strict-vs-equal domination is frame arithmetic, not a self-join),
+    * and cross-bucket domination collapses to a prefix max over ~5
+    * per-bucket maxima (bounded metadata joined back by bucket id).
+    * One fact exchange on the bucket key, everything else kilobytes:
+    * the same plan at 50 size values or 50 million, because the only
+    * global structure is the per-bucket summary. Domination is decided
+    * in exact cents (micro-long price); the DuckDB oracle answers from
+    * the definition — NOT EXISTS a strictly dominating part — so the
+    * sweep's frame logic is checked against an independent
+    * formulation, not itself. */
+  def q146Skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_size").cast("int").as("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"))
+      .withColumn("bkt", expr("(p_size - 1) div 10"))
+    val inBkt = Window.partitionBy("bkt").orderBy("p_size")
+    val smaller = inBkt.rangeBetween(Window.unboundedPreceding, -1)
+    val ties = inBkt.rangeBetween(Window.currentRow, Window.currentRow)
+    val swept = parts
+      .withColumn("max_smaller_in_bkt", max("price_c").over(smaller))
+      .withColumn("max_same_size", max("price_c").over(ties))
+    // per-bucket maxima → prefix max of all EARLIER buckets: every size
+    // in an earlier bucket is strictly smaller, so its max price
+    // dominates at >= (strict on size). ~5 rows; broadcast back.
+    val bktMax = parts.groupBy("bkt").agg(max("price_c").as("bkt_max"))
+    val byBkt = Window.orderBy("bkt") // one row per bucket: bounded
+    val prefix = bktMax
+      .withColumn("earlier_max",
+        max("bkt_max").over(byBkt.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bkt", "earlier_max")
+    swept.join(broadcast(prefix), "bkt")
+      .filter(col("price_c") === col("max_same_size") &&
+        (col("max_smaller_in_bkt").isNull ||
+          col("price_c") > col("max_smaller_in_bkt")) &&
+        (col("earlier_max").isNull || col("price_c") > col("earlier_max")))
+      .groupBy("p_size", "price_c")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_size", "price_c")
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -1065,6 +1192,54 @@ object AnalyticsQueries {
         |       CAST(SUM(hp) AS BIGINT) AS n_purchase,
         |       CAST(SUM(hv * hp) AS BIGINT) AS n_both
         |FROM u GROUP BY day ORDER BY day""".stripMargin,
+
+    "q144_growth_accounting" ->
+      """WITH cm AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |         date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+        |  FROM orders),
+        |x AS (
+        |  SELECT m, lag(m) OVER (PARTITION BY cust ORDER BY m) AS pm FROM cm),
+        |mo AS (
+        |  SELECT m,
+        |    COUNT(*) AS n_active,
+        |    COUNT(CASE WHEN pm IS NULL THEN 1 END) AS n_new,
+        |    COUNT(CASE WHEN pm = m - INTERVAL 1 MONTH THEN 1 END) AS n_retained,
+        |    COUNT(CASE WHEN pm IS NOT NULL AND pm < m - INTERVAL 1 MONTH THEN 1 END) AS n_resurrected
+        |  FROM x GROUP BY m)
+        |SELECT CAST(m AS DATE) AS m, n_active, n_new, n_retained, n_resurrected,
+        |  CAST(COALESCE(CASE WHEN lag(m) OVER (ORDER BY m) = m - INTERVAL 1 MONTH
+        |       THEN lag(n_active) OVER (ORDER BY m) ELSE 0 END, 0) - n_retained AS BIGINT) AS n_churned
+        |FROM mo ORDER BY m""".stripMargin,
+
+    "q145_islands_gaps" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (
+        |  SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |  FROM ud),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS run_start
+        |  FROM r GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_islands, CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  MIN(run_start) AS first_day
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the oracle answers the skyline from the DEFINITION (no strictly
+    // dominating part exists), independent of the bucketed sweep
+    "q146_skyline" ->
+      """WITH p AS (
+        |  SELECT p_size, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT p_size, price_c, COUNT(*) AS n_parts
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_size <= a.p_size AND b.price_c >= a.price_c
+        |    AND (b.p_size < a.p_size OR b.price_c > a.price_c))
+        |GROUP BY p_size, price_c ORDER BY p_size, price_c""".stripMargin,
 
     // the full-sort window formulation the O(k) heap replaces — see
     // q137's scaladoc
