@@ -978,6 +978,146 @@ object AnalyticsQueries {
       .orderBy("p_size", "price_c")
   }
 
+  /** q147: the persisted sketch mart — "sketch once, roll up forever".
+    * q136/q140 build bitmap sketches in-plan; this is the operational
+    * form a 100 TB telemetry stack actually runs: ONE pass over the raw
+    * events writes a daily mart of kilobyte bitmap sketches, and every
+    * later rollup (here weekly exact distinct users) reads ONLY the
+    * mart — ~one row per day — never the raw log again. Because bitmap
+    * union is exact and associative, the weekly number from merged
+    * daily sketches is bit-identical to recounting raw data, which is
+    * precisely what the oracle checks (it recounts from raw events).
+    * `sum_daily_distinct` rides along to make the dedup effect
+    * oracle-visible: Σ daily distincts ≥ weekly distinct, with
+    * equality only if no user is active on two days. The mart is
+    * kilobytes per day regardless of event volume — the rollup's input
+    * scales with TIME, not data. */
+  def q147SketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BitmapDistinct._
+    val maxId = 1 << 14
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q147")
+      .toFile.getAbsolutePath
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(bitmapSketch(col("user_id"), maxId).as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(s"$tmp/daily")
+    spark.read.parquet(s"$tmp/daily")
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .withColumn("du", cardinality(col("sk")))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n_events").as("n_events"),
+        sum("du").as("sum_daily_distinct"),
+        cardinality(bitmapMerge(col("sk"), maxId)).as("distinct_users"))
+      .orderBy("week")
+  }
+
+  /** q148: multiset set operations — INTERSECT ALL / EXCEPT ALL with
+    * bag semantics (per-key multiplicities min(m₁,m₂) and
+    * max(0, m₁−m₂)), the §2.8 close-out beyond q14/q85's set-semantics
+    * dedup and diff. One SQL text runs verbatim in BOTH engines (the
+    * q109/q132 bridge guarantee), so what's being pinned is semantic
+    * agreement on bag arithmetic, not a hand-translated reimplementation.
+    * Catalyst rewrites both operators into a single shuffle on the key
+    * with per-side counts and a replicate — never a sort of the union
+    * or an all-pairs probe — so the plan scales like any groupBy. */
+  private val Q148Sql =
+    """WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |     a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+      |     i AS (SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a),
+      |     e AS (SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a)
+      |SELECT 'intersect_all' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_keys FROM i
+      |UNION ALL
+      |SELECT 'except_all' AS op, COUNT(*) AS n_rows, COUNT(DISTINCT l_partkey) AS n_keys FROM e
+      |ORDER BY op""".stripMargin
+
+  def q148SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(Q148Sql)
+  }
+
+  /** q149: exact equi-depth histogram without a global row sort. The
+    * naive form — NTILE over a full orderBy — collapses 100 TB into one
+    * task; the distributed form rolls rows up to (value, count) and
+    * runs [[graft.operators.Packing.withRunningTotal]]'s two-phase
+    * prefix sum over the DISTINCT VALUES (bin-local window cumsums plus
+    * a per-bin offset table — every phase parallel, the only global
+    * window over one row per bin). Each value's bucket is then pure
+    * arithmetic, `⌊cum_before · B / N⌋`, with N read off the prefix sum
+    * itself (max cum) as a one-row broadcast — no second scan. Bucket
+    * assignment is value-granular (all rows of a tied value land
+    * where the value's run starts), which is the deterministic contract
+    * the DuckDB twin reproduces exactly. Output: B buckets with row
+    * counts and exact [lo, hi] value bounds — the scan-pruning /
+    * join-sizing statistic at 100 TB, computed with shuffles bounded by
+    * DISTINCT values, not rows. */
+  def q149EquiDepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = 10
+    val vals = Tables.lineitem(spark, sfDir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy("price_c").agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.Packing
+      .withRunningTotal(vals, "price_c", "cnt", "cum")
+    val total = cum.agg(max("cum").as("n_total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("bkt",
+        least(lit(buckets - 1),
+          expr(s"((cum - cnt) * $buckets) div n_total")).cast("int"))
+      .groupBy("bkt")
+      .agg(sum("cnt").as("n_rows"),
+        min("price_c").as("lo"), max("price_c").as("hi"))
+      .orderBy("bkt")
+  }
+
+  /** q150: interval-overlap join without an inequality join. Which
+    * user activity streaks (q145's islands) overlapped a site incident
+    * window (runs of the top-3 busiest days)? The naive plan is an
+    * interval × interval inequality join — BroadcastNestedLoopJoin, an
+    * all-pairs probe at 100 TB. The scale shape used here: intervals
+    * decompose to their atomic grain (days), overlap becomes an
+    * EQUI-join on the grain, and the fact side never re-explodes
+    * because the user-day table IS the exploded form of the streaks —
+    * each day carries its streak id from the same one-exchange window
+    * pass q145 uses. The incident side (a handful of day rows) is
+    * broadcast. Per-pair overlap length falls out as the matched-day
+    * COUNT, which must equal the interval arithmetic
+    * `least(ends) − greatest(starts) + 1` the DuckDB oracle computes —
+    * two genuinely different formulations of overlap, agreeing only if
+    * both the streak construction and the join are right.
+    * GrowthSkylineSpec asserts the plan has no nested-loop join. */
+  def q150IntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val ud = ev.repartition(col("user_id")).distinct()
+    val perUser = Window.partitionBy("user_id").orderBy("d")
+    val streakDays = ud.withColumn("grp",
+      datediff(col("d"), lit("2024-01-01").cast("date"))
+        - row_number().over(perUser))
+    // incidents: top-3 busiest days (ties by date), merged into runs —
+    // ~30 daily rows, so the unpartitioned windows are bounded metadata
+    val daily = ev.groupBy("d").agg(count(lit(1)).as("n"))
+    val byLoad = Window.orderBy(col("n").desc, col("d"))
+    val hot = daily.withColumn("r", row_number().over(byLoad))
+      .filter(col("r") <= 3).select("d")
+    val byDay = Window.orderBy("d")
+    val incDays = hot.withColumn("ig",
+        datediff(col("d"), lit("2024-01-01").cast("date"))
+          - row_number().over(byDay))
+      .withColumn("i_start", min("d").over(Window.partitionBy("ig")))
+      .withColumn("i_end", max("d").over(Window.partitionBy("ig")))
+      .select(col("d"), col("i_start"), col("i_end"))
+    val pairs = streakDays.join(broadcast(incDays), "d")
+      .groupBy("user_id", "grp", "i_start", "i_end")
+      .agg(count(lit(1)).as("overlap_days"))
+    pairs.groupBy("i_start", "i_end")
+      .agg(countDistinct(col("user_id"), col("grp")).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"),
+        max("overlap_days").as("max_overlap_days"),
+        sum("overlap_days").as("sum_overlap_days"))
+      .orderBy("i_start")
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -1240,6 +1380,55 @@ object AnalyticsQueries {
         |  WHERE b.p_size <= a.p_size AND b.price_c >= a.price_c
         |    AND (b.p_size < a.p_size OR b.price_c > a.price_c))
         |GROUP BY p_size, price_c ORDER BY p_size, price_c""".stripMargin,
+
+    // the oracle recounts weekly distincts from the RAW events — a
+    // hash match proves merged daily sketches lose nothing
+    "q147_sketch_rollup" ->
+      """WITH base AS (SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+        |                     CAST(ts AS DATE) AS day, user_id FROM events),
+        |wk AS (SELECT week, COUNT(DISTINCT user_id) AS distinct_users,
+        |              COUNT(*) AS n_events, COUNT(DISTINCT day) AS n_days
+        |       FROM base GROUP BY week),
+        |dy AS (SELECT week, day, COUNT(DISTINCT user_id) AS du FROM base GROUP BY week, day),
+        |ds AS (SELECT week, CAST(SUM(du) AS BIGINT) AS sum_daily_distinct FROM dy GROUP BY week)
+        |SELECT CAST(wk.week AS DATE) AS week, n_days, n_events, sum_daily_distinct, distinct_users
+        |FROM wk JOIN ds USING (week) ORDER BY week""".stripMargin,
+
+    // one text, both engines — the q109 verbatim-bridge guarantee
+    "q148_set_ops" -> Q148Sql,
+
+    "q149_equi_depth" ->
+      """WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c, COUNT(*) AS cnt
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT price_c, cnt, SUM(cnt) OVER (ORDER BY price_c) AS cum FROM v),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM v)
+        |SELECT CAST(LEAST(9, ((cum - cnt) * 10) // n_total) AS INT) AS bkt,
+        |       CAST(SUM(cnt) AS BIGINT) AS n_rows, MIN(price_c) AS lo, MAX(price_c) AS hi
+        |FROM c, t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle joins INTERVALS with an inequality predicate and
+    // interval arithmetic; the engine counts matched days — agreement
+    // checks both the streak construction and the overlap join
+    "q150_interval_overlap" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |s AS (SELECT user_id, d,
+        |        d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |      FROM ud),
+        |streaks AS (SELECT user_id, grp, MIN(d) AS s_start, MAX(d) AS s_end
+        |            FROM s GROUP BY user_id, grp),
+        |daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1),
+        |hot AS (SELECT d FROM (SELECT d, row_number() OVER (ORDER BY n DESC, d) AS r FROM daily) WHERE r <= 3),
+        |ih AS (SELECT d, d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS ig FROM hot),
+        |inc AS (SELECT MIN(d) AS i_start, MAX(d) AS i_end FROM ih GROUP BY ig),
+        |p AS (SELECT st.user_id, st.grp, i.i_start, i.i_end,
+        |        (LEAST(st.s_end, i.i_end) - GREATEST(st.s_start, i.i_start) + 1) AS overlap_days
+        |      FROM streaks st JOIN inc i
+        |        ON st.s_start <= i.i_end AND i.i_start <= st.s_end)
+        |SELECT i_start, i_end, COUNT(*) AS n_streaks,
+        |       COUNT(DISTINCT user_id) AS n_users,
+        |       CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days,
+        |       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
+        |FROM p GROUP BY i_start, i_end ORDER BY i_start""".stripMargin,
 
     // the full-sort window formulation the O(k) heap replaces — see
     // q137's scaladoc

@@ -645,6 +645,69 @@ object SourceQueries {
       idx.count().toInt)
   }
 
+  /** The q151 delete keys: a different residue class than q143's
+    * lookups so the two queries exercise the index independently. */
+  private def q151Keys(spark: SparkSession, sfDir: String): Array[Long] =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(101L)) === lit(7L))
+      .distinct().orderBy("k").limit(3)
+      .collect().map(_.getLong(0))
+
+  /** q151: targeted delete (the right-to-be-forgotten shape) — remove
+    * three orderkeys from the immutable-file store by rewriting ONLY
+    * the files that might contain them. Delete-by-key at 100 TB is a
+    * planning problem before it is a write problem: without an index
+    * the store is rewritten end to end for three keys; with q143's
+    * per-file bloom index the rewrite set is the might-contain files
+    * (no false negatives, so skipped files provably hold none of the
+    * keys — the guarantee that makes skipping LEGAL for a compliance
+    * delete). The post-delete store is the untouched files plus the
+    * rewritten output, and the oracle recomputes the expected survivors
+    * from the raw table (`l_orderkey NOT IN keys`), so the hash match
+    * proves the surgical rewrite deleted exactly the right rows and
+    * kept everything else. StorageOpsSpec asserts the operational
+    * contract: a strict subset of files rewritten, untouched files
+    * never re-written, deleted keys gone from the served store. */
+  def q151TargetedDelete(spark: SparkSession, sfDir: String): DataFrame =
+    q151Served(spark, sfDir)._1
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("rev_micro").as("rev_micro"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  /** The post-delete store and its planning facts, for both the query
+    * and the spec: (served frame = untouched ∪ rewritten, rewritten
+    * file count, total file count, deleted keys). */
+  def q151Served(spark: SparkSession, sfDir: String)
+      : (DataFrame, Int, Int, Array[Long]) = {
+    val tmp = q143Index(spark, sfDir)
+    val keys = q151Keys(spark, sfDir)
+    val picked = q143PlanFiles(spark, tmp, keys)
+    val out = Files.createTempDirectory("graft_q151").toFile.getAbsolutePath
+    val keep = !col("l_orderkey").isin(keys.map(Long.box): _*)
+    val rewritten =
+      if (picked.isEmpty) None
+      else {
+        spark.read.parquet(picked.toIndexedSeq: _*)
+          .filter(keep).write.mode("overwrite").parquet(s"$out/rewritten")
+        Some(spark.read.parquet(s"$out/rewritten"))
+      }
+    val pickedSet = picked.toSet
+    val allPaths = spark.read.parquet(s"$tmp/bloom_index")
+      .select("path").collect().map(_.getString(0)) // bounded: 1/file
+    val untouchedPaths = allPaths.filterNot(pickedSet)
+    // degenerate corners: every file rewritten, or nothing picked —
+    // zero paths must never reach spark.read.parquet (throws)
+    val after = (rewritten, untouchedPaths.toSeq) match {
+      case (Some(rw), Seq()) => rw
+      case (Some(rw), ps)    => spark.read.parquet(ps: _*).unionByName(rw)
+      case (None, _)         => spark.read.parquet(s"$tmp/fact")
+    }
+    (after, picked.length, allPaths.length, keys)
+  }
+
   /** q110: the TTL read-through snapshot cache (S10) end-to-end — the
     * latest-price-per-ticker build goes through
     * [[graft.sources.SnapshotCache.readThrough]] twice: the first call
@@ -711,6 +774,20 @@ object SourceQueries {
         |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
         |FROM lineitem l JOIN keys k ON CAST(l.l_orderkey AS BIGINT) = k.l_orderkey
         |GROUP BY 1 ORDER BY l_orderkey""".stripMargin,
+
+    // the oracle deletes from the RAW table — a hash match proves the
+    // surgical file rewrite removed exactly the right rows
+    "q151_targeted_delete" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
+        |  FROM lineitem WHERE l_orderkey % 101 = 7
+        |  ORDER BY k LIMIT 3)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |WHERE CAST(l_orderkey AS BIGINT) NOT IN (SELECT k FROM keys)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q98_manifest_skipping" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -59,6 +59,15 @@ class GrowthSkylineSpec extends SparkSpec {
       s"expected the prefix-max join-back to broadcast:\n$plan")
   }
 
+  test("q150 overlap join is an equi-join on the day grain — no nested loop") {
+    val plan = finalPlan(AnalyticsQueries.q150IntervalOverlap(spark, sf()))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval overlap must not plan an inequality join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the incident days broadcast into an equi-join:\n$plan")
+  }
+
   test("q144 ledger balances: active = new + retained + resurrected") {
     val rows = AnalyticsQueries.q144GrowthAccounting(spark, sf()).collect()
     rows.foreach { r =>

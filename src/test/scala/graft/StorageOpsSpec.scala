@@ -104,6 +104,24 @@ class StorageOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q151 targeted delete rewrites a strict subset of files and removes the keys") {
+    val (served, rewritten, total, keys) =
+      SourceQueries.q151Served(spark, sf("sf0.01"))
+    assert(rewritten >= 1 && rewritten < total,
+      s"expected a surgical rewrite, got $rewritten of $total files")
+    // compliance contract: the served store holds zero rows for the
+    // deleted keys — and nothing else went missing (row accounting)
+    val leftover = served
+      .filter(col("l_orderkey").isin(keys.map(Long.box): _*)).count()
+    assert(leftover == 0, s"$leftover rows of deleted keys still served")
+    val rawTotal = Tables.lineitem(spark, sf("sf0.01")).count()
+    val deleted = Tables.lineitem(spark, sf("sf0.01"))
+      .filter(col("l_orderkey").cast("long").isin(keys.map(Long.box): _*))
+      .count()
+    assert(served.count() == rawTotal - deleted,
+      s"served=${served.count()} raw=$rawTotal deleted=$deleted")
+  }
+
   test("q98 fully-pruned window returns an empty frame, not an error") {
     // a predicate window before any data exists: the manifest prunes
     // every file — the best case for the optimization, which must yield
