@@ -1118,6 +1118,87 @@ object AnalyticsQueries {
       .orderBy("i_start")
   }
 
+  /** q152: the star-snowflake join classic (TPC-H Q5 shape) — revenue
+    * by nation for one region-year where the supplier sits in the
+    * customer's nation. Join-planning is the point: `region`, `nation`,
+    * `supplier` carry explicit broadcast hints (at 100 TB they are the
+    * map-side dimensions: kilobytes to ~100 MB), while
+    * lineitem ⋈ orders ⋈ customer is left to the optimizer — broadcast
+    * at bench scale, shuffle-on-key at 100 TB, which is exactly the
+    * decision AQE should own (the hint encodes what is ALWAYS true, the
+    * optimizer decides what is scale-dependent). The year filter on
+    * orders and the region filter on the dim chain both apply before
+    * the fact join, so the shuffled orders side is one year, not seven,
+    * and the broadcast nation list is one region, not five. The
+    * customer–supplier nation equality rides the join condition (the
+    * snowflake twist that makes Q5 more than a star), not a
+    * post-filter. GrowthSkylineSpec asserts the dims broadcast and
+    * nothing degenerates to a nested loop. */
+  def q152RegionalRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_orderkey", "o_custkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+          .cast("long").as("rev_micro"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_micro").as("rev_micro"))
+      .orderBy("n_name")
+  }
+
+  /** q153: market share (TPC-H Q8 shape) — the fraction of a region's
+    * revenue supplied by one nation, per year. TPC-H's reference text
+    * scans the join twice (numerator and denominator branches); this is
+    * the q131 discipline instead: ONE pass through the join with
+    * conditional aggregation, share computed per year in exact integer
+    * space. The ratio is ppm via pre-scaled integral division
+    * (`(nr/1000 · 10⁶) div (tr/1000)`) to stay far inside Long range —
+    * both engines floor the same way, so the share is bit-deterministic
+    * where a double division would drift in the last ulp. Same
+    * broadcast-dims / optimizer-owned-fact-joins discipline as q152. */
+  def q153MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val nation = Tables.nation(spark, sfDir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+          .cast("long").as("rev_micro"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("yr")
+      .agg(
+        sum(when(col("s_nationkey") === 7, col("rev_micro"))
+          .otherwise(lit(0L))).as("nation_rev_micro"),
+        sum("rev_micro").as("total_rev_micro"))
+      .withColumn("share_ppm",
+        expr("((nation_rev_micro div 1000) * 1000000) div (total_rev_micro div 1000)"))
+      .orderBy("yr")
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -1429,6 +1510,33 @@ object AnalyticsQueries {
         |       CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days,
         |       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
         |FROM p GROUP BY i_start, i_end ORDER BY i_start""".stripMargin,
+
+    "q152_regional_revenue" ->
+      """SELECT n_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND year(CAST(o_orderdate AS DATE)) = 1996
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q153_market_share" ->
+      """WITH j AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS yr, s_nationkey,
+        |         CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT) AS rev_micro
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT yr,
+        |  CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev_micro ELSE 0 END) AS BIGINT) AS nation_rev_micro,
+        |  CAST(SUM(rev_micro) AS BIGINT) AS total_rev_micro,
+        |  CAST(((SUM(CASE WHEN s_nationkey = 7 THEN rev_micro ELSE 0 END)//1000) * 1000000) // (SUM(rev_micro)//1000) AS BIGINT) AS share_ppm
+        |FROM j GROUP BY yr ORDER BY yr""".stripMargin,
 
     // the full-sort window formulation the O(k) heap replaces — see
     // q137's scaladoc

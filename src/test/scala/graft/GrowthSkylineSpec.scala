@@ -68,6 +68,25 @@ class GrowthSkylineSpec extends SparkSpec {
       s"expected the incident days broadcast into an equi-join:\n$plan")
   }
 
+  test("q152/q153 snowflake joins: dims broadcast, no nested loop") {
+    Seq(AnalyticsQueries.q152RegionalRevenue(spark, sf()),
+        AnalyticsQueries.q153MarketShare(spark, sf())).foreach { df =>
+      val plan = finalPlan(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"snowflake join degenerated:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3,
+        s"expected the dimension chain to broadcast:\n$plan")
+    }
+  }
+
+  test("q153 share identity: nation revenue never exceeds the total") {
+    AnalyticsQueries.q153MarketShare(spark, sf()).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(3) <= 1000000L,
+        s"share out of range: $r")
+    }
+  }
+
   test("q144 ledger balances: active = new + retained + resurrected") {
     val rows = AnalyticsQueries.q144GrowthAccounting(spark, sf()).collect()
     rows.foreach { r =>
