@@ -1199,6 +1199,33 @@ object AnalyticsQueries {
       .orderBy("yr")
   }
 
+  /** q154: k-anonymity release — the privacy-preserving publication
+    * counterpart to q92's redaction and q151's deletion: publish
+    * per-(segment, nation) customer counts only where the group is
+    * large enough to hide an individual (k=10); smaller groups collapse
+    * into a single suppressed bucket whose total is published but whose
+    * quasi-identifiers are not. One aggregation over the table, then a
+    * metadata-scale split on the group size — suppression cost does not
+    * depend on data volume, only on group cardinality. The suppressed
+    * bucket is emitted ALWAYS (zero when nothing is small), so the
+    * result schema and row set are stable across scale factors — at
+    * sf0.1 every group clears k and the bucket reports 0; at sf0.001
+    * nearly everything is suppressed; the oracle reproduces both ends
+    * from the same rule. */
+  def q154KAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10L
+    val groups = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_customers"))
+    val released = groups.filter(col("n_customers") >= k)
+    val suppressed = groups.filter(col("n_customers") < k)
+      .agg(coalesce(sum("n_customers"), lit(0L)).as("n_customers"))
+      .select(lit("*").as("segment"), lit(-1L).as("nation"),
+        col("n_customers"))
+    released.unionByName(suppressed).orderBy("segment", "nation")
+  }
+
   /** q115: PageRank over the part co-shipment graph (parts are linked
     * when they appear in the same order), five synchronous iterations
     * in EXACT fixed-point arithmetic: ranks are micro-longs, each
@@ -1510,6 +1537,18 @@ object AnalyticsQueries {
         |       CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days,
         |       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days
         |FROM p GROUP BY i_start, i_end ORDER BY i_start""".stripMargin,
+
+    "q154_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+        |         COUNT(*) AS n_customers
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT segment, nation, n_customers FROM g WHERE n_customers >= 10
+        |UNION ALL
+        |SELECT '*' AS segment, CAST(-1 AS BIGINT) AS nation,
+        |       CAST(COALESCE(SUM(n_customers), 0) AS BIGINT) AS n_customers
+        |FROM g WHERE n_customers < 10
+        |ORDER BY segment, nation""".stripMargin,
 
     "q152_regional_revenue" ->
       """SELECT n_name, COUNT(*) AS n_lines,

@@ -87,6 +87,16 @@ class GrowthSkylineSpec extends SparkSpec {
     }
   }
 
+  test("q154 every released group clears k and the accounting balances") {
+    val rows = AnalyticsQueries.q154KAnonymity(spark, sf("sf0.01")).collect()
+    val (supp, rel) = rows.partition(_.getString(0) == "*")
+    assert(supp.length == 1, "exactly one suppressed bucket")
+    rel.foreach(r => assert(r.getLong(2) >= 10L, s"group below k released: $r"))
+    val total = Tables.customer(spark, sf("sf0.01")).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      s"suppression lost rows: ${rows.map(_.getLong(2)).sum} vs $total")
+  }
+
   test("q144 ledger balances: active = new + retained + resurrected") {
     val rows = AnalyticsQueries.q144GrowthAccounting(spark, sf()).collect()
     rows.foreach { r =>
