@@ -43,6 +43,17 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other OUTSIDE the timed window: drop
+      // cached relations, lingering memory-sink streams, and young-gen
+      // garbage a query left behind, so a later query's timing measures
+      // ITS plan, not its neighbors' debris (observed: q22 at 169 s in a
+      // 155-query run vs 4.5 s in a 4-query run, same JVM settings)
+      try {
+        spark.streams.active.foreach(_.stop())
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      } catch { case _: Throwable => () }
+      System.gc()
       name -> (if (ok) secs else -secs)
     }
     // The harness that captures this output keeps only a bounded tail of

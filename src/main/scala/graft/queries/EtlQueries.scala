@@ -375,7 +375,50 @@ object EtlQueries {
     dedupMerge(existing, batch).orderBy("ticker", "ts", "close")
   }
 
+  /** q155: late-arriving dimension repair — the incremental-join
+    * counterpart to q99/q138's incremental aggregates. At ingest time
+    * only a partial dimension snapshot exists (here: two-thirds of
+    * parts); facts that miss it are PARKED, not dropped and not
+    * blocking the batch. When the dimension completes, the repair pass
+    * joins ONLY the parked rows against it — the enriched majority is
+    * never reprocessed, so repair cost scales with the dimension's
+    * lateness, not the fact table. Park/enrich split is one left join +
+    * a null test (one shuffle, both outputs from the same pass);
+    * repair is a second join whose left side is the parked minority.
+    * The oracle joins the COMPLETE tables directly — a hash match
+    * proves parked ∪ enriched ∪ repaired loses nothing, double-counts
+    * nothing, and enriches every row identically to a full rebuild. */
+  def q155LateDimRepair(spark: SparkSession, sfDir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+    val fullDim = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size").cast("long").as("p_size"))
+    // the snapshot available at ingest time: two-thirds of the keys
+    val earlyDim = fullDim.filter(pmod(col("p_partkey"), lit(3)) =!= 0)
+    val firstPass = facts.join(broadcast(earlyDim),
+      facts("l_partkey") === earlyDim("p_partkey"), "left")
+    val enriched = firstPass.filter(col("p_partkey").isNotNull)
+      .select(col("l_partkey"), col("qty"), col("p_size"))
+    val parked = firstPass.filter(col("p_partkey").isNull)
+      .select("l_partkey", "qty")
+    val repaired = parked.join(broadcast(fullDim),
+        parked("l_partkey") === fullDim("p_partkey"))
+      .select(col("l_partkey"), col("qty"), col("p_size"))
+    enriched.unionByName(repaired)
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
+      .orderBy("p_size")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the oracle joins the complete tables in one go — parked ∪
+    // enriched ∪ repaired must be indistinguishable from the rebuild
+    "q155_late_dim_repair" ->
+      """SELECT CAST(p_size AS BIGINT) AS p_size, COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q96_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_type, ts, event_id,

@@ -273,7 +273,63 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** q156: time-weighted average over an IRREGULAR series — the
+    * right mean when observations arrive unevenly (a value that held
+    * for an hour must outweigh one that held a millisecond; the naive
+    * row mean is sampling-rate-biased). Per event type: each value
+    * holds from its timestamp to the next (lead over the per-type
+    * sequence), weight = holding micros, TWA = Σ v·Δt / Σ Δt in exact
+    * integer arithmetic (value-micros × duration-micros → ppm at the
+    * end, one integral division, both engines floor identically). One
+    * exchange on event_type serves the lead window and the rollup (the
+    * q145 subset rule); the last observation of a type has no
+    * successor and contributes no interval — the standard
+    * right-open integral. At 100 TB this is the telemetry
+    * downsampling primitive: the integral is associative over
+    * partitions once boundary rows are exchanged, and here the window
+    * handles boundaries exactly. */
+  def q156TimeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("vm"))
+      .repartition(col("event_type"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("vm"))
+    // dt in MILLIS: the integral is then bounded by vmax·span
+    // (~1e8 · 2.6e9 ≈ 3e17) regardless of row count — safely inside
+    // Long under ANSI arithmetic at any scale factor, where micros
+    // would overflow. Both engines floor the same /1000.
+    ev.withColumn("next_ts", lead("ts", 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dt_ms",
+        expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dt_ms").as("span_ms"),
+        sum(col("vm") * col("dt_ms")).as("integral"))
+      .withColumn("twa_micro", expr("integral div span_ms"))
+      .select("event_type", "n_intervals", "span_ms", "twa_micro")
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the oracle recomputes the right-open integral with its own
+    // window lead — Σ v·Δt and the floor division must agree exactly
+    "q156_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type, ts,
+        |         CAST(ROUND(value*1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, vm,
+        |    CAST(epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, vm)) -
+        |         epoch_us(ts) AS BIGINT) // 1000 AS dt_ms
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |       CAST(SUM(dt_ms) AS BIGINT) AS span_ms,
+        |       CAST(SUM(vm * dt_ms) // SUM(dt_ms) AS BIGINT) AS twa_micro
+        |FROM x WHERE dt_ms IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q113_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type, value,

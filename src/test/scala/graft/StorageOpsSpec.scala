@@ -122,6 +122,25 @@ class StorageOpsSpec extends SparkSpec {
       s"served=${served.count()} raw=$rawTotal deleted=$deleted")
   }
 
+  test("q155 repair touches only the parked minority and equals the rebuild") {
+    val facts = Tables.lineitem(spark, sf())
+    val parked = facts.filter(pmod(col("l_partkey"), lit(3)) === 0).count()
+    val total = facts.count()
+    // the late third of the dimension parks about a third of the facts
+    assert(parked > 0 && parked < total / 2,
+      s"expected a parked minority, got $parked of $total")
+    val want = facts
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      .join(Tables.part(spark, sf())
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_size")
+      .agg(count(lit(1)).as("n_lines"), sum("qty").as("sum_qty"))
+      .orderBy("p_size")
+    val got = EtlQueries.q155LateDimRepair(spark, sf())
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
   test("q98 fully-pruned window returns an empty frame, not an error") {
     // a predicate window before any data exists: the manifest prunes
     // every file — the best case for the optimization, which must yield
