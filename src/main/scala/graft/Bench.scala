@@ -52,7 +52,12 @@ object Bench {
         spark.streams.active.foreach(_.stop())
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      } catch { case _: Throwable => () }
+      } catch {
+        // a broken isolation step must at least be VISIBLE — if this
+        // prints, later timings may again include neighbor debris
+        case t: Throwable =>
+          System.err.println(s"bench: isolation after $name failed: $t")
+      }
       System.gc()
       name -> (if (ok) secs else -secs)
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.Files
+import graft.sources.TempDirs
 import org.apache.spark.sql.DataFrame
 
 /** Lineage truncation for iterative jobs (connected components, q115
@@ -38,7 +38,7 @@ object Lineage {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(
-          Files.createTempDirectory("graft_ckpt").toString)
+          TempDirs.create("graft_ckpt").toString)
       df.checkpoint()
     } else df.localCheckpoint()
   }

@@ -354,8 +354,8 @@ object EtlQueries {
       .select(col("user_id"), col("event_type"), col("ts"),
         round(col("value") * 1e6).cast("long").as("value_micro"))
     val split = lit("2024-01-25").cast("timestamp")
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_q99").resolve("mv").toString
+    val store = graft.sources.TempDirs
+      .create("graft_q99").resolve("mv").toString
     ev.filter(col("ts") < split)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("value_micro").as("sum_micro"))

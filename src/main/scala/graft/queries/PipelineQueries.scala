@@ -1,6 +1,6 @@
 package graft.queries
 
-import java.nio.file.Files
+import graft.sources.TempDirs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -70,7 +70,7 @@ object PipelineQueries {
     * agree exactly with the from-scratch path, which is the index's
     * correctness contract. */
   def q124IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = Files.createTempDirectory("graft_q124")
+    val store = TempDirs.create("graft_q124")
       .resolve("sigs").toString
     val docs = Tables.documents(spark, sfDir)
     // prior run: the existing corpus committed its signatures
@@ -164,7 +164,7 @@ object PipelineQueries {
     * brute-force oracle — the store round-trip may not perturb
     * anything). */
   def q125IvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_q125").toString
+    val dir = TempDirs.create("graft_q125").toString
     val emb = spark.read.parquet(ClusteredEmbFixture)
     // index BUILD (once per corpus version)
     val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)

@@ -1,9 +1,8 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{PriceSink, Tables, UniverseCsv}
+import graft.sources.{PriceSink, Tables, TempDirs, UniverseCsv}
 import graft.operators.{Bucketing, Skew}
 
 /** Driver-verified queries over the source/sink boundary and the scale
@@ -36,7 +35,7 @@ object SourceQueries {
     * the new rows — the same merge contract as q14/q31, here exercised
     * through the parquet sink with month pruning. */
   def q41PriceSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = Files.createTempDirectory("graft_q41").toFile.getAbsolutePath + "/tbl"
+    val path = TempDirs.create("graft_q41").toFile.getAbsolutePath + "/tbl"
     val prices = Tables.prices(spark, sfDir)
     PriceSink.appendDedup(spark, path, prices)
     val replay = prices.filter(col("event_id") % 3 === 0)
@@ -100,7 +99,7 @@ object SourceQueries {
     * exactly what fires there. AqeSkewSpec asserts `skew=true` in the
     * executed plan; the oracle is the plain join. */
   def q95AqeSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q95").toFile.getAbsolutePath + "/out"
+    val tmp = TempDirs.create("graft_q95").toFile.getAbsolutePath + "/out"
     withAqeSkewConfs(spark) {
       // materialize UNDER the scoped confs — DataFrames are lazy, so
       // returning one and restoring the confs first would run the join
@@ -160,7 +159,7 @@ object SourceQueries {
     * written bucketed+sorted by the join key, joined (no exchange on
     * either side — see AsofBucketingSpec), then aggregated. */
   def q44BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q44").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q44").toFile.getAbsolutePath
     Bucketing.writeBucketed(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"),
@@ -221,7 +220,7 @@ object SourceQueries {
 
   def q54JsonSource(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = Files.createTempDirectory("graft_q54").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q54").toFile.getAbsolutePath
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     ev.coalesce(4).write.json(s"$tmp/json")
@@ -249,7 +248,7 @@ object SourceQueries {
     * Reads with a shard predicate prune at the directory level
     * (PartitionFilters, no data files of other shards opened). */
   def q62ShardWrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_q62").resolve("shards").toString
+    val out = TempDirs.create("graft_q62").resolve("shards").toString
     val docs = Tables.documents(spark, sfDir)
     val sharded = docs.select(col("doc_id"), col("text"),
       pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -283,7 +282,7 @@ object SourceQueries {
     * aggregation distinguishes genuinely-null from absent-column rows
     * via count(user_id), which the union-with-NULL oracle replicates. */
   def q87SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q87").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q87").toFile.getAbsolutePath
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 1e6).cast("long").as("vm"), col("user_id"))
@@ -309,7 +308,7 @@ object SourceQueries {
     * the parquet path. Results are layout-independent — the oracle is
     * the same aggregation over the raw parquet table. */
   def q80OrcSource(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q80").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q80").toFile.getAbsolutePath
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_shipdate", "l_returnflag",
         "l_extendedprice", "l_discount")
@@ -340,7 +339,7 @@ object SourceQueries {
     * oracle is the same box over the raw table. */
   def q76ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.ZOrder2.zorder2
-    val out = Files.createTempDirectory("graft_q76").resolve("zorder").toString
+    val out = TempDirs.create("graft_q76").resolve("zorder").toString
     Tables.events(spark, sfDir)
       .withColumn("day",
         datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
@@ -366,7 +365,7 @@ object SourceQueries {
 
   private def q89Layout(spark: SparkSession, sfDir: String): String =
     q89LayoutCache.getOrElseUpdate(sfDir, {
-      val tmp = Files.createTempDirectory("graft_q89").toFile.getAbsolutePath
+      val tmp = TempDirs.create("graft_q89").toFile.getAbsolutePath
       val li = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_returnflag"),
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
@@ -424,7 +423,7 @@ object SourceQueries {
     * q86 does — the file-count invariant survives because the writer
     * split is per partition-directory, not per task. */
   def q97Compaction(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q97").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q97").toFile.getAbsolutePath
     val target = 600L
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
@@ -451,7 +450,7 @@ object SourceQueries {
 
   private def q98Layout(spark: SparkSession, sfDir: String): String =
     q98LayoutCache.getOrElseUpdate(sfDir, {
-      val tmp = Files.createTempDirectory("graft_q98").toFile.getAbsolutePath
+      val tmp = TempDirs.create("graft_q98").toFile.getAbsolutePath
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_returnflag"),
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
@@ -685,7 +684,7 @@ object SourceQueries {
     val tmp = q143Index(spark, sfDir)
     val keys = q151Keys(spark, sfDir)
     val picked = q143PlanFiles(spark, tmp, keys)
-    val out = Files.createTempDirectory("graft_q151").toFile.getAbsolutePath
+    val out = TempDirs.create("graft_q151").toFile.getAbsolutePath
     val keep = !col("l_orderkey").isin(keys.map(Long.box): _*)
     val rewritten =
       if (picked.isEmpty) None
@@ -719,7 +718,7 @@ object SourceQueries {
     * hash-mismatch. */
   def q110TtlCache(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotCache
-    val dir = Files.createTempDirectory("graft_q110").toString
+    val dir = TempDirs.create("graft_q110").toString
     def build = Tables.prices(spark, sfDir)
       .select(col("ticker"), col("ts"), col("event_id"),
         round(col("close") * 1e6).cast("long").as("close_micro"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import graft.sources.TempDirs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -65,7 +66,7 @@ object StreamingQueries {
     // Sink and checkpoint live in SIBLING dirs, never under the streamed
     // source path — a continuous or restarted run of a source-nested
     // sink would ingest its own output.
-    val tmp = Files.createTempDirectory("graft_q30")
+    val tmp = TempDirs.create("graft_q30")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -107,7 +108,7 @@ object StreamingQueries {
     * to the originals, so the merged set is independent of batch order. */
   def q31StreamDedupMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.PriceSink
-    val tmp = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_stream").toFile.getAbsolutePath
     val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
 
     val prices = Tables.prices(spark, sfDir) // ticker, ts, close, event_id
@@ -143,7 +144,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q37").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q37").toFile.getAbsolutePath
     val src = s"$tmp/src"
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
@@ -219,7 +220,7 @@ object StreamingQueries {
     * oracle. */
   def q45StreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q45").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q45").toFile.getAbsolutePath
     val (src, schema) = stageEventHalves(spark, sfDir, tmp)
     runSessionize(spark, src, s"$tmp/out", s"$tmp/ckpt", schema)
   }
@@ -341,7 +342,7 @@ object StreamingQueries {
   def q68StreamSessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q68").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q68").toFile.getAbsolutePath
     val (src, schema) = stageEventHalves(spark, sfDir, tmp)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val q = spark.readStream.schema(schema)
@@ -377,7 +378,7 @@ object StreamingQueries {
   def q73StreamSlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q73").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q73").toFile.getAbsolutePath
     val (src, schema) = stageEventHalves(spark, sfDir, tmp,
       Seq("event_type", "ts", "value"))
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
@@ -421,7 +422,7 @@ object StreamingQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val tmp = Files.createTempDirectory("graft_q94").toFile.getAbsolutePath
+      val tmp = TempDirs.create("graft_q94").toFile.getAbsolutePath
       val (src, schema) = stageEventHalves(spark, sfDir, tmp,
         Seq("event_type", "ts"))
       val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
@@ -469,7 +470,7 @@ object StreamingQueries {
   private def q52Inner(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
     // sink/checkpoint as siblings of the source dir, not inside it
-    val tmp = Files.createTempDirectory("graft_q52")
+    val tmp = TempDirs.create("graft_q52")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -538,7 +539,7 @@ object StreamingQueries {
 
   private def q60Inner(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q60")
+    val tmp = TempDirs.create("graft_q60")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -609,7 +610,7 @@ object StreamingQueries {
 
   private def q81Inner(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q81")
+    val tmp = TempDirs.create("graft_q81")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -678,7 +679,7 @@ object StreamingQueries {
 
   private def q90Inner(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q90")
+    val tmp = TempDirs.create("graft_q90")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -733,7 +734,7 @@ object StreamingQueries {
     * proof no duplicate survived. */
   def q53StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q53").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q53").toFile.getAbsolutePath
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"),
@@ -771,7 +772,7 @@ object StreamingQueries {
     * streaming state. The readback aggregate proves every event got
     * its segment. */
   def q71StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft_q71")
+    val tmp = TempDirs.create("graft_q71")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
@@ -813,7 +814,7 @@ object StreamingQueries {
     * genuinely exercised. */
   def q102StreamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.queries.EtlQueries
-    val tmp = Files.createTempDirectory("graft_q102").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q102").toFile.getAbsolutePath
     val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
     val log = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
@@ -877,7 +878,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q120").toFile.getAbsolutePath
+    val tmp = TempDirs.create("graft_q120").toFile.getAbsolutePath
     val src = s"$tmp/src"
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
@@ -923,7 +924,7 @@ object StreamingQueries {
     * correctly. */
   def q119StateStoreRead(spark: SparkSession, sfDir: String): DataFrame = {
     useRocksDbState(spark)
-    val tmp = Files.createTempDirectory("graft_q119")
+    val tmp = TempDirs.create("graft_q119")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     Files.createSymbolicLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
