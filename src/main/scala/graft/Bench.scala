@@ -36,18 +36,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
     }
-    // a query that throws is reported with NEGATIVE elapsed time and
-    // listed in "failed" — a regression that fails fast must not read as
-    // a bench speedup
-    val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // isolate queries from each other OUTSIDE the timed window: drop
-      // cached relations, lingering memory-sink streams, and young-gen
-      // garbage a query left behind, so a later query's timing measures
-      // ITS plan, not its neighbors' debris (observed: q22 at 169 s in a
-      // 155-query run vs 4.5 s in a 4-query run, same JVM settings)
+    // isolate queries from each other OUTSIDE the timed window: drop
+    // cached relations, lingering memory-sink streams, and young-gen
+    // garbage a query left behind, so a later query's timing measures
+    // ITS plan, not its neighbors' debris (observed: q22 at 169 s in a
+    // 155-query run vs 4.5 s in a 4-query run, same JVM settings)
+    def isolate(after: String): Unit = {
       try {
         spark.streams.active.foreach(_.stop())
         spark.catalog.clearCache()
@@ -56,24 +50,52 @@ object Bench {
         // a broken isolation step must at least be VISIBLE — if this
         // prints, later timings may again include neighbor debris
         case t: Throwable =>
-          System.err.println(s"bench: isolation after $name failed: $t")
+          System.err.println(s"bench: isolation after $after failed: $t")
       }
       System.gc()
-      name -> (if (ok) secs else -secs)
     }
-    // The harness that captures this output keeps only a bounded tail of
-    // it, so the line must stay short: keys are the qNN prefix of the
-    // query name (unique by construction) and timings are rounded to ms.
-    // With ~90 queries the full-name line had grown past the capture
-    // window and the header ("metric"/"value") was being cut off.
-    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    // a query that throws is reported with NEGATIVE elapsed time and
+    // listed in "failed" — a regression that fails fast must not read as
+    // a bench speedup
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      isolate(name)
+      if (ok) secs else -secs
+    }
+    val results = queries.map { case (name, fn) => name -> timed(name, fn) }
+    // Streaming queries' suite timings swing ±30% with micro-batch /
+    // RocksDB harness noise, which can mask real regressions. After the
+    // suite, probe each streaming query ONCE more in a maximally quiet
+    // JVM (everything stopped, heap collected): the "floor" rides next
+    // to the suite number, so round-over-round drift is attributable —
+    // floor moved ⇒ the code changed; only the suite number moved ⇒
+    // harness debris.
+    val streamingQs = Set("q30", "q31", "q37", "q45", "q52", "q53", "q60",
+      "q68", "q71", "q73", "q81", "q90", "q94", "q102", "q119", "q120")
+    val floors = queries.collect {
+      case (name, fn) if streamingQs(name.takeWhile(_ != '_')) =>
+        name -> timed(name, fn)
+    }
+    // The harness that captures this output keeps only a bounded tail
+    // (~2000 chars) and truncation eats the FRONT of the line, so the
+    // layout is priority-ordered back to front: headline metric last
+    // (always in-window), then sf/failed/queries, floors first (the
+    // sacrificial position). Keys are the qNN prefix of the query name
+    // (unique by construction); timings are rounded to centiseconds —
+    // at 157 queries the millisecond line no longer fit the window.
+    def cs(v: Double): Double = math.round(v * 100) / 100.0
+    def jmap(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + cs(v)
     }.mkString("{", ",", "}")
+    val qs = jmap(results)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = ms(results.map { case (_, v) => math.abs(v) }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = cs(results.map { case (_, v) => math.abs(v) }.sum)
+    println(s"""{"floors":${jmap(floors)},"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -787,11 +787,23 @@ object AnalyticsQueries {
     * `array_intersect`, exploding only ACTUAL triangles. Shuffled
     * data: the edge list once (adjacency build) and the triangle rows
     * (the output size) — never a wedge. At 100 TB the adjacency side
-    * outgrows broadcast and the two joins fall back to shuffle
-    * equi-joins; the no-wedge property is what survives. q115/q116
-    * share this edge derivation; closes the graph family (components,
-    * ranking, baskets, triangles). */
-  def q139TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    * outgrows broadcast and the two joins must fall back to shuffle
+    * equi-joins; the no-wedge property is what survives. That fallback
+    * is a real switch, not prose: `graft.triangles.broadcast=false`
+    * drops every hint and leaves the join strategy to the optimizer
+    * (SqlSurfaceSpec proves the shuffle plan counts identically).
+    * q115/q116 share this edge derivation; closes the graph family
+    * (components, ranking, baskets, triangles). */
+  def q139TriangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCount(spark, sfDir,
+      spark.conf.getOption("graft.triangles.broadcast").forall(_.toBoolean))
+
+  /** The edge-iterator with the broadcast decision explicit: hinted
+    * (bench scale — adjacency is |V| rows) or unhinted (100 TB — the
+    * optimizer picks shuffle equi-joins from size estimates). */
+  def triangleCount(spark: SparkSession, sfDir: String,
+                    broadcastAdj: Boolean): DataFrame = {
+    val bc: DataFrame => DataFrame = if (broadcastAdj) broadcast else identity
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").distinct()
     val e = li.as("a").join(li.as("b"),
@@ -804,15 +816,15 @@ object AnalyticsQueries {
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val o = e
-      .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), "u")
-      .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
+      .join(bc(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+      .join(bc(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"))
     val adj = o.groupBy(col("src").as("x"))
       .agg(collect_list(col("dst")).as("nbrs"))
-    o.join(broadcast(adj.select(col("x").as("src"), col("nbrs").as("ns"))),
+    o.join(bc(adj.select(col("x").as("src"), col("nbrs").as("ns"))),
         "src")
-      .join(broadcast(adj.select(col("x").as("dst"), col("nbrs").as("nd"))),
+      .join(bc(adj.select(col("x").as("dst"), col("nbrs").as("nd"))),
         Seq("dst"), "left")
       .select(col("src"), col("dst"),
         explode(array_intersect(col("ns"),

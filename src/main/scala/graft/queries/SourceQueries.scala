@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{PriceSink, Tables, TempDirs, UniverseCsv}
+import graft.sources.{PriceSink, Tables, TableStore, TempDirs, UniverseCsv}
 import graft.operators.{Bucketing, Skew}
 
 /** Driver-verified queries over the source/sink boundary and the scale
@@ -653,6 +653,22 @@ object SourceQueries {
       .distinct().orderBy("k").limit(3)
       .collect().map(_.getLong(0))
 
+  /** One committed [[graft.sources.TableStore]] per (JVM, sfDir):
+    * version 0's manifest is the bloom index over the q143 fact layout
+    * — path + bloom + key range per file, i.e. the planning stats a
+    * real store maintains at commit time. Exposed for the spec that
+    * pins the commit-protocol consistency contract. */
+  private val q151StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q151StoreDir(spark: SparkSession, sfDir: String): String =
+    q151StoreCache.getOrElseUpdate(sfDir, {
+      val tmp = q143Index(spark, sfDir)
+      val dir = TempDirs.create("graft_q151store").toFile.getAbsolutePath
+      TableStore.commit(spark, dir, spark.read.parquet(s"$tmp/bloom_index"))
+      dir
+    })
+
   /** q151: targeted delete (the right-to-be-forgotten shape) — remove
     * three orderkeys from the immutable-file store by rewriting ONLY
     * the files that might contain them. Delete-by-key at 100 TB is a
@@ -661,13 +677,14 @@ object SourceQueries {
     * per-file bloom index the rewrite set is the might-contain files
     * (no false negatives, so skipped files provably hold none of the
     * keys — the guarantee that makes skipping LEGAL for a compliance
-    * delete). The post-delete store is the untouched files plus the
-    * rewritten output, and the oracle recomputes the expected survivors
-    * from the raw table (`l_orderkey NOT IN keys`), so the hash match
-    * proves the surgical rewrite deleted exactly the right rows and
-    * kept everything else. StorageOpsSpec asserts the operational
-    * contract: a strict subset of files rewritten, untouched files
-    * never re-written, deleted keys gone from the served store. */
+    * delete). The delete is a TableStore COMMIT: new files, then
+    * manifest N+1 = untouched entries ∪ fresh entries (blooms
+    * recomputed for the rewritten files), then one atomic pointer
+    * flip — a reader pinned to manifest N can never observe
+    * untouched ∪ half-written files (StorageOpsSpec pins this).
+    * The oracle recomputes the expected survivors from the raw table
+    * (`l_orderkey NOT IN keys`), so the hash match proves the surgical
+    * rewrite deleted exactly the right rows and kept everything else. */
   def q151TargetedDelete(spark: SparkSession, sfDir: String): DataFrame =
     q151Served(spark, sfDir)._1
       .groupBy("l_returnflag")
@@ -676,35 +693,199 @@ object SourceQueries {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** The delete as a commit. Planning always runs against the BASE
+    * (version-0) snapshot so repeated invocations rewrite the same
+    * deterministic file set; each invocation commits a fresh version
+    * (immutable manifests — the old ones stay readable). Returns
+    * (base snapshot, committed snapshot, rewritten files, total files,
+    * deleted keys). */
+  def q151Commit(spark: SparkSession, sfDir: String)
+      : (TableStore.Snapshot, TableStore.Snapshot, Int, Int, Array[Long]) = {
+    val store = q151StoreDir(spark, sfDir)
+    val base = TableStore.Snapshot(store, 0L)
+    val man = TableStore.manifest(spark, base)
+    val keys = q151Keys(spark, sfDir)
+    val hit = keys.map(k =>
+        graft.functions.Bloom.mightContain(col("bloom"), lit(k), Q143Bits, Q143K))
+      .reduce(_ || _)
+    val picked = man.filter(hit)
+      .select("path").collect().map(_.getString(0)) // bounded: 1/file
+    val total = man.count().toInt
+    if (picked.isEmpty) (base, base, 0, total, keys)
+    else {
+      // commit ordering: data files, manifest, pointer — in that order
+      val next = TableStore.currentVersion(store).fold(0L)(_ + 1)
+      val out = s"$store/files/rw$next"
+      val keep = !col("l_orderkey").isin(keys.map(Long.box): _*)
+      val pickedDf = spark.read.parquet(picked.toIndexedSeq: _*)
+      pickedDf.filter(keep).write.mode("overwrite").parquet(out)
+      // explicit schema: a rewrite whose picked files held ONLY deleted
+      // rows writes zero part files, which schema inference can't read
+      val rewrittenMan = spark.read.schema(pickedDf.schema).parquet(out)
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(
+          graft.functions.Bloom.sketch(col("l_orderkey"), Q143Bits, Q143K)
+            .as("bloom"),
+          min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+      val committed = TableStore.commit(spark, store,
+        man.filter(!col("path").isin(picked.toIndexedSeq: _*))
+          .unionByName(rewrittenMan))
+      (base, committed, picked.length, total, keys)
+    }
+  }
+
+  /** Full-store read pinned to one snapshot: plan (file list) and read
+    * both come from that version's immutable manifest. */
+  def q151ReadSnapshot(spark: SparkSession, s: TableStore.Snapshot): DataFrame =
+    spark.read.parquet(TableStore.filePaths(spark, s): _*)
+
   /** The post-delete store and its planning facts, for both the query
-    * and the spec: (served frame = untouched ∪ rewritten, rewritten
+    * and the spec: (served frame at the committed version, rewritten
     * file count, total file count, deleted keys). */
   def q151Served(spark: SparkSession, sfDir: String)
       : (DataFrame, Int, Int, Array[Long]) = {
-    val tmp = q143Index(spark, sfDir)
-    val keys = q151Keys(spark, sfDir)
-    val picked = q143PlanFiles(spark, tmp, keys)
-    val out = TempDirs.create("graft_q151").toFile.getAbsolutePath
-    val keep = !col("l_orderkey").isin(keys.map(Long.box): _*)
-    val rewritten =
-      if (picked.isEmpty) None
-      else {
-        spark.read.parquet(picked.toIndexedSeq: _*)
-          .filter(keep).write.mode("overwrite").parquet(s"$out/rewritten")
-        Some(spark.read.parquet(s"$out/rewritten"))
+    val (_, committed, picked, total, keys) = q151Commit(spark, sfDir)
+    (q151ReadSnapshot(spark, committed), picked, total, keys)
+  }
+
+  /** q158's own store (NOT q151's: q151 plans every delete against its
+    * version-0 manifest, which this query's vacuum would reap — the
+    * two lifecycles must not couple). Built once per (JVM, sfDir): two
+    * delete commits from the same base, then retention GC down to the
+    * newest version only. The intermediate version's rewritten files
+    * become unreferenced and are physically reclaimed; the base FACT
+    * files live outside the store's own tree and are never touched. */
+  private val q158StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int, Int, Int)]
+
+  def q158VacuumedStore(spark: SparkSession, sfDir: String)
+      : (String, Int, Int, Int) =
+    q158StoreCache.getOrElseUpdate(sfDir, {
+      val tmp = q143Index(spark, sfDir)
+      val dir = TempDirs.create("graft_q158store").toFile.getAbsolutePath
+      TableStore.commit(spark, dir, spark.read.parquet(s"$tmp/bloom_index"))
+      val keys = q151Keys(spark, sfDir)
+      val keep = !col("l_orderkey").isin(keys.map(Long.box): _*)
+      def deleteCommit(): Int = {
+        val base = TableStore.Snapshot(dir, 0L)
+        val man = TableStore.manifest(spark, base)
+        val hit = keys.map(k =>
+            graft.functions.Bloom.mightContain(col("bloom"), lit(k),
+              Q143Bits, Q143K))
+          .reduce(_ || _)
+        val picked = man.filter(hit)
+          .select("path").collect().map(_.getString(0))
+        val next = TableStore.currentVersion(dir).fold(0L)(_ + 1)
+        val out = s"$dir/files/rw$next"
+        val pickedDf = spark.read.parquet(picked.toIndexedSeq: _*)
+        pickedDf.filter(keep).write.mode("overwrite").parquet(out)
+        val rewrittenMan = spark.read.schema(pickedDf.schema).parquet(out)
+          .groupBy(col("_metadata.file_path").as("path"))
+          .agg(graft.functions.Bloom.sketch(col("l_orderkey"),
+              Q143Bits, Q143K).as("bloom"),
+            min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+        TableStore.commit(spark, dir,
+          man.filter(!col("path").isin(picked.toIndexedSeq: _*))
+            .unionByName(rewrittenMan))
+        picked.length
       }
-    val pickedSet = picked.toSet
-    val allPaths = spark.read.parquet(s"$tmp/bloom_index")
-      .select("path").collect().map(_.getString(0)) // bounded: 1/file
-    val untouchedPaths = allPaths.filterNot(pickedSet)
-    // degenerate corners: every file rewritten, or nothing picked —
-    // zero paths must never reach spark.read.parquet (throws)
-    val after = (rewritten, untouchedPaths.toSeq) match {
-      case (Some(rw), Seq()) => rw
-      case (Some(rw), ps)    => spark.read.parquet(ps: _*).unionByName(rw)
-      case (None, _)         => spark.read.parquet(s"$tmp/fact")
+      val rw1 = deleteCommit() // v1: references files/rw1
+      deleteCommit()           // v2: same plan from base → files/rw2
+      // v0 and v1 fall past the horizon; rw1's files lose their last
+      // reference and are reclaimed — rw2's and the base facts survive
+      val (droppedManifests, deletedFiles) =
+        TableStore.vacuum(spark, dir, retain = 1)
+      (dir, rw1, droppedManifests, deletedFiles)
+    })
+
+  /** q158: retention GC (VACUUM) for the committed store — the
+    * operation that makes an immutable-file table affordable to run
+    * for years: every rewrite commit strands the files it replaced,
+    * and reclamation must delete exactly the stranded set — never a
+    * file any retained manifest still references, never anything
+    * outside the store's own tree — AFTER the manifests referencing it
+    * are gone (crash mid-vacuum leaves all retained versions
+    * readable). The query serves the post-vacuum current snapshot;
+    * the oracle recomputes the survivors from the raw table, so the
+    * hash match proves reclamation removed storage, not data.
+    * StorageOpsSpec pins the physical side: the stranded rewrite
+    * generation deleted, the referenced one intact, base facts
+    * untouched. */
+  def q158StoreVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val (dir, _, _, _) = q158VacuumedStore(spark, sfDir)
+    spark.read.parquet(
+        TableStore.filePaths(spark, TableStore.snapshot(dir)): _*)
+      .groupBy(col("l_returnflag"),
+        year(col("ship_date")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n"), sum("rev_micro").as("rev_micro"))
+      .orderBy("l_returnflag", "ship_year")
+  }
+
+  /** Two-generation evolved store, built once per (JVM, sfDir):
+    * version 0 commits the old-schema generation (orders without
+    * `priority_rank`); version 1 appends a generation WITH the column
+    * and DECLARES its backfill default in the commit metadata — the
+    * default versions with the file list, exactly like a Delta
+    * column-default table property. Old files are never rewritten. */
+  private val q157StoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def q157StoreDir(spark: SparkSession, sfDir: String): String =
+    q157StoreCache.getOrElseUpdate(sfDir, {
+      val dir = TempDirs.create("graft_q157").toFile.getAbsolutePath
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 1e6).cast("long").as("total_micro"),
+          col("o_orderpriority"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .drop("o_orderpriority")
+        .write.parquet(s"$dir/files/gen1")
+      val man1 = spark.read.parquet(s"$dir/files/gen1")
+        .select(col("_metadata.file_path").as("path")).distinct()
+      TableStore.commit(spark, dir, man1)
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("priority_rank",
+          substring(col("o_orderpriority"), 1, 1).cast("long"))
+        .drop("o_orderpriority")
+        .write.parquet(s"$dir/files/gen2")
+      val man2 = spark.read.parquet(s"$dir/files/gen2")
+        .select(col("_metadata.file_path").as("path")).distinct()
+      TableStore.commit(spark, dir, man1.unionByName(man2),
+        meta = Map("default.priority_rank" -> "-1"))
+      dir
+    })
+
+  /** q157: schema evolution on read, THROUGH the commit protocol. A
+    * store that lives for years gains columns; the contract a 100 TB
+    * table needs is (a) old files are never rewritten for a new column
+    * — `mergeSchema` unions footer schemas and null-fills, footer
+    * metadata work, not a data scan; (b) the BACKFILL value is table
+    * metadata declared at the evolving commit, applied by the reader —
+    * never hardcoded per query, so every reader of version N agrees on
+    * what old rows mean. The read resolves the current snapshot, merge-
+    * reads exactly the manifest's files, then applies each
+    * `default.<col>` from the snapshot's metadata. The oracle
+    * reconstructs the same two generations from the raw table (the
+    * split and default are deterministic), so the hash match pins the
+    * whole evolution contract end-to-end. q87 covers bare mergeSchema
+    * null-filling; this adds the versioned-default half. */
+  def q157EvolvedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = q157StoreDir(spark, sfDir)
+    val snap = TableStore.snapshot(dir)
+    val paths = TableStore.filePaths(spark, snap)
+    val defaults = TableStore.meta(snap).collect {
+      case (k, v) if k.startsWith("default.") => k.drop("default.".length) -> v
     }
-    (after, picked.length, allPaths.length, keys)
+    val merged = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val backfilled = defaults.foldLeft(merged) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), lit(d.toLong)))
+    }
+    backfilled.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("total_micro").as("sum_total_micro"),
+        sum("priority_rank").as("sum_rank"),
+        count(when(col("priority_rank") === -1, 1)).as("n_backfilled"))
+      .orderBy("o_orderstatus")
   }
 
   /** q110: the TTL read-through snapshot cache (S10) end-to-end — the
@@ -734,6 +915,33 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // post-vacuum current snapshot = the raw survivors: reclamation
+    // removed storage, not data (same keys CTE as q151)
+    "q158_store_vacuum" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k
+        |  FROM lineitem WHERE l_orderkey % 101 = 7
+        |  ORDER BY k LIMIT 3)
+        |SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem
+        |WHERE CAST(l_orderkey AS BIGINT) NOT IN (SELECT k FROM keys)
+        |GROUP BY l_returnflag, ship_year
+        |ORDER BY l_returnflag, ship_year""".stripMargin,
+
+    // the oracle rebuilds both generations from the raw table: the
+    // even/odd split, the first-char rank of the new column, and the
+    // declared default -1 for pre-evolution rows
+    "q157_evolved_store" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(round(o_totalprice*1000000.0) AS BIGINT)) AS BIGINT) AS sum_total_micro,
+        |       CAST(SUM(CASE WHEN o_orderkey % 2 <> 0
+        |                     THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |                     ELSE -1 END) AS BIGINT) AS sum_rank,
+        |       CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_backfilled
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // the oracle knows corruption BY CONSTRUCTION (doc_id % 7); the
     // engine must discover it by parsing — see q141's scaladoc
     "q141_dead_letter" ->

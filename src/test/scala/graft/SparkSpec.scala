@@ -12,6 +12,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FAIR so ConcurrentServingSpec can exercise multi-tenant pools
+    // (scheduler mode is fixed at context creation); single-query
+    // suites are unaffected — one pool, one job at a time
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

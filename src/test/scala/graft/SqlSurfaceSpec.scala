@@ -220,6 +220,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q139 non-broadcast fallback plans shuffle joins and counts identically") {
+    // the scale story q139's doc promises: when the adjacency outgrows
+    // broadcast, every join falls back to a shuffle strategy — prove
+    // the unhinted plan is broadcast-free and exactly as correct
+    val want = AnalyticsQueries.triangleCount(spark, sf(),
+      broadcastAdj = true).collect().map(_.toSeq).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = AnalyticsQueries.triangleCount(spark, sf(),
+        broadcastAdj = false)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected shuffle joins in the fallback plan:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"fallback plan must not broadcast:\n$plan")
+      assert(df.collect().map(_.toSeq).toSeq == want)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("q140 bitmap intersection is exact and bounded by its sides") {
     val rows = AnalyticsQueries.q140AudienceOverlap(spark, sf()).collect()
     assert(rows.nonEmpty)

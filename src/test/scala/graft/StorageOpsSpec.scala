@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.queries.{EtlQueries, SourceQueries}
-import graft.sources.Tables
+import graft.sources.{Tables, TableStore}
 
 /** Round-7 storage/maintenance operators: CDC apply (q96), small-file
   * compaction (q97), manifest file skipping (q98), incremental
@@ -305,5 +305,108 @@ class StorageOpsSpec extends SparkSpec {
       .orderBy("user_id", "event_type")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(same == Seq((1L, "a", 2L, 10L), (1L, "b", 1L, 5L)))
+  }
+  test("q151 commit protocol: a reader pinned to version N never sees the N+1 delete") {
+    // pin the CURRENT version before the delete commits (if another
+    // spec already ran q151, that is some version >= 0 — the contract
+    // is the same: pinned snapshots are immutable)
+    val store = SourceQueries.q151StoreDir(spark, sf("sf0.01"))
+    val pinned = TableStore.snapshot(store)
+    def agg(s: TableStore.Snapshot): Seq[(Long, Long)] =
+      SourceQueries.q151ReadSnapshot(spark, s)
+        .agg(count(lit(1)), sum("rev_micro")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = agg(pinned)
+    // the delete commits a NEW version under the pinned reader
+    val (_, committed, rewritten, total, keys) =
+      SourceQueries.q151Commit(spark, sf("sf0.01"))
+    assert(committed.version > pinned.version,
+      s"delete must commit a new version: pinned=${pinned.version} " +
+        s"committed=${committed.version}")
+    assert(rewritten >= 1 && rewritten < total)
+    // the pinned read is byte-identical to its pre-commit self: its
+    // manifest and the files it names were never mutated
+    assert(agg(pinned) == before,
+      "a pinned snapshot changed under a concurrent commit")
+    // while the committed snapshot serves the post-delete store
+    val served = SourceQueries.q151ReadSnapshot(spark, committed)
+    assert(served.filter(col("l_orderkey")
+      .isin(keys.map(Long.box): _*)).count() == 0)
+    // and the pointer now resolves to (at least) the committed version
+    assert(TableStore.snapshot(store).version >= committed.version)
+  }
+
+  test("TableStore: manifests and meta are immutable per version, pointer flip is last") {
+    import spark.implicits._
+    val dir = graft.sources.TempDirs.create("ts_spec").toString
+    val s0 = TableStore.commit(spark, dir,
+      Seq("f1", "f2").toDF("path"), Map("k" -> "v0"))
+    assert(s0.version == 0L && TableStore.currentVersion(dir).contains(0L))
+    assert(TableStore.meta(s0) == Map("k" -> "v0"))
+    val s1 = TableStore.commit(spark, dir,
+      Seq("f1", "f3").toDF("path"), Map("k" -> "v1", "added" -> "x"))
+    assert(s1.version == 1L && TableStore.currentVersion(dir).contains(1L))
+    // version 0 remains fully readable after version 1 commits
+    assert(TableStore.filePaths(spark, s0).sorted == Seq("f1", "f2"))
+    assert(TableStore.meta(s0) == Map("k" -> "v0"))
+    assert(TableStore.filePaths(spark, s1).sorted == Seq("f1", "f3"))
+    assert(TableStore.meta(s1) == Map("k" -> "v1", "added" -> "x"))
+  }
+
+  test("q158 vacuum reclaims exactly the stranded rewrite generation") {
+    val (dir, rw1Picked, droppedManifests, deletedFiles) =
+      SourceQueries.q158VacuumedStore(spark, sf("sf0.01"))
+    assert(rw1Picked >= 1)
+    // v0 and v1 reaped, their stranded rewrite files physically gone
+    assert(droppedManifests == 2, s"dropped=$droppedManifests")
+    assert(deletedFiles >= 1, s"deleted=$deletedFiles")
+    assert(!new java.io.File(s"$dir/files/rw1").exists,
+      "stranded rewrite generation must be reclaimed")
+    assert(new java.io.File(s"$dir/files/rw2").exists,
+      "the referenced rewrite generation must survive")
+    // the current version is fully intact: row accounting vs raw
+    val cur = TableStore.snapshot(dir)
+    assert(cur.version == 2L)
+    val served = spark.read.parquet(
+      TableStore.filePaths(spark, cur): _*)
+    val raw = Tables.lineitem(spark, sf("sf0.01"))
+    val deletedRows = raw.filter(
+      pmod(col("l_orderkey").cast("long"), lit(101L)) === 7L &&
+        col("l_orderkey").cast("long").isInCollection(
+          raw.select(col("l_orderkey").cast("long").as("k"))
+            .filter(pmod(col("k"), lit(101L)) === 7L)
+            .distinct().orderBy("k").limit(3)
+            .collect().map(_.getLong(0)).toSeq)).count()
+    assert(served.count() == raw.count() - deletedRows)
+    // base fact files (outside the store's own tree) all still exist
+    TableStore.filePaths(spark, cur)
+      .filterNot(_.contains("/files/rw"))
+      .map(p => if (p.startsWith("file:")) new java.net.URI(p).getPath else p)
+      .foreach(p => assert(new java.io.File(p).exists, s"base file lost: $p"))
+  }
+
+  test("q157 evolution: old files unrewritten, default declared at the evolving commit") {
+    val dir = SourceQueries.q157StoreDir(spark, sf("sf0.01"))
+    val v0 = TableStore.Snapshot(dir, 0L)
+    val v1 = TableStore.snapshot(dir)
+    assert(v1.version == 1L)
+    // the old generation's files are IN version 1 unchanged — evolution
+    // rewrote nothing
+    val p0 = TableStore.filePaths(spark, v0).toSet
+    val p1 = TableStore.filePaths(spark, v1).toSet
+    assert(p0.subsetOf(p1) && p1.size > p0.size)
+    // version 0 predates the column: reading it yields the old schema
+    val old = spark.read.option("mergeSchema", "true")
+      .parquet(TableStore.filePaths(spark, v0): _*)
+    assert(!old.columns.contains("priority_rank"))
+    // the default is version-1 metadata, absent at version 0
+    assert(TableStore.meta(v0).isEmpty)
+    assert(TableStore.meta(v1) == Map("default.priority_rank" -> "-1"))
+    // backfill accounting: exactly the old-generation rows carry it
+    val evens = Tables.orders(spark, sf("sf0.01"))
+      .filter(col("o_orderkey") % 2 === 0).count()
+    val backfilled = SourceQueries.q157EvolvedRead(spark, sf("sf0.01"))
+      .agg(sum("n_backfilled")).collect()(0).getLong(0)
+    assert(backfilled == evens, s"backfilled=$backfilled evens=$evens")
   }
 }
