@@ -20,6 +20,12 @@ object PipelineQueries {
     Dedup.exact(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy("text_hash")
 
+  /** EXACT all-pairs n-gram Jaccard — prefix-filtered (AllPairs /
+    * PPJoin), so the exact answer no longer costs a quadratic
+    * co-shingle self-join: the round-9 sf1 probe measured the naive
+    * join at 68x under a 10x scale-up; the prefix-filtered rewrite is
+    * near-linear with the identical brute-force-oracle answer
+    * (SCALING.md). */
   def q21NgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
       .orderBy("ia", "ib")
@@ -29,9 +35,12 @@ object PipelineQueries {
         k = 16, bands = 4, threshold = 0.8)
       .orderBy("ia", "ib")
 
-  /** n-gram Jaccard with a shingle document-frequency cutoff (df <= 5 at
-    * this fixture's scale) — the scale-safe variant of q21: one hot
-    * boilerplate shingle can no longer drive a quadratic pair blowup. */
+  /** n-gram Jaccard with a shingle document-frequency cutoff (df <= 5
+    * at this fixture's scale) — the STOP-SHINGLE variant of q21:
+    * boilerplate shingles are excluded from the similarity judgment
+    * itself (a semantic choice; since the prefix-filter rewrite the
+    * uncapped q21 is scale-safe too, so the cap is no longer a
+    * survival requirement). */
   def q39NgramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
         threshold = 0.8, maxDocFreq = 5)

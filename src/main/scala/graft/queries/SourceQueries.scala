@@ -558,21 +558,46 @@ object SourceQueries {
   private val q143IndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** ~14 bits/key at sf0.1 (~38k distinct keys/file) → fp ≈ 2e-3;
-    * 64 KiB per file. Real stores size per row group from ndv the same
-    * way (parquet bloom filters, Delta `numDistinctValues`). */
-  private val Q143Bits = 1 << 19
+  /** ~14 bits/key → fp ≈ 2e-3, sized at BUILD time from the layout's
+    * rows-per-file — the commit-time ndv sizing real stores do (parquet
+    * column blooms, Delta `numDistinctValues`). A FIXED size is a scale
+    * trap: at ~sf1 a 2^19-bit filter holds ~375k keys/file, fp → 1,
+    * every file "might contain", and the skipping silently degrades to
+    * a full-store read (the sf1 probe is what exposed this). The floor
+    * of 2^19 (64 KiB) keeps small-SF behavior unchanged; the chosen
+    * (bits, k) are STORED per index row so probes and later commits
+    * always use the build's parameters. */
   private val Q143K = 5
+
+  private def q143AdaptiveBits(rowsPerFile: Long): Int = {
+    var bits = 1 << 19
+    while (bits < rowsPerFile * 14 && bits < (1 << 28)) bits <<= 1
+    bits
+  }
+
+  /** (numBits, k) a store's index was built with — driver metadata off
+    * one index row; every probe of that index must use these. */
+  private def q143Params(spark: SparkSession, indexPath: String): (Int, Int) = {
+    val r = spark.read.parquet(indexPath)
+      .select("bloom_bits", "bloom_k").head()
+    (r.getInt(0), r.getInt(1))
+  }
 
   private def q143Index(spark: SparkSession, sfDir: String): String =
     q143IndexCache.getOrElseUpdate(sfDir, {
       val tmp = q98Layout(spark, sfDir)
-      spark.read.parquet(s"$tmp/fact")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val nFiles = math.max(1L,
+        fact.select("_metadata.file_path").distinct().count())
+      val bits = q143AdaptiveBits(fact.count() / nFiles)
+      fact
         .groupBy(col("_metadata.file_path").as("path"))
         .agg(
-          graft.functions.Bloom.sketch(col("l_orderkey"), Q143Bits, Q143K)
+          graft.functions.Bloom.sketch(col("l_orderkey"), bits, Q143K)
             .as("bloom"),
           min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+        .withColumn("bloom_bits", lit(bits))
+        .withColumn("bloom_k", lit(Q143K))
         .write.mode("overwrite").parquet(s"$tmp/bloom_index")
       tmp
     })
@@ -594,8 +619,9 @@ object SourceQueries {
     * the data. */
   private def q143PlanFiles(spark: SparkSession, tmp: String,
                             keys: Array[Long]): Array[String] = {
-    val hit = keys.map(k =>
-        graft.functions.Bloom.mightContain(col("bloom"), lit(k), Q143Bits, Q143K))
+    val (bits, k) = q143Params(spark, s"$tmp/bloom_index")
+    val hit = keys.map(key =>
+        graft.functions.Bloom.mightContain(col("bloom"), lit(key), bits, k))
       .reduce(_ || _)
     spark.read.parquet(s"$tmp/bloom_index")
       .filter(hit).select("path").collect().map(_.getString(0))
@@ -704,9 +730,10 @@ object SourceQueries {
     val store = q151StoreDir(spark, sfDir)
     val base = TableStore.Snapshot(store, 0L)
     val man = TableStore.manifest(spark, base)
+    val (bits, k) = q143Params(spark, base.manifestPath)
     val keys = q151Keys(spark, sfDir)
-    val hit = keys.map(k =>
-        graft.functions.Bloom.mightContain(col("bloom"), lit(k), Q143Bits, Q143K))
+    val hit = keys.map(key =>
+        graft.functions.Bloom.mightContain(col("bloom"), lit(key), bits, k))
       .reduce(_ || _)
     val picked = man.filter(hit)
       .select("path").collect().map(_.getString(0)) // bounded: 1/file
@@ -724,9 +751,11 @@ object SourceQueries {
       val rewrittenMan = spark.read.schema(pickedDf.schema).parquet(out)
         .groupBy(col("_metadata.file_path").as("path"))
         .agg(
-          graft.functions.Bloom.sketch(col("l_orderkey"), Q143Bits, Q143K)
+          graft.functions.Bloom.sketch(col("l_orderkey"), bits, k)
             .as("bloom"),
           min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+        .withColumn("bloom_bits", lit(bits))
+        .withColumn("bloom_k", lit(k))
       val committed = TableStore.commit(spark, store,
         man.filter(!col("path").isin(picked.toIndexedSeq: _*))
           .unionByName(rewrittenMan))
@@ -769,9 +798,10 @@ object SourceQueries {
       def deleteCommit(): Int = {
         val base = TableStore.Snapshot(dir, 0L)
         val man = TableStore.manifest(spark, base)
-        val hit = keys.map(k =>
-            graft.functions.Bloom.mightContain(col("bloom"), lit(k),
-              Q143Bits, Q143K))
+        val (bits, k) = q143Params(spark, base.manifestPath)
+        val hit = keys.map(key =>
+            graft.functions.Bloom.mightContain(col("bloom"), lit(key),
+              bits, k))
           .reduce(_ || _)
         val picked = man.filter(hit)
           .select("path").collect().map(_.getString(0))
@@ -782,8 +812,10 @@ object SourceQueries {
         val rewrittenMan = spark.read.schema(pickedDf.schema).parquet(out)
           .groupBy(col("_metadata.file_path").as("path"))
           .agg(graft.functions.Bloom.sketch(col("l_orderkey"),
-              Q143Bits, Q143K).as("bloom"),
+              bits, k).as("bloom"),
             min("l_orderkey").as("key_lo"), max("l_orderkey").as("key_hi"))
+          .withColumn("bloom_bits", lit(bits))
+          .withColumn("bloom_k", lit(k))
         TableStore.commit(spark, dir,
           man.filter(!col("path").isin(picked.toIndexedSeq: _*))
             .unionByName(rewrittenMan))

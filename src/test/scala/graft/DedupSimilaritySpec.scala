@@ -52,6 +52,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prefix-filtered jaccard equals in-memory brute force on a hot-shingle corpus") {
+    // A corpus engineered to stress the prefix filter: a boilerplate
+    // header shared by EVERY doc (the hottest possible shingle), mutated
+    // near-dup families, and unique tails — then the engine's answer is
+    // compared pair-for-pair (including the jaccard value) against a
+    // brute force computed with Scala collections, which shares no code
+    // with the operator. Thresholds cover prefix lengths from ~whole-set
+    // (0.3) to minimal (0.9).
+    val rnd = new scala.util.Random(42)
+    val corpus = (0 until 60).map { i =>
+      val family = i % 12
+      val base = s"shared boilerplate header every doc has " +
+        s"family$family common phrase ${family * 7} repeated words here"
+      val tail = if (rnd.nextBoolean()) s"unique$i trailing token$i"
+                 else s"unique$i other words ${rnd.nextInt(5)}"
+      (i.toLong, s"$base $tail")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val tok = t.split(" ")
+      (0 to tok.length - 3).map(j => tok.slice(j, j + 3).mkString(" ")).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }
+    for (t <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        c = (sa & sb).size
+        j = c.toDouble / (sa.size + sb.size - c) if j >= t
+      } yield (ia, ib, j)).toSet
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"threshold $t")
+    }
+  }
+
   test("incremental LSH equals the from-scratch pairs restricted to the new batch") {
     val docs = graft.sources.Tables.documents(spark, sf())
     // from-scratch LSH over everything, then keep pairs with a new side
