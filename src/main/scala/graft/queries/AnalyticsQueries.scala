@@ -1220,6 +1220,55 @@ object AnalyticsQueries {
       .orderBy("yr")
   }
 
+  /** q159: min-cost supplier per part (TPC-H Q2 shape) — the
+    * correlated-min classic where the SUBQUERY ITSELF is a join chain:
+    * "suppliers in EUROPE offering part p at the minimum European
+    * cost". The reference SQL (the oracle text) repeats the
+    * partsupp⋈supplier⋈nation⋈region tree inside the correlated
+    * subquery; the engine never duplicates it — the European offer
+    * frame is built ONCE (dims broadcast into the offer scan), the
+    * per-part minimum is a window over that same frame, and the
+    * equality filter rides the window output, so one exchange on
+    * `pk` serves both the min and the selection. Offers derive from
+    * lineitem (this schema's partsupp): per (part, supplier) minimum
+    * observed price in exact cents. Ties keep every minimal supplier,
+    * exactly like the reference text. Closes the subquery taxonomy's
+    * last cell: correlation onto a JOINED subquery (q121: single
+    * table; q126: uncorrelated global; q129: nested HAVING; q130:
+    * scalar + NOT EXISTS). */
+  def q159MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val euroSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    // the broadcast supplier filter cuts lineitem to European offers
+    // BEFORE the first shuffle, the (pk, sk) aggregate ships map-side
+    // combined rows, and the window's pk exchange moves only the
+    // aggregated offer table — two small exchanges instead of the
+    // reference text's duplicated subquery join tree (plan-asserted)
+    val offers = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(broadcast(euroSupp), col("sk") === col("s_suppkey"))
+      .groupBy("pk", "sk", "s_name")
+      .agg(min(col("cents")).as("cost_cents"))
+    // the p_size join drops whole pk groups, never individual offers,
+    // so it is sound BELOW the per-pk window — the window exchange
+    // carries only qualifying parts' offers
+    offers
+      .join(Tables.part(spark, sfDir).filter(col("p_size") <= 10)
+          .select("p_partkey"),
+        col("pk") === col("p_partkey"))
+      .withColumn("min_cents",
+        min(col("cost_cents")).over(Window.partitionBy("pk")))
+      .filter(col("cost_cents") === col("min_cents"))
+      .select(col("p_partkey"), col("s_name"), col("cost_cents"))
+      .orderBy("p_partkey", "s_name")
+  }
+
   /** q154: k-anonymity release — the privacy-preserving publication
     * counterpart to q92's redaction and q151's deletion: publish
     * per-(segment, nation) customer counts only where the group is
@@ -1597,6 +1646,28 @@ object AnalyticsQueries {
         |  CAST(SUM(rev_micro) AS BIGINT) AS total_rev_micro,
         |  CAST(((SUM(CASE WHEN s_nationkey = 7 THEN rev_micro ELSE 0 END)//1000) * 1000000) // (SUM(rev_micro)//1000) AS BIGINT) AS share_ppm
         |FROM j GROUP BY yr ORDER BY yr""".stripMargin,
+
+    // the analyst-written TPC-H Q2 text: the correlated subquery REPEATS
+    // the offer->supplier->nation->region join tree; the engine answers
+    // it with one windowed pass instead (see q159MinCostSupplier)
+    "q159_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey AS p_partkey, s.s_name AS s_name,
+        |       ps.cost_cents AS cost_cents
+        |FROM part p, ps, supplier s, nation n, region r
+        |WHERE ps.pk = p.p_partkey AND ps.sk = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+        |  AND ps.cost_cents = (
+        |    SELECT MIN(ps2.cost_cents)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.pk = p.p_partkey AND ps2.sk = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_name""".stripMargin,
 
     // the full-sort window formulation the O(k) heap replaces — see
     // q137's scaladoc

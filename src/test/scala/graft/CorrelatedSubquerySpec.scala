@@ -84,4 +84,43 @@ class CorrelatedSubquerySpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "the small-quantity band must be inhabited")
   }
+
+  test("q159 builds the Q2 subquery join tree once: one lineitem scan, windowed min") {
+    val df = AnalyticsQueries.q159MinCostSupplier(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the reference Q2 text repeats offers⋈supplier⋈nation⋈region inside
+    // the correlated subquery — the engine must read lineitem exactly
+    // once and take the per-part min as a window over that same frame
+    val liScans = "FileScan parquet .*lineitem".r.findAllIn(plan).length
+    assert(liScans == 1, s"expected one lineitem scan, got $liScans:\n$plan")
+    assert(plan.contains("Window"), s"expected a windowed per-part min:\n$plan")
+    // dims ride broadcasts, never a shuffled fact-side join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q159 equals the per-part-min formulation computed independently") {
+    val li = Tables.lineitem(spark, sf())
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val euro = Tables.supplier(spark, sf())
+      .join(Tables.nation(spark, sf()), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf()).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    val offers = li.join(euro, col("l_suppkey") === col("s_suppkey"))
+    val mins = offers.groupBy("l_partkey").agg(min("cents").as("mn"))
+    val want = offers.join(mins, "l_partkey")
+      .filter(col("cents") === col("mn"))
+      .join(Tables.part(spark, sf()).filter(col("p_size") <= 10),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("s_name"), col("cents"))
+      .orderBy("p_partkey", "s_name")
+      .collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q159MinCostSupplier(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "qualifying parts must exist at this SF")
+  }
 }
