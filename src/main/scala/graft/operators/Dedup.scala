@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines:
@@ -89,20 +88,35 @@ object Dedup {
     * both bounds makes float wobble lengthen a prefix (safe: more
     * candidates) rather than shorten it (unsound: missed pairs). */
   private def jaccardPairsFromShingles(s: DataFrame, threshold: Double): DataFrame = {
-    val docWin = Window.partitionBy("doc")
-    val prefix = s
+    // ONE doc-keyed aggregation builds each doc's rarest-first shingle
+    // array; the prefix is a slice of it and the SAME array feeds the
+    // exact verify, so no window sort, no verify-side semi-join +
+    // re-collect — the shingle set crosses the wire once per doc
+    val byDoc = s
       .join(s.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-      .withColumn("ns", count(lit(1)).over(docWin))
-      .withColumn("rk", row_number().over(docWin.orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <=
-        col("ns") - ceil(lit(threshold) * col("ns") - lit(1e-9)) + 1)
-      .select("doc", "sh", "ns")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc"),
+        expr("transform(ranked, x -> x.sh)").as("shs"),
+        size(col("ranked")).as("ns"))
+    val prefix = byDoc.select(col("doc"), col("ns"),
+      explode(expr(
+        s"slice(shs, 1, ns - CAST(ceil($threshold * ns - 1e-9) AS INT) + 1)"))
+        .as("sh"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
           col("b.ns") >= lit(threshold) * col("a.ns") - lit(1e-9) &&
           col("a.ns") >= lit(threshold) * col("b.ns") - lit(1e-9))
       .select(col("a.doc").as("ia"), col("b.doc").as("ib")).distinct()
-    jaccardVerify(cand, s, threshold)
+    val arrays = byDoc.select(col("doc"), col("shs"))
+    cand
+      .join(arrays.select(col("doc").as("ia"), col("shs").as("sa")), "ia")
+      .join(arrays.select(col("doc").as("ib"), col("shs").as("sb")), "ib")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sa")) + size(col("sb")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("ia", "ib", "jaccard")
   }
 
   /** MinHash signatures, wide form: one row per doc with columns
