@@ -575,13 +575,20 @@ object SourceQueries {
     bits
   }
 
+  private val q143ParamsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
   /** (numBits, k) a store's index was built with — driver metadata off
-    * one index row; every probe of that index must use these. */
-  private def q143Params(spark: SparkSession, indexPath: String): (Int, Int) = {
-    val r = spark.read.parquet(indexPath)
-      .select("bloom_bits", "bloom_k").head()
-    (r.getInt(0), r.getInt(1))
-  }
+    * one index row; every probe of that index must use these. Cached
+    * per path: params are fixed at build time and every later commit
+    * rewrites with the SAME params (q151Commit/q158), so one metadata
+    * read serves the store's lifetime. */
+  private def q143Params(spark: SparkSession, indexPath: String): (Int, Int) =
+    q143ParamsCache.getOrElseUpdate(indexPath, {
+      val r = spark.read.parquet(indexPath)
+        .select("bloom_bits", "bloom_k").head()
+      (r.getInt(0), r.getInt(1))
+    })
 
   private def q143Index(spark: SparkSession, sfDir: String): String =
     q143IndexCache.getOrElseUpdate(sfDir, {
