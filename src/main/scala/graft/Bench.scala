@@ -95,7 +95,20 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = cs(results.map { case (_, v) => math.abs(v) }.sum)
-    println(s"""{"floors":${jmap(floors)},"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    val line =
+      s"""{"floors":${jmap(floors)},"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+    println(line)
+    // the captured tail can truncate the early queries at 159 entries;
+    // the full line survives in-repo so per-query history stays
+    // readable even when the capture window clips
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/last_bench.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not persist bench/last_bench.json: $e")
+    }
     spark.stop()
   }
 }

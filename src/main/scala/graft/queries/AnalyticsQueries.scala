@@ -1410,25 +1410,36 @@ object AnalyticsQueries {
   /** q118: per-ticker OLS price trend — the regression-by-aggregation
     * shape: ONE pass collects (n, Σx, Σy, Σxy, Σx²) per group
     * (map-side partials, one shuffle), the slope closes over them.
-    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), carried entirely in
-    * BIGINT: x is the day index, y is milli-scaled, and the nano-scaled
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²). Per-row products fit
+    * BIGINT (x ≤ ~10³ day index, y milli-scaled ≤ ~10⁹), but the sums
+    * and their cross products do NOT once groups grow: at sf1 the sf1
+    * probe hit `n·Σxy ≈ 6·10¹⁹ > Long.Max` and ANSI mode rightly
+    * refused. So the moments are summed and combined in DECIMAL(38,0)
+    * — Spark's 128-bit decimal, headroom through ~10¹² rows/group —
+    * mirrored by HUGEINT (int128) in the DuckDB oracle. The nano-scaled
     * quotient is the exact two-step `q·10⁹ + (r·10⁹) div den` on the
-    * |numerator| with the sign reapplied — every intermediate fits in
-    * long at sf0.1×10, and the non-negative division sidesteps the
-    * Spark-`div`-truncates vs DuckDB-`//`-floors sign disagreement.
-    * This is how distributed ML fits anything linear at 100 TB:
-    * sufficient statistics by aggregation, never a row-wise solver. */
+    * |numerator| with the sign reapplied — the quotient and remainder
+    * terms re-enter BIGINT range by construction, and the non-negative
+    * division sidesteps the Spark-`div`-truncates vs DuckDB-`//`-floors
+    * sign disagreement. This is how distributed ML fits anything linear
+    * at 100 TB: 128-bit sufficient statistics by aggregation, never a
+    * row-wise solver. */
   def q118TrendSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     Tables.events(spark, sfDir)
       .select(col("event_type").as("ticker"),
         datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("x"),
         round(col("value") * 1e3).cast("long").as("y_milli"))
       .groupBy("ticker")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y_milli").as("sy"),
-        sum(col("x") * col("y_milli")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y_milli").cast(d38)).as("sy"),
+        sum((col("x") * col("y_milli")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .withColumn("num",
+        col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den",
+        col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope_nano",
         expr("""CASE WHEN num < 0 THEN -1 ELSE 1 END *
                |((abs(num) div den) * 1000000000L +
@@ -1783,12 +1794,13 @@ object AnalyticsQueries {
         |  FROM events),
         |a AS (
         |  SELECT ticker, COUNT(*) AS n,
-        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y_milli) AS BIGINT) AS sy,
-        |         CAST(SUM(x*y_milli) AS BIGINT) AS sxy,
-        |         CAST(SUM(x*x) AS BIGINT) AS sxx
+        |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y_milli AS HUGEINT)) AS sy,
+        |         SUM(CAST(x*y_milli AS HUGEINT)) AS sxy,
+        |         SUM(CAST(x*x AS HUGEINT)) AS sxx
         |  FROM p GROUP BY ticker),
         |s AS (
-        |  SELECT ticker, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM a)
+        |  SELECT ticker, n, CAST(n AS HUGEINT)*sxy - sx*sy AS num,
+        |         CAST(n AS HUGEINT)*sxx - sx*sx AS den FROM a)
         |SELECT ticker, n,
         |       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
         |            ((abs(num) // den) * 1000000000 +

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, LinkOption, Path}
+import scala.jdk.CollectionConverters._
 
 /** Scratch-directory allocator for query-local stores (shard writes,
   * manifest/bloom indexes, streaming checkpoints). Every directory is
@@ -22,10 +23,19 @@ object TempDirs {
     * run-scoped directory above. */
   def create(prefix: String): Path = Files.createTempDirectory(root, prefix)
 
-  private def deleteRecursively(p: Path): Unit = {
-    val f = p.toFile
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
-    f.delete()
+  /** NEVER follows symlinks. The earlier `File.isDirectory` form did —
+    * and a staged streaming-source link pointing at a real
+    * directory-layout table was recursed INTO, deleting the pointed-to
+    * data files (the sf1 probe's events table) from inside the scratch
+    * cleaner. A symlink is unlinked, whatever it points at; only real
+    * directories are descended. TempDirsSpec pins this. */
+  private[sources] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+      val listing = Files.list(p)
+      try listing.iterator().asScala.foreach(deleteRecursively)
+      finally listing.close()
+    }
+    Files.deleteIfExists(p)
     ()
   }
 }

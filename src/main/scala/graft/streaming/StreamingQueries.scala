@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.sources.TempDirs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,6 +40,31 @@ object StreamingQueries {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Stage the events table into `srcDir` for the file streaming
+    * source. The driver's testdata ships `events.parquet` as a single
+    * FILE, but any Spark-written copy of the table (the sf1
+    * scale-probe data, any store this engine writes itself) is a
+    * DIRECTORY of part-files — and the file streaming source does not
+    * descend into non-partition subdirectories, so staging a directory
+    * behind one symlink yields ZERO input files and an AvailableNow
+    * run that terminates without committing a single batch (the sf1
+    * probe caught exactly this: seven streams "succeeded" with no
+    * output). Symlink each data file into the flat source dir instead;
+    * both layouts then stream identically. */
+  private def stageEvents(srcDir: java.nio.file.Path, sfDir: String): Unit = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(f =>
+          Files.createSymbolicLink(srcDir.resolve(f.getFileName.toString), f))
+      finally listing.close()
+    } else {
+      Files.createSymbolicLink(srcDir.resolve("events.parquet"), src)
+    }
+  }
+
   /** Progress snapshots of the most recent [[q30StreamTumbling]] run —
     * the per-batch `StreamingQueryProgress` records (input rows, state
     * rows, watermark-dropped rows, observed metrics) a deployed
@@ -68,8 +94,7 @@ object StreamingQueries {
     // sink would ingest its own output.
     val tmp = TempDirs.create("graft_q30")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val stream = spark.readStream.schema(eventsLongTsSchema)
       .parquet(srcDir.toString)
@@ -472,8 +497,7 @@ object StreamingQueries {
     // sink/checkpoint as siblings of the source dir, not inside it
     val tmp = TempDirs.create("graft_q52")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -541,8 +565,7 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q60")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -612,8 +635,7 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q81")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -681,8 +703,7 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q90")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -774,8 +795,7 @@ object StreamingQueries {
   def q71StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = TempDirs.create("graft_q71")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val dim = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -926,8 +946,7 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q119")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    Files.createSymbolicLink(srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    stageEvents(srcDir, sfDir)
     val ckpt = s"$tmp/ckpt"
     val q = spark.readStream.schema(eventsLongTsSchema)
       .parquet(srcDir.toString)
