@@ -1269,6 +1269,154 @@ object AnalyticsQueries {
       .orderBy("p_partkey", "s_name")
   }
 
+  /** q160: sole-problem-supplier count (TPC-H Q21 shape) — the
+    * benchmark's hardest query: for finalized orders, count per
+    * supplier the orders where that supplier flagged a problem line
+    * (this schema's lateness stand-in: `l_returnflag = 'R'`; ref
+    * etl.py has no commit/receipt dates) while ANOTHER supplier was
+    * also on the order (EXISTS) and NO other supplier flagged one
+    * (NOT EXISTS). The analyst text (the oracle, run verbatim) scans
+    * lineitem THREE times — the base join plus one per quantified
+    * subquery — and the classic plans execute it as a semi-join
+    * stacked on an anti-join, two extra fact-scale shuffles.
+    *
+    * q108 already runs this taxonomy cell the way a planner
+    * DECORRELATES it — semi + anti self-joins — which is forced there
+    * because its NOT EXISTS correlates on an INEQUALITY (ship2 >
+    * ship). Here both quantifiers correlate on equality alone, which
+    * unlocks the strictly stronger rewrite a planner cannot always
+    * reach: both are statements about the ORDER's supplier roster, so
+    * this engine answers them from ONE grouped pass:
+    * per (orderkey, suppkey) count the problem lines; per orderkey
+    * count suppliers, problem suppliers, and the problem-line total —
+    * then `n_supps > 1 AND n_prob_supps = 1` IS the EXISTS/NOT-EXISTS
+    * pair, and the sole problem supplier plus their line count fall
+    * out of the same row (`max(when(prob, sk))` is exact because the
+    * filter pins exactly one problem supplier). One lineitem scan
+    * (plan-asserted), two cascaded map-side-combinable aggregations
+    * whose second input is |distinct pairs|, one orderkey join to the
+    * status filter, one broadcast of the supplier dim. At 100 TB the
+    * text's formulation shuffles the fact three times; this shuffles
+    * it once. numwait counts qualifying problem LINES, exactly like
+    * the text's COUNT(*) over its join. */
+  def q160SoleProblemSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_returnflag") === "R").cast("long").as("prob"))
+      .groupBy("ok", "sk")
+      .agg(sum("prob").as("prob_lines"))
+    val orders = pairs
+      .groupBy("ok")
+      .agg(count(lit(1)).as("n_supps"),
+        sum((col("prob_lines") > 0).cast("long")).as("n_prob_supps"),
+        max(when(col("prob_lines") > 0, col("sk"))).as("sole_sk"),
+        sum(when(col("prob_lines") > 0, col("prob_lines"))
+          .otherwise(0L)).as("numwait_lines"))
+      .filter(col("n_supps") > 1 && col("n_prob_supps") === 1)
+    // status filter joins on the orderkey the aggregate already
+    // produced; at bench SF the optimizer broadcasts the filtered
+    // orders side, at 100 TB AQE keeps it a shuffle join on `ok`
+    orders
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("ok") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("sole_sk") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum("numwait_lines").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** q161: runtime bloom-filter join pushdown — Catalyst's
+    * InjectRuntimeFilter, the OPTIMIZER-NATIVE form of the semi-join
+    * reduction q78 hand-builds with this engine's own bloom sketch
+    * (q78 proves the mechanism; this query proves the engine
+    * configuration that makes Catalyst do it automatically): a
+    * selective equality filter on the orders side plants a bloom
+    * filter of the surviving orderkeys as a subquery on the LINEITEM
+    * side, so fact rows that cannot join are dropped at the scan —
+    * BEFORE the fact shuffle — instead of after it. The join is
+    * hint-pinned to sort-merge because that is the 100 TB shape the
+    * rule exists for: when the filtered build side no longer
+    * broadcasts, the bloom is what keeps the probe-side exchange from
+    * carrying the 97% of rows the join will discard. At bench SF the
+    * optimizer would happily broadcast and the filter changes nothing
+    * — RuntimeFilterSpec asserts the `might_contain` subquery is in
+    * the optimized plan and that both paths (bloom-pruned shuffle
+    * join, plain broadcast join) return identical results, so the
+    * reduction is provably a pure optimization.
+    *
+    * The runtime-filter thresholds are session confs, so the query
+    * builds on a CLONED session (`newSession`: shared context and
+    * catalog, private conf) — the tuned thresholds cannot leak into
+    * other queries' plans in the same JVM (the bench-isolation lesson
+    * from round 8 applied to confs, not just caches). */
+  def q161RuntimeFilterJoin(spark0: SparkSession, sfDir: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // the rule only sees "benefit" when the creation side will NOT
+    // broadcast (at bench SF everything broadcasts; at 100 TB nothing
+    // does) — turning auto-broadcast off on the CLONE reproduces the
+    // at-scale planning condition the rule exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // fire on any probe scan (default 10 GiB: tuned for real clusters,
+    // never reachable at bench SF — sf0.001's whole fact file is under
+    // 1 MiB); keep the build-side cap generous — it gates on the
+    // filtered orders ESTIMATE, not the file size
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev_micro"))
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_lines"), sum("rev_micro").as("rev_micro"))
+      .orderBy("month")
+  }
+
+  /** q162: global total-order rank — the terasort shape. A global
+    * ORDER BY at 100 TB must never become a single-partition sort or a
+    * partition-less window (the classic trap: `row_number() OVER
+    * (ORDER BY …)` plans an Exchange SinglePartition and one executor
+    * sorts the world). The scalable form is exactly what
+    * `RangePartitioner` + per-partition offsets give: sample the key
+    * distribution, range-partition into disjoint, ORDERED key ranges
+    * (`repartitionByRange` — parallel sampled exchange), sort within
+    * each partition, then assign ranks as partition-offset + local
+    * position. The offsets need only the per-partition COUNTS — a
+    * count job over already-materialized blocks — and the local
+    * positions are a per-partition integer walk: `zipWithIndex`, the
+    * one genuinely per-partition-imperative step (this is how Spark's
+    * own `RDD.zipWithIndex` terasort lineage does it; no data moves,
+    * no partition sees another). Rank is repartition-invariant: the
+    * (price desc, orderkey) order is TOTAL, so boundary placement
+    * cannot change any rank. GlobalRankSpec asserts the plan carries
+    * `rangepartitioning` and no SinglePartition exchange. */
+  def q162GlobalRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sorted = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").cast("long").as("ok"),
+        microLong(col("o_totalprice")).as("price_micro"))
+      .repartitionByRange(col("price_micro").desc, col("ok").asc)
+      .sortWithinPartitions(col("price_micro").desc, col("ok").asc)
+    // zipWithIndex runs TWO jobs over its parent (per-partition counts,
+    // then the indexed pass) — cut lineage so the range sort runs once
+    // and the second job walks materialized blocks
+    graft.operators.Lineage.truncate(sorted).as[(Long, Long)]
+      .rdd.zipWithIndex
+      .map { case ((ok, price), i) => (i + 1L, ok, price) }
+      .toDF("rnk", "o_orderkey", "price_micro")
+  }
+
   /** q154: k-anonymity release — the privacy-preserving publication
     * counterpart to q92's redaction and q151's deletion: publish
     * per-(segment, nation) customer counts only where the group is
@@ -1657,6 +1805,46 @@ object AnalyticsQueries {
         |  CAST(SUM(rev_micro) AS BIGINT) AS total_rev_micro,
         |  CAST(((SUM(CASE WHEN s_nationkey = 7 THEN rev_micro ELSE 0 END)//1000) * 1000000) // (SUM(rev_micro)//1000) AS BIGINT) AS share_ppm
         |FROM j GROUP BY yr ORDER BY yr""".stripMargin,
+
+    // the bloom runtime filter is a pure optimization — the oracle is
+    // the plain join (see q161RuntimeFilterJoin; RuntimeFilterSpec
+    // asserts the bloom actually injects)
+    "q161_runtime_filter_join" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1000000.0) AS BIGINT)) AS BIGINT) AS rev_micro
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the partition-less window the range-partitioned rank replaces —
+    // fine for DuckDB, a single-partition sort for a distributed engine
+    "q162_global_rank" ->
+      """SELECT row_number() OVER (
+        |         ORDER BY CAST(ROUND(o_totalprice*1000000.0) AS BIGINT) DESC,
+        |                  o_orderkey ASC) AS rnk,
+        |       o_orderkey,
+        |       CAST(ROUND(o_totalprice*1000000.0) AS BIGINT) AS price_micro
+        |FROM orders""".stripMargin,
+
+    // the analyst-written TPC-H Q21 text: three lineitem scans (base +
+    // EXISTS + NOT EXISTS); the engine answers all three quantifiers
+    // from one grouped pass (see q160SoleProblemSupplier)
+    "q160_sole_problem_supplier" ->
+      """SELECT s.s_name AS s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     // the analyst-written TPC-H Q2 text: the correlated subquery REPEATS
     // the offer->supplier->nation->region join tree; the engine answers

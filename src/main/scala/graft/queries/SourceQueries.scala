@@ -954,6 +954,7 @@ object SourceQueries {
   }
 
   val oracle: Map[String, String] = Map(
+
     // post-vacuum current snapshot = the raw survivors: reclamation
     // removed storage, not data (same keys CTE as q151)
     "q158_store_vacuum" ->

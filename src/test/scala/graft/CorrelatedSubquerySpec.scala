@@ -123,4 +123,48 @@ class CorrelatedSubquerySpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "qualifying parts must exist at this SF")
   }
+
+  test("q160 answers both quantifiers from ONE lineitem scan (no self-joins)") {
+    val df = AnalyticsQueries.q160SoleProblemSupplier(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the analyst text scans lineitem three times (base + EXISTS +
+    // NOT EXISTS); the roster aggregation needs exactly one
+    val liScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(liScans <= 3, // lineitem + orders + supplier relations
+      s"expected at most 3 relation scans total:\n$plan")
+    val li = plan.split("\n").count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(li == 1, s"expected exactly one lineitem scan, got $li:\n$plan")
+    assert(!plan.contains("LeftSemi") && !plan.contains("LeftAnti"),
+      s"quantifiers must fold into the aggregation, not semi/anti joins:\n$plan")
+  }
+
+  test("q160 equals the semi/anti-join formulation computed independently") {
+    val li = Tables.lineitem(spark, sf()).select(
+      col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+      col("l_returnflag").as("rf"))
+    val base = li.filter(col("rf") === "R")
+      .join(Tables.orders(spark, sf())
+          .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("ok") === col("o_orderkey"))
+    val others = li.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val othersLate = li.filter(col("rf") === "R")
+      .select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val want = base
+      .join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(othersLate,
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .join(Tables.supplier(spark, sf()).select("s_suppkey", "s_name"),
+        col("sk") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .collect().map(_.toSeq).toSeq
+    val got = AnalyticsQueries.q160SoleProblemSupplier(spark, sf())
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "sole-problem suppliers must exist at this SF")
+  }
 }

@@ -31,7 +31,25 @@ def main():
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships each table as a single parquet FILE;
+        # Spark-written copies (the sf1 scale probe) are a DIRECTORY of
+        # part-files — glob accordingly so both layouts compare
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        # the driver's events file has nanos-as-TIMESTAMP; a Spark-written
+        # copy stores raw BIGINT nanos. Normalize to micros-truncated
+        # TIMESTAMP (the same truncation graft.sources.Tables.events
+        # applies) so every oracle query is layout-invariant.
+        if t == "events":
+            ts_type = con.execute(
+                "SELECT column_type FROM (DESCRIBE events) WHERE column_name='ts'"
+            ).fetchone()[0]
+            if ts_type == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT "
+                    "event_id, make_timestamp(ts // 1000) AS ts, user_id, "
+                    f"event_type, value, props FROM {src}")
     n_ok = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))

@@ -18,9 +18,22 @@ got = pd.concat([pd.read_parquet(f)
 if name not in oracle:
     print("ROWS-ONLY", len(got)); sys.exit(0)
 con = duckdb.connect()
+import os as _os
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # single-file (driver testdata) vs Spark-written directory layouts
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"'{p}/*.parquet'" if _os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    if t == "events":
+        ts_type = con.execute(
+            "SELECT column_type FROM (DESCRIBE events) WHERE column_name='ts'"
+        ).fetchone()[0]
+        if ts_type == "BIGINT":  # raw nanos -> micros-truncated TIMESTAMP
+            con.execute(
+                "CREATE OR REPLACE VIEW events AS SELECT "
+                "event_id, make_timestamp(ts // 1000) AS ts, user_id, "
+                f"event_type, value, props FROM {src}")
 exp = con.execute(oracle[name]).fetchdf()
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
