@@ -114,6 +114,88 @@ class StreamingStateSpec extends SparkSpec {
     }
   }
 
+  test("changelog checkpointing recovers state across restarts (incremental, not snapshot)") {
+    // The deploy-grade RocksDB mode at scale: per-batch the store
+    // uploads the CHANGELOG, not a full snapshot — checkpoint cost
+    // scales with the batch's state delta instead of total state size
+    // (the difference between shipping megabytes and terabytes per
+    // trigger at 100 TB state). Recovery replays changelogs onto the
+    // last snapshot, so the restart contract must hold UNCHANGED: same
+    // running-aggregate discriminator as the snapshot-mode test above
+    // — reprocessing double-counts, state loss undercounts, only
+    // changelog-replay-then-resume yields the exact counts.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.getOption(provider)
+    val prevC = spark.conf.getOption(changelog)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_changelog")
+        .toFile.getAbsolutePath
+      val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      var nextMtime = 1700000000000L
+      def addFile(name: String, rows: Seq[(Long, Long)]): Unit = {
+        val stage = s"$tmp/stage_$name"
+        rows.toDF("user_id", "event_id").coalesce(1).write.parquet(stage)
+        val f = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(nextMtime); nextMtime += 10000
+      }
+      val schema = Seq((0L, 0L)).toDF("user_id", "event_id").schema
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("s"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def state(): Set[(Long, Long, Long)] = spark.read.parquet(out)
+        .as[(Long, Long, Long)].collect().toSet
+      addFile("b0", Seq((1L, 10L), (1L, 20L)))
+      runOnce()
+      assert(state() == Set((1L, 2L, 30L)))
+      // three restarts, each appending state the next must replay
+      addFile("b1", Seq((1L, 5L), (2L, 7L)))
+      runOnce()
+      assert(state() == Set((1L, 3L, 35L), (2L, 1L, 7L)))
+      addFile("b2", Seq((2L, 3L), (3L, 1L)))
+      runOnce()
+      assert(state() == Set((1L, 3L, 35L), (2L, 2L, 10L), (3L, 1L, 1L)),
+        "changelog replay must restore the full history of deltas")
+      // the changelog files must actually exist in the checkpoint —
+      // proof the incremental path ran, not a silent snapshot fallback
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      val changelogFiles = java.nio.file.Files.walk(stateDir)
+        .filter(_.getFileName.toString.endsWith(".changelog"))
+        .count()
+      assert(changelogFiles > 0,
+        s"no .changelog files under $stateDir — incremental checkpointing never engaged")
+    } finally {
+      prevP match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+      prevC match {
+        case Some(v) => spark.conf.set(changelog, v)
+        case None => spark.conf.unset(changelog)
+      }
+    }
+  }
+
   test("mapGroupsWithState and sessionization run on the RocksDB state store") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
