@@ -1144,13 +1144,36 @@ object SourceQueries {
          |       name_display || ' — ' || yf_symbol AS display
          |FROM norm ORDER BY yf_symbol""".stripMargin,
 
+    // INSERT OR IGNORE spelled out in full: first-row-per-(ticker,ts)
+    // in close order for the initial load, the replay batch deduped AS
+    // A WHOLE (shifted and colliding arms compete for the key slot,
+    // exactly like the engine's within-batch window), then keys
+    // already stored are ignored. The earlier shortcut oracle assumed
+    // (ticker, ts) unique in the input — true of the driver testdata,
+    // false for any scaled/replicated feed (the sf1 probe caught it).
     "q41_price_sink_roundtrip" ->
       """WITH existing AS (
         |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),
+        |base AS (
+        |  SELECT ticker, ts, close FROM (
+        |    SELECT ticker, ts, close,
+        |           row_number() OVER (PARTITION BY ticker, ts ORDER BY close) AS rn
+        |    FROM existing) WHERE rn = 1),
+        |replay AS (
+        |  SELECT ticker,
+        |         CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 40 DAY ELSE ts END AS ts,
+        |         CASE WHEN event_id % 2 = 0 THEN close + 1.0 ELSE close END AS close
+        |  FROM existing WHERE event_id % 3 = 0),
+        |replay_dedup AS (
+        |  SELECT ticker, ts, close FROM (
+        |    SELECT ticker, ts, close,
+        |           row_number() OVER (PARTITION BY ticker, ts ORDER BY close) AS rn
+        |    FROM replay) WHERE rn = 1),
         |replay_new AS (
-        |  SELECT ticker, ts + INTERVAL 40 DAY AS ts, close + 1.0 AS close
-        |  FROM existing WHERE event_id % 6 = 0)
-        |SELECT ticker, ts, close FROM existing
+        |  SELECT r.ticker, r.ts, r.close FROM replay_dedup r
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.ticker = r.ticker AND b.ts = r.ts))
+        |SELECT ticker, ts, close FROM base
         |UNION ALL
         |SELECT ticker, ts, close FROM replay_new
         |ORDER BY ticker, ts, close""".stripMargin,

@@ -1190,13 +1190,33 @@ object StreamingQueries {
         |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_day, ticker""".stripMargin,
 
+    // same INSERT-OR-IGNORE expansion as q41's oracle (batch 1 = the
+    // full feed deduped per key, batch 2 = the replay deduped as a
+    // whole then anti-joined on stored keys) — the streaming run
+    // commits exactly those two micro-batches in that order
     "q31_stream_dedup_merge" ->
       """WITH existing AS (
         |  SELECT event_type AS ticker, ts, value AS close, event_id FROM events),
+        |base AS (
+        |  SELECT ticker, ts, close FROM (
+        |    SELECT ticker, ts, close,
+        |           row_number() OVER (PARTITION BY ticker, ts ORDER BY close) AS rn
+        |    FROM existing) WHERE rn = 1),
+        |replay AS (
+        |  SELECT ticker,
+        |         CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 40 DAY ELSE ts END AS ts,
+        |         CASE WHEN event_id % 2 = 0 THEN close + 1.0 ELSE close END AS close
+        |  FROM existing WHERE event_id % 3 = 0),
+        |replay_dedup AS (
+        |  SELECT ticker, ts, close FROM (
+        |    SELECT ticker, ts, close,
+        |           row_number() OVER (PARTITION BY ticker, ts ORDER BY close) AS rn
+        |    FROM replay) WHERE rn = 1),
         |replay_new AS (
-        |  SELECT ticker, ts + INTERVAL 40 DAY AS ts, close + 1.0 AS close
-        |  FROM existing WHERE event_id % 6 = 0)
-        |SELECT ticker, ts, close FROM existing
+        |  SELECT r.ticker, r.ts, r.close FROM replay_dedup r
+        |  WHERE NOT EXISTS (SELECT 1 FROM base b
+        |                    WHERE b.ticker = r.ticker AND b.ts = r.ts))
+        |SELECT ticker, ts, close FROM base
         |UNION ALL
         |SELECT ticker, ts, close FROM replay_new
         |ORDER BY ticker, ts, close""".stripMargin

@@ -58,13 +58,23 @@ def main():
         one = f.name
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # optional 3rd arg: comma-separated subset (resume / re-check)
+    if len(sys.argv) > 3:
+        pick = set(sys.argv[3].split(","))
+        names = [n for n in names if n in pick or n.split("_")[0] in pick]
+    timeout = int(os.environ.get("COMPARE_TIMEOUT", "1800"))
     n_ok = 0
     for name in names:
-        r = subprocess.run([sys.executable, one, out_dir, sf_dir, name],
-                           capture_output=True, text=True, timeout=1800)
-        status = r.stdout.strip() if r.returncode == 0 else f"CRASH rc={r.returncode}"
+        try:
+            r = subprocess.run([sys.executable, one, out_dir, sf_dir, name],
+                               capture_output=True, text=True, timeout=timeout)
+            status = (r.stdout.strip() if r.returncode == 0
+                      else f"CRASH rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            status = f"TIMEOUT >{timeout}s"  # oracle cost, not a mismatch
         if status.startswith(("OK", "ROWS-ONLY")): n_ok += 1
-        print(f"{status.split()[0]:10} {name}: {' '.join(status.split()[1:])}")
+        print(f"{status.split()[0]:10} {name}: {' '.join(status.split()[1:])}",
+              flush=True)
     print(f"\n{n_ok}/{len(names)} queries match")
 
 if __name__ == "__main__":
