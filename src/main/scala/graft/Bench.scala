@@ -73,11 +73,16 @@ object Bench {
     // JVM (everything stopped, heap collected): the "floor" rides next
     // to the suite number, so round-over-round drift is attributable —
     // floor moved ⇒ the code changed; only the suite number moved ⇒
-    // harness debris.
+    // harness debris. The store-commit family (parquet commits + manifest
+    // swaps inside the timed window) gets the same treatment: their
+    // round-over-round swings (q151 1.09→1.76 s in r9) were
+    // unattributable without an isolated second sample.
     val streamingQs = Set("q30", "q31", "q37", "q45", "q52", "q53", "q60",
       "q68", "q71", "q73", "q81", "q90", "q94", "q102", "q119", "q120")
+    val storeCommitQs = Set("q97", "q124", "q143", "q147", "q151", "q157", "q158")
     val floors = queries.collect {
-      case (name, fn) if streamingQs(name.takeWhile(_ != '_')) =>
+      case (name, fn) if streamingQs(name.takeWhile(_ != '_')) ||
+          storeCommitQs(name.takeWhile(_ != '_')) =>
         name -> timed(name, fn)
     }
     // The harness that captures this output keeps only a bounded tail

@@ -16,4 +16,11 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  /** Blocks until every queued listener event is delivered — a metrics
+    * listener (e.g. SpillProbe's per-query spill counter) may only read
+    * its accumulators after the bus is drained, else late TaskEnd events
+    * land in the NEXT query's bucket. `listenerBus` is private[spark];
+    * this forwarder is why the file lives in Spark's namespace. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
