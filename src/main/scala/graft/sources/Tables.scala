@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every reader is a plain parquet scan — Catalyst pushes
   * filters/projections down to the scan, so callers should never
-  * pre-materialize. The `events` table is stored with nanosecond
-  * timestamps, which Spark 4 rejects by default; we read them as raw
-  * nano-longs (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microseconds — bit-identical to what DuckDB's TIMESTAMP does, which
-  * keeps the oracle comparable.
+  * pre-materialize. The `events` table's `ts` physical type has drifted
+  * across testdata generations (int64 nanoseconds in some, parquet
+  * `timestamp[us]` / TIMESTAMP_NTZ in others), so ingestion is
+  * SCHEMA-ADAPTIVE: [[normalizeTs]] inspects what the scan yields and
+  * normalizes to a microsecond TIMESTAMP — the same value DuckDB's
+  * TIMESTAMP sees for either layout, which keeps the oracle comparable.
+  * A production lake faces exactly this (upstream writers change
+  * timestamp encodings); pinning one physical type is a latent outage.
   */
 object Tables {
 
@@ -31,11 +34,38 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = raw(spark, sfDir, "embeddings")
 
-  /** events with `ts` as a microsecond-truncated timestamp (matches DuckDB). */
+  /** Spark-read schema of the raw events table, with nano-precision
+    * int64 surfaced as LongType (never an analysis error). Streaming
+    * readers need this explicitly — a file stream source requires a
+    * user-supplied schema. */
+  def eventsRawSchema(spark: SparkSession, sfDir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(spark, sfDir, "events").schema
+  }
+
+  /** Normalize the `ts` column to a microsecond TIMESTAMP regardless of
+    * the stored physical type:
+    *  - int64 (nanos read via `nanosAsLong`) → truncate to micros;
+    *  - TIMESTAMP_NTZ (parquet `timestamp[us]`, isAdjustedToUTC=false)
+    *    → reinterpret as UTC instant (session tz is pinned to UTC
+    *    everywhere, so the wall clock is preserved bit-for-bit);
+    *  - TIMESTAMP → already normalized.
+    * Works on batch and streaming DataFrames alike. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other            => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** events with `ts` as a microsecond-truncated timestamp (matches
+    * DuckDB), whichever physical type the parquet carries. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(raw(spark, sfDir, "events"))
   }
 
   /** The reference's `trades` ledger (db.py:40-49) re-expressed over

@@ -26,10 +26,15 @@ import graft.sources.Tables
   */
 object StreamingQueries {
 
-  private val eventsLongTsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming source schema for the staged events files — taken from a
+    * batch read of the actual table (file stream sources require an
+    * explicit schema) so it adapts when the testdata generator changes
+    * `ts`'s physical type (int64 nanos vs parquet `timestamp[us]`).
+    * [[Tables.normalizeTs]] then lands every variant on a microsecond
+    * TIMESTAMP; pinning LongType here silently mangled timestamps
+    * ~1000× when the upstream writer switched to micros. */
+  private def eventsStreamSchema(spark: SparkSession, sfDir: String): StructType =
+    Tables.eventsRawSchema(spark, sfDir)
 
   /** Stateful queries default to the RocksDB state-store provider: the
     * only provider whose state spills to native memory/disk and
@@ -96,9 +101,9 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    val stream = spark.readStream.schema(eventsLongTsSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+        spark.readStream.schema(eventsStreamSchema(spark, sfDir))
+          .parquet(srcDir.toString))
       .observe("q30_input", count(lit(1)).as("n_input_rows"),
         min(col("ts")).as("min_event_ts"), max(col("ts")).as("max_event_ts"))
       .withWatermark("ts", "1 hour")
@@ -499,8 +504,8 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.normalizeTs(
+      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
     // the natural equi-key (ticker) has tiny cardinality, so state
     // lookups would scan the key's whole history per probe. Bucketing
     // time into the join key bounds each probe to two 2h windows: the
@@ -567,8 +572,8 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.normalizeTs(
+      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -637,8 +642,8 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.normalizeTs(
+      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -705,8 +710,8 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-    def src = spark.readStream.schema(eventsLongTsSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.normalizeTs(
+      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -799,7 +804,7 @@ object StreamingQueries {
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val dim = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = spark.readStream.schema(eventsLongTsSchema)
+    val stream = spark.readStream.schema(eventsStreamSchema(spark, sfDir))
       .parquet(srcDir.toString)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("c_mktsegment"),
@@ -948,9 +953,9 @@ object StreamingQueries {
     val srcDir = Files.createDirectories(tmp.resolve("src"))
     stageEvents(srcDir, sfDir)
     val ckpt = s"$tmp/ckpt"
-    val q = spark.readStream.schema(eventsLongTsSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Tables.normalizeTs(
+        spark.readStream.schema(eventsStreamSchema(spark, sfDir))
+          .parquet(srcDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
