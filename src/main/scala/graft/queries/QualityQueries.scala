@@ -113,7 +113,100 @@ object QualityQueries {
       .orderBy("dirty", "name")
   }
 
+  /** q163: trade-ingest validation + oversell guard as one relation
+    * (SURVEY P11/P12; ref /root/reference/app/services/trades.py:14-26
+    * input checks, :51-54 oversell guard). A candidate batch is carved
+    * deterministically out of the trades ledger (id % 4 == 0, at most
+    * one candidate per (user, ticker) so the batch-sequential rejection
+    * feedback is inert and the oracle stays windowable SQL; the
+    * feedback path itself is covered by ValidationExtensionsSpec),
+    * mutated to trip each input rule, validated column-wise, and the
+    * survivors walked against the remaining ledger for oversells.
+    * Output: every candidate with normalized side, reject_reason
+    * (null = accepted) and its oversell verdict.
+    *
+    * Shapes: validation is pure column expressions on the scan; the
+    * oversell fold is one hash repartition on (user, ticker) + a
+    * secondary sort + a streaming partition walk (CostBasis's shape) —
+    * no global windows, no driver round-trips. */
+  def q163TradeValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TradeValidation
+    val t = Tables.trades(spark, sfDir)
+    val existing = t.filter(col("id") % 4 =!= 0)
+    val w = Window.partitionBy(col("user_id"), col("ticker"))
+      .orderBy(col("ts"), col("id"))
+    val cand = t.filter(col("id") % 4 === 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .withColumn("qty",
+        when(col("id") % 3 === 0, -col("qty"))
+          .when(col("id") % 7 === 0, col("qty") * 1000)
+          .otherwise(col("qty")).cast("double"))
+      .withColumn("side",
+        when(col("id") % 5 === 0, lit("hold"))
+          .when(col("id") % 2 === 0, concat(lit(" "), lower(col("side")), lit(" ")))
+          .otherwise(col("side")))
+      .withColumn("price",
+        when(col("id") % 11 === 0, lit(0.0)).otherwise(col("price")).cast("double"))
+      .withColumn("fee",
+        when(col("id") % 13 === 0, lit(-0.5)).otherwise(col("fee")).cast("double"))
+    val rejected = TradeValidation.validate(cand)
+      .filter(col("reject_reason").isNotNull)
+      .select(col("id").cast("long").as("id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ticker").cast("long").as("ticker"),
+        col("ts"), col("side"),
+        col("qty"), col("price"), col("fee"),
+        col("reject_reason"), lit(false).as("oversell"))
+    val accepted = TradeValidation.flagOversell(existing, cand)
+      .select(col("id"), col("user_id"), col("ticker"), col("ts"), col("side"),
+        col("qty"), col("price"), col("fee"),
+        lit(null).cast("string").as("reject_reason"), col("oversell"))
+    rejected.unionByName(accepted).orderBy("id", "user_id", "ticker")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q163_trade_validation" -> (s"WITH ${Tables.tradesSql},\n" +
+      """existing AS (SELECT * FROM trades WHERE id % 4 <> 0),
+        |cand AS (
+        |  SELECT id, user_id, ticker, ts,
+        |         CAST(CASE WHEN id % 3 = 0 THEN -qty
+        |                   WHEN id % 7 = 0 THEN qty * 1000
+        |                   ELSE qty END AS DOUBLE) AS qty,
+        |         CASE WHEN id % 5 = 0 THEN 'hold'
+        |              WHEN id % 2 = 0 THEN ' ' || lower(side) || ' '
+        |              ELSE side END AS side,
+        |         CAST(CASE WHEN id % 11 = 0 THEN 0 ELSE price END AS DOUBLE) AS price,
+        |         CAST(CASE WHEN id % 13 = 0 THEN -0.5 ELSE fee END AS DOUBLE) AS fee
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ticker
+        |                                     ORDER BY ts, id) AS rn
+        |        FROM trades WHERE id % 4 = 0)
+        |  WHERE rn = 1),
+        |v AS (
+        |  SELECT id, user_id, ticker, ts, upper(trim(side)) AS side, qty, price, fee,
+        |         CASE WHEN upper(trim(side)) NOT IN ('BUY','SELL')
+        |                THEN 'side must be BUY or SELL'
+        |              WHEN qty <= 0 THEN 'qty must be > 0'
+        |              WHEN price <= 0 THEN 'price must be > 0'
+        |              WHEN fee < 0 THEN 'fee must be >= 0' END AS reject_reason
+        |  FROM cand),
+        |held AS (
+        |  SELECT c.id, c.user_id, c.ticker,
+        |         COALESCE(SUM(CASE WHEN e.side = 'SELL' THEN -CAST(e.qty AS DOUBLE)
+        |                           ELSE CAST(e.qty AS DOUBLE) END), 0) AS held
+        |  FROM v c LEFT JOIN existing e
+        |    ON e.user_id = c.user_id AND e.ticker = c.ticker
+        |   AND (e.ts < c.ts OR (e.ts = c.ts AND e.id < c.id))
+        |  WHERE c.reject_reason IS NULL
+        |  GROUP BY c.id, c.user_id, c.ticker)
+        |SELECT c.id, c.user_id, c.ticker, c.ts, c.side, c.qty, c.price, c.fee,
+        |       c.reject_reason,
+        |       CASE WHEN c.reject_reason IS NOT NULL THEN false
+        |            ELSE c.side = 'SELL' AND c.qty > h.held + 1e-12 END AS oversell
+        |FROM v c LEFT JOIN held h
+        |  ON h.id = c.id AND h.user_id = c.user_id AND h.ticker = c.ticker
+        |ORDER BY c.id, c.user_id, c.ticker""".stripMargin),
+
     "q105_dq_audit" ->
       """WITH base AS (
         |  SELECT CASE WHEN l_orderkey % 977 = 0 THEN l_orderkey + 900000000

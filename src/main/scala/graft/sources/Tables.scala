@@ -43,6 +43,16 @@ object Tables {
     raw(spark, sfDir, "events").schema
   }
 
+  /** Event-time sanity window. Any unit mix-up between timestamp
+    * encodings (micros read as nanos, nanos read as micros, seconds as
+    * millis) shifts values ~1000× — far outside any plausible event
+    * time — so normalization fails LOUDLY instead of letting an
+    * interval join silently near-cross-product on collapsed
+    * timestamps (wrong-not-loud is the worst failure class at 100 TB:
+    * nothing errors, state explodes, answers are garbage). */
+  val SaneTsLo = "1990-01-01 00:00:00"
+  val SaneTsHi = "2100-01-01 00:00:00"
+
   /** Normalize the `ts` column to a microsecond TIMESTAMP regardless of
     * the stored physical type:
     *  - int64 (nanos read via `nanosAsLong`) → truncate to micros;
@@ -50,15 +60,29 @@ object Tables {
     *    → reinterpret as UTC instant (session tz is pinned to UTC
     *    everywhere, so the wall clock is preserved bit-for-bit);
     *  - TIMESTAMP → already normalized.
+    * Then guard every non-null value against [[SaneTsLo]]/[[SaneTsHi]]
+    * via `raise_error` — a codegen'd per-row branch (two long compares)
+    * that turns a silent unit collapse into an immediate failure.
     * Works on batch and streaming DataFrames alike. */
   def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
-    df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType    => df
-      case other            => df.withColumn("ts", col("ts").cast(TimestampType))
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampType, TimestampNTZType}
+    val norm = df.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      // ISO-8601 strings (a CSV/JSON feed of the same events): ANSI
+      // cast throws on malformed input — loud, like the range guard
+      case StringType       => to_timestamp(col("ts"))
+      case _                => col("ts").cast(TimestampType)
     }
+    val lo = lit(SaneTsLo).cast(TimestampType)
+    val hi = lit(SaneTsHi).cast(TimestampType)
+    df.withColumn("ts",
+      when(norm.isNull || (norm >= lo && norm < hi), norm)
+        .otherwise(raise_error(concat(
+          lit(s"events.ts outside sane range [$SaneTsLo, $SaneTsHi): "),
+          norm.cast("string"),
+          lit(" — suspected timestamp unit mix-up at the source")))))
   }
 
   /** events with `ts` as a microsecond-truncated timestamp (matches

@@ -16,11 +16,14 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
-  /** Blocks until every queued listener event is delivered — a metrics
-    * listener (e.g. SpillProbe's per-query spill counter) may only read
-    * its accumulators after the bus is drained, else late TaskEnd events
-    * land in the NEXT query's bucket. `listenerBus` is private[spark];
-    * this forwarder is why the file lives in Spark's namespace. */
+  /** Waits (up to 2 minutes) until every queued listener event is
+    * delivered — a metrics listener (e.g. SpillProbe's per-query spill
+    * counter) may only read its accumulators after the bus is drained,
+    * else late TaskEnd events land in the NEXT query's bucket. The
+    * explicit timeout matters: the no-arg overload waits only ~10 s and
+    * then THROWS, which under heavy spill pressure would crash the
+    * probe mid-run. `listenerBus` is private[spark]; this forwarder is
+    * why the file lives in Spark's namespace. */
   def drainListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
+    spark.sparkContext.listenerBus.waitUntilEmpty(120000L)
 }

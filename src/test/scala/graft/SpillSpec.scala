@@ -70,8 +70,11 @@ class SpillSpec extends SparkSpec {
   /** (constrainedSpill, section) parsed from the probe's spills.json. */
   private def parseSpills(out: Path): Map[String, Long] = {
     val text = new String(Files.readAllBytes(out.resolve("spills.json")), "UTF-8")
-    val constrained = text.substring(
-      text.indexOf("\"constrained\""), text.indexOf("\"baseline\""))
+    val conIdx = text.indexOf("\"constrained\"")
+    val baseIdx = text.indexOf("\"baseline\"")
+    assert(conIdx >= 0 && baseIdx > conIdx,
+      s"spills.json missing/reordered constrained+baseline sections: $text")
+    val constrained = text.substring(conIdx, baseIdx)
     spillRe.findAllMatchIn(constrained).map { m =>
       m.group(1) -> (m.group(2).toLong + m.group(3).toLong)
     }.toMap
@@ -95,7 +98,8 @@ class SpillSpec extends SparkSpec {
         assert(spills(name) > 0L,
           s"$name: expected non-zero spill under the ${poolMb}m pool " +
             "(pressure point moved — retune the tier or drop the query " +
-            "from mustSpill with a note)")
+            "from mustSpill with a note); per-query spill bytes: " +
+            spills.toSeq.sorted.map { case (q, b) => s"$q=$b" }.mkString(", "))
       }
     }
     // pool-wide floor: the tier as a whole must have seen real pressure

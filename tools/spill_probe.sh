@@ -10,12 +10,14 @@ set -e
 OUT=${1:-/tmp/graft_spill}
 cd "$(dirname "$0")/.."
 rm -rf "$OUT"
+mkdir -p "$OUT"
 echo "== tier 1: 96 MB pool, shuffle-heavy eight =="
+# tee the full sbt output so a probe failure leaves its own forensics
 SPARK_GRAFT_CPUS=8 sbt -batch \
   "runMain graft.tools.SpillProbe /root/testdata/sf0.1 $OUT/t96 96 q21,q22,q48,q51,q116,q139,q149,q162" \
-  2>&1 | grep '"pool_mb"'
+  2>&1 | tee "$OUT/t96.log" | grep '"pool_mb"'
 echo "== tier 2: 384 MB pool, q115 pagerank =="
 SPARK_GRAFT_CPUS=8 sbt -batch \
   "runMain graft.tools.SpillProbe /root/testdata/sf0.1 $OUT/t384 384 q115" \
-  2>&1 | grep '"pool_mb"'
+  2>&1 | tee "$OUT/t384.log" | grep '"pool_mb"'
 echo "results under $OUT/{t96,t384}/{constrained,baseline}, spills.json per tier"
