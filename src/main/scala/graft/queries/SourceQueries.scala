@@ -953,7 +953,37 @@ object SourceQueries {
     served.orderBy("ticker")
   }
 
+  /** q164: the semantic-schema adaptive read (round-10 lesson as a
+    * first-class source operator): declare events' SEMANTIC schema
+    * once and let [[graft.sources.AdaptiveRead]] reconcile whatever
+    * physical encoding the lake currently ships (int64 epoch at any
+    * unit, parquet timestamp[us], ISO strings, widened ints) onto it —
+    * then prove the values by aggregating event time and value per
+    * ticker against the oracle reading the same file natively. */
+  def q164AdaptiveRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val semantic = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.sources.AdaptiveRead.read(spark, s"$sfDir/events.parquet", semantic)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        (sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q164_adaptive_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       min(ts) AS first_ts, max(ts) AS last_ts,
+        |       CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0 AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // post-vacuum current snapshot = the raw survivors: reclamation
     // removed storage, not data (same keys CTE as q151)

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantic-schema-driven adaptive reader (the generalization of the
+  * round-10 lesson; ref semantic: /root/reference/src/etl.py:42
+  * normalize-at-ingest). A 100 TB lake's physical encodings drift under
+  * the consumer — upstream writers switch epoch longs ↔ parquet
+  * timestamps ↔ ISO strings, widen ints, re-type feeds — and a reader
+  * pinned to one physical layout either errors (best case) or silently
+  * mangles values (worst case, round 10's interval-join explosion).
+  *
+  * Declare the SEMANTIC schema once; [[read]] reconciles whatever the
+  * files physically carry onto it:
+  *   - identical types pass through untouched (zero plan overhead, so
+  *     pushdown/pruning on unchanged columns is preserved);
+  *   - lossless widenings (int→long, float→double, ntz→tz) cast;
+  *   - epoch longs become timestamps via [[epochToTs]], which infers
+  *     the unit PER ROW from non-overlapping sanity windows;
+  *   - ISO strings parse with ANSI semantics (malformed input throws);
+  *   - anything lossy (long→int, double→long, …) or missing fails at
+  *     PLAN time with a message naming the column — never silently.
+  */
+object AdaptiveRead {
+
+  /** Epoch-long → TIMESTAMP with per-row unit inference. The [1990,
+    * 2100) sanity window expressed in seconds / millis / micros /
+    * nanos yields four DISJOINT long ranges (each 1000× apart), so a
+    * value's magnitude identifies its unit unambiguously; values
+    * outside every window (corrupt, or pre-1990 data this engine
+    * doesn't claim) raise immediately. Codegen'd branch of long
+    * compares — no extra job, works per row even for mixed-unit files,
+    * and heals exactly the misread that silently corrupted round 10
+    * (micros forced down a nanos path). */
+  def epochToTs(name: String): Column = {
+    val c = col(name)
+    val sLo = 631152000L     // 1990-01-01 00:00:00 UTC, seconds
+    val sHi = 4102444800L    // 2100-01-01 00:00:00 UTC, seconds
+    when(c.isNull, lit(null).cast(TimestampType))
+      .when(c >= sLo * 1000000000L && c < sHi * 1000000000L,
+        timestamp_micros(expr(s"`$name` div 1000")))           // nanos
+      .when(c >= sLo * 1000000L && c < sHi * 1000000L,
+        timestamp_micros(c))                                   // micros
+      .when(c >= sLo * 1000L && c < sHi * 1000L,
+        timestamp_millis(c))                                   // millis
+      .when(c >= sLo && c < sHi, c.cast(TimestampType))        // seconds
+      .otherwise(raise_error(concat(
+        lit(s"$name: epoch value outside every sane unit window [1990, 2100): "),
+        c.cast("string"))))
+  }
+
+  /** Read `path` and reconcile onto `semantic`. Column order and names
+    * follow the semantic schema; physical columns absent from it are
+    * dropped (projection pushdown still applies to the scan). */
+  def read(spark: SparkSession, path: String, semantic: StructType): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    val phys = df.schema
+    df.select(semantic.fields.map(f => adapt(phys, f)).toIndexedSeq: _*)
+  }
+
+  private def adapt(phys: StructType, want: StructField): Column = {
+    val have = phys.fields.find(_.name == want.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"adaptive read: column '${want.name}' missing from physical schema " +
+          phys.fieldNames.mkString("[", ", ", "]")))
+    val c = col(want.name)
+    ((have.dataType, want.dataType) match {
+      case (a, b) if a == b                      => c
+      // epoch longs / ints → event time, unit inferred per row
+      case (LongType | IntegerType, TimestampType) => epochToTs(want.name)
+      // wall-clock reinterpretation: session tz is pinned UTC fleet-wide
+      case (TimestampNTZType, TimestampType)     => c.cast(TimestampType)
+      case (TimestampType | TimestampNTZType | StringType, DateType) => c.cast(DateType)
+      // ISO strings: ANSI cast/parse — malformed input throws, never nulls
+      case (StringType, TimestampType)           => to_timestamp(c)
+      case (StringType, LongType | IntegerType | DoubleType) => c.cast(want.dataType)
+      // lossless numeric widenings
+      case (ByteType | ShortType | IntegerType, LongType) => c.cast(LongType)
+      case (ByteType | ShortType | IntegerType | LongType | FloatType, DoubleType) =>
+        c.cast(DoubleType)
+      case (a, b) => throw new IllegalArgumentException(
+        s"adaptive read: cannot losslessly adapt column '${want.name}' from $a to $b")
+    }).as(want.name)
+  }
+}

@@ -67,7 +67,9 @@ object Tables {
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, TimestampType, TimestampNTZType}
     val norm = df.schema("ts").dataType match {
-      case LongType         => timestamp_micros(expr("ts div 1000"))
+      // epoch longs: unit (s/ms/us/ns) inferred per row from disjoint
+      // sanity windows — heals the exact misread of round 10
+      case LongType         => AdaptiveRead.epochToTs("ts")
       case TimestampNTZType => col("ts").cast(TimestampType)
       case TimestampType    => col("ts")
       // ISO-8601 strings (a CSV/JSON feed of the same events): ANSI

@@ -33,17 +33,38 @@ class TsGuardSpec extends SparkSpec {
     assert(Tables.normalizeTs(df).collect().head.isNullAt(0))
   }
 
-  test("micros-as-nanos unit collapse fails loudly, not silently") {
-    // 2024-01-01 in MICROS fed down the nanos path: div 1000 lands in
-    // 1970 — exactly the corruption that made q30 emit 5 windows
-    // instead of 150 in round 10. The guard must throw, not return.
-    val df = Seq(1704067200000000L).toDF("ts")
+  test("micros-magnitude longs heal via per-row unit inference") {
+    // 2024-01-01 in MICROS arriving down the long path: round 10's
+    // blind div-1000 collapsed this to 1970 and silently exploded the
+    // interval joins. Unit inference reads the magnitude and lands on
+    // the right instant instead.
+    assert(firstTs(Seq(1704067200000000L).toDF("ts"))
+      .startsWith("2024-01-01T00:00:00"))
+  }
+
+  test("millis- and seconds-magnitude longs infer their units too") {
+    assert(firstTs(Seq(1704067200000L).toDF("ts")).startsWith("2024-01-01T00:00:00"))
+    assert(firstTs(Seq(1704067200L).toDF("ts")).startsWith("2024-01-01T00:00:00"))
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("longs outside every sane unit window fail loudly, not silently") {
+    // 42 is below even the seconds window; nothing plausible maps it
+    // to [1990, 2100) event time, so normalization must throw.
     val thrown = intercept[Throwable] {
-      Tables.normalizeTs(df).collect()
+      Tables.normalizeTs(Seq(42L).toDF("ts")).collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(thrown).exists(m =>
+      m.contains("sane unit window") || m.contains("sane range")),
+      s"expected a sanity error, got: ${messages(thrown).mkString(" | ")}")
+  }
+
+  test("out-of-window timestamps fail the range guard") {
+    val df = Seq(java.time.LocalDateTime.of(1970, 1, 2, 0, 0, 0)).toDF("ts")
+    val thrown = intercept[Throwable] { Tables.normalizeTs(df).collect() }
     assert(messages(thrown).exists(_.contains("sane range")),
       s"expected a sane-range error, got: ${messages(thrown).mkString(" | ")}")
   }
