@@ -89,6 +89,34 @@ def main():
             "FROM folded WHERE qty > 0 ORDER BY user_id, ticker",
         "q06_realized_pnl":
             "SELECT user_id, ticker, realized FROM folded ORDER BY user_id, ticker",
+        "q15_unrealized_totals": f"""
+            WITH trades AS ({TRADES}),
+            pos AS (
+              SELECT user_id, ticker,
+                     SUM(CASE WHEN side='BUY' THEN qty ELSE -qty END) AS qty
+              FROM trades GROUP BY user_id, ticker
+              HAVING SUM(CASE WHEN side='BUY' THEN qty ELSE -qty END) <> 0),
+            costs AS (SELECT user_id, ticker, avg_cost AS avg_buy_price
+                      FROM folded WHERE qty > 0),
+            last AS (SELECT p_partkey AS ticker, p_retailprice AS last_close FROM part),
+            ov AS (
+              SELECT pos.user_id, pos.qty, costs.avg_buy_price, last.last_close
+              FROM pos
+              LEFT JOIN costs ON pos.user_id = costs.user_id AND pos.ticker = costs.ticker
+              LEFT JOIN last ON pos.ticker = last.ticker
+              WHERE pos.qty > 0),
+            t AS (
+              SELECT user_id,
+                     SUM(CAST(ROUND(qty*avg_buy_price*1000000.0) AS BIGINT)) AS inv,
+                     SUM(CAST(ROUND(qty*last_close*1000000.0) AS BIGINT)) AS mv
+              FROM ov GROUP BY user_id)
+            SELECT user_id,
+                   CAST(inv AS DOUBLE)/1000000.0 AS total_invested,
+                   CAST(mv AS DOUBLE)/1000000.0 AS total_mv,
+                   CAST(mv - inv AS DOUBLE)/1000000.0 AS total_pnl,
+                   CASE WHEN inv > 0
+                        THEN CAST(mv - inv AS DOUBLE)/CAST(inv AS DOUBLE)*100.0 END AS total_pct
+            FROM t ORDER BY user_id""",
         "q07_overview": f"""
             WITH trades AS ({TRADES}),
             pos AS (
