@@ -40,12 +40,19 @@ object TradeValidation {
     * holding seen by later candidates. That sequential dependency makes
     * this a per-key fold (same scalable shape as CostBasis.fold: one
     * shuffle + secondary sort + streaming walk). Appends `oversell`. */
-  def flagOversell(existing: DataFrame, candidates: DataFrame): DataFrame = {
+  def flagOversell(existing: DataFrame, candidates: DataFrame): DataFrame =
+    flagOversellValidated(existing, validate(candidates))
+
+  /** Same as [[flagOversell]] but takes a frame that already carries
+    * `reject_reason` from [[validate]] — callers that need both the
+    * rejected and accepted branches validate once and share the result
+    * instead of re-running the candidate scan. */
+  def flagOversellValidated(existing: DataFrame, validated: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val cols = Seq("user_id", "ticker", "ts", "id", "side", "qty", "price", "fee")
     val tagged = existing.select(cols.map(col): _*).withColumn("is_cand", lit(false))
-      .union(validate(candidates).filter(col("reject_reason").isNull)
+      .union(validated.filter(col("reject_reason").isNull)
         .select(cols.map(col): _*).withColumn("is_cand", lit(true)))
       .select(col("user_id").cast("long"), col("ticker").cast("long"),
         col("ts"), col("id").cast("long"), col("side"),

@@ -134,8 +134,14 @@ object QualityQueries {
     import graft.operators.TradeValidation
     val t = Tables.trades(spark, sfDir)
     val existing = t.filter(col("id") % 4 =!= 0)
+    // `id` is NOT unique in the fixtures (Tables.scala: l_orderkey*10 +
+    // l_linenumber collides); order by the full row so two candidates
+    // tied on (ts, id) are only interchangeable when byte-identical —
+    // rn=1 is then deterministic and Spark/DuckDB must agree (same
+    // tie-break convention as CostBasis.fold / flagOversell)
     val w = Window.partitionBy(col("user_id"), col("ticker"))
-      .orderBy(col("ts"), col("id"))
+      .orderBy(col("ts"), col("id"), col("side"), col("qty"), col("price"),
+        col("fee"))
     val cand = t.filter(col("id") % 4 === 0)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .withColumn("qty",
@@ -150,7 +156,10 @@ object QualityQueries {
         when(col("id") % 11 === 0, lit(0.0)).otherwise(col("price")).cast("double"))
       .withColumn("fee",
         when(col("id") % 13 === 0, lit(-0.5)).otherwise(col("fee")).cast("double"))
-    val rejected = TradeValidation.validate(cand)
+    // validate ONCE; both branches (rejected rows, oversell fold over
+    // the accepted ones) share the validated frame
+    val validated = TradeValidation.validate(cand)
+    val rejected = validated
       .filter(col("reject_reason").isNotNull)
       .select(col("id").cast("long").as("id"),
         col("user_id").cast("long").as("user_id"),
@@ -158,7 +167,7 @@ object QualityQueries {
         col("ts"), col("side"),
         col("qty"), col("price"), col("fee"),
         col("reject_reason"), lit(false).as("oversell"))
-    val accepted = TradeValidation.flagOversell(existing, cand)
+    val accepted = TradeValidation.flagOversellValidated(existing, validated)
       .select(col("id"), col("user_id"), col("ticker"), col("ts"), col("side"),
         col("qty"), col("price"), col("fee"),
         lit(null).cast("string").as("reject_reason"), col("oversell"))
@@ -179,7 +188,7 @@ object QualityQueries {
         |         CAST(CASE WHEN id % 11 = 0 THEN 0 ELSE price END AS DOUBLE) AS price,
         |         CAST(CASE WHEN id % 13 = 0 THEN -0.5 ELSE fee END AS DOUBLE) AS fee
         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ticker
-        |                                     ORDER BY ts, id) AS rn
+        |                                     ORDER BY ts, id, side, qty, price, fee) AS rn
         |        FROM trades WHERE id % 4 = 0)
         |  WHERE rn = 1),
         |v AS (

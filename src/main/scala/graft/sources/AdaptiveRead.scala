@@ -55,8 +55,30 @@ object AdaptiveRead {
     * follow the semantic schema; physical columns absent from it are
     * dropped (projection pushdown still applies to the scan). */
   def read(spark: SparkSession, path: String, semantic: StructType): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path)
+    // nanos-typed parquet needs `nanosAsLong` so the column surfaces as
+    // LONG for epochToTs's unit inference. Every graft entry point sets
+    // the flag at SparkSession BUILD time (Bench/Verify/tools/SparkSpec),
+    // so the common path mutates nothing — a read must not make later,
+    // unrelated reads order-dependent. A save/restore here would be
+    // WRONG: the conf is consulted again when the physical reader is
+    // built at action time, so restoring it under a resolved plan makes
+    // the scan throw. Only when the probe itself fails for lack of the
+    // flag do we set it (execution needs it for the session's lifetime)
+    // and say so loudly.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable
+            if e.toString.contains("TIMESTAMP(NANOS") &&
+              !spark.conf.getOption(key).contains("true") =>
+          System.err.println(
+            s"adaptive read: $path carries parquet TIMESTAMP(NANOS) columns; " +
+              s"enabling $key for this session (set it at SparkSession build " +
+              "time to avoid this in-flight switch)")
+          spark.conf.set(key, "true")
+          spark.read.parquet(path)
+      }
     val phys = df.schema
     df.select(semantic.fields.map(f => adapt(phys, f)).toIndexedSeq: _*)
   }

@@ -139,6 +139,12 @@ def main():
     n_ok = 0
     for name, sql in oracles.items():
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            # a missing/empty dump dir must name the query, not die in
+            # pd.concat with "No objects to concatenate"
+            print(f"{'MISSING':10} {name}: no parquet under "
+                  f"{os.path.join(out_dir, name)} — did Verify run this query?")
+            continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         exp = con.execute(sql).fetchdf()
         g, e = canon(got), canon(exp)
