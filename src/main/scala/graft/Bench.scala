@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A warmup pass at sf0.001 first runs each query
   * shape once so whole-stage-codegen compilation (keyed on generated
   * source, shared across scale factors) is paid outside the timed runs —
-  * the timings then measure the engine, not the JIT.
+  * the timings then measure the engine, not the JIT. Per-query numbers
+  * are the MEDIAN of GRAFT_BENCH_TRIALS (default 3) round-robin passes,
+  * with the per-query spread and full trial matrix emitted alongside,
+  * so the artifact itself distinguishes host debris from regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,7 +69,59 @@ object Bench {
       isolate(name)
       if (ok) secs else -secs
     }
-    val results = queries.map { case (name, fn) => name -> timed(name, fn) }
+    // Per-query MEDIAN of N trials (default 3, GRAFT_BENCH_TRIALS to
+    // override). Round 11's lesson: a single-sample artifact cannot
+    // distinguish a code regression from host debris — the official
+    // r11 run showed q51 at 20.4 s where same-code same-day runs showed
+    // 4.7 s, and the 2× gate flagged five queries that were almost
+    // certainly fine. Trials run ROUND-ROBIN (full suite per trial, not
+    // 3× back-to-back per query) so a transient host spike lands in at
+    // most one sample of each query instead of all samples of one query;
+    // the median then discards it. The full trial matrix is persisted to
+    // bench/last_bench_trials.json so the spread evidence rides with the
+    // artifact.
+    // A budget bounds the trial loop so the round-close run can never
+    // outgrow the driver's patience: after each trial, the next one only
+    // starts if it is PROJECTED (average trial cost so far) to fit within
+    // GRAFT_BENCH_BUDGET_SEC (default 1800 s). Fewer-than-requested
+    // trials degrade gracefully — the emitted "trials" field says how
+    // many samples the medians actually carry.
+    val wantTrials = sys.env.getOrElse("GRAFT_BENCH_TRIALS", "3").toInt.max(1)
+    val budgetSec = sys.env.getOrElse("GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+    val loopStart = System.nanoTime()
+    val runsBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    var continue = true
+    while (continue && runsBuf.size < wantTrials) {
+      val r = queries.map { case (name, fn) => name -> timed(name, fn) }
+      runsBuf += r
+      val elapsed = (System.nanoTime() - loopStart) / 1e9
+      System.err.println(
+        s"bench: trial ${runsBuf.size}/$wantTrials total " +
+          s"${r.map(x => math.abs(x._2)).sum.round} s (elapsed ${elapsed.round} s)")
+      continue = elapsed + elapsed / runsBuf.size <= budgetSec
+      if (!continue && runsBuf.size < wantTrials)
+        System.err.println(
+          s"bench: stopping after ${runsBuf.size} trial(s) — next trial " +
+            s"projected past the ${budgetSec.round} s budget")
+    }
+    val runs: Seq[Seq[(String, Double)]] = runsBuf.toSeq
+    val trials = runs.size
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query is failed if ANY trial threw — a flaky failure must not
+    // hide behind a clean median
+    val results: Seq[(String, Double)] = queries.indices.map { i =>
+      val name = queries(i)._1
+      val samples = runs.map(_(i)._2)
+      val m = median(samples.map(math.abs))
+      name -> (if (samples.forall(_ >= 0)) m else -m)
+    }
+    val spreads: Seq[(String, Double)] = queries.indices.map { i =>
+      val abs = runs.map(r => math.abs(r(i)._2))
+      queries(i)._1 -> (abs.max - abs.min)
+    }
     // Streaming queries' suite timings swing ±30% with micro-batch /
     // RocksDB harness noise, which can mask real regressions. After the
     // suite, probe each streaming query ONCE more in a maximally quiet
@@ -100,8 +155,16 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = cs(results.map { case (_, v) => math.abs(v) }.sum)
+    // one scalar of noise evidence in the line itself: the median, over
+    // queries whose median time ≥ 0.5 s, of (max−min)/median across the
+    // trials. ~0.1 on a quiet host; ≫0.3 means the artifact was taken on
+    // a loud one and per-query gates should defer to the trial matrix.
+    val noiseRatios = results.zip(spreads).collect {
+      case ((_, m), (_, sp)) if math.abs(m) >= 0.5 => sp / math.abs(m)
+    }
+    val noise = cs(if (noiseRatios.isEmpty) 0.0 else median(noiseRatios))
     val line =
-      s"""{"floors":${jmap(floors)},"queries":$qs,"failed":$failed,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the captured tail can truncate the early queries at 159 entries;
     // the full line survives in-repo so per-query history stays
@@ -111,8 +174,15 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench/last_bench.json"),
         (line + "\n").getBytes("UTF-8"))
+      // full per-trial matrix: {"trials":N,"runs":[{q:t,…},…]} — the
+      // evidence a reviewer needs to tell debris from regression
+      val runsJson = runs.map(jmap).mkString("[", ",", "]")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/last_bench_trials.json"),
+        (s"""{"sf":"$sfDir","trials":$trials,"noise":$noise,"runs":$runsJson}""" + "\n")
+          .getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"bench: could not persist bench/last_bench.json: $e")
+      System.err.println(s"bench: could not persist bench artifacts: $e")
     }
     spark.stop()
   }
