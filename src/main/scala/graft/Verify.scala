@@ -43,6 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scalable twins for the naive-oracle queries: the sf1 sweep
+    // (COMPARE_SCALABLE=1) overlays these on the primary map
+    val scalable = SparkEntry.oracleSqlScalable
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scalable.json"), scalable)
     spark.stop()
   }
 }

@@ -109,7 +109,9 @@ class SpillSpec extends SparkSpec {
     val total = spills.values.sum
     assert(total > (64L << 20),
       s"tier pool=${poolMb}m spilled only $total bytes total — the " +
-        "constrained pool no longer creates memory pressure")
+        "constrained pool no longer creates memory pressure; per-query " +
+        "spill bytes: " +
+        spills.toSeq.sorted.map { case (q, b) => s"$q=$b" }.mkString(", "))
   }
 
   test("heavy batch queries spill under a constrained pool and stay row-identical") {

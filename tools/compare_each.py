@@ -9,9 +9,16 @@ Usage: python3 tools/compare_each.py <verify_out_dir> <sf_dir>
 import sys, os, subprocess, tempfile
 
 ONE = r'''
-import duckdb, pandas as pd, numpy as np, glob, json, sys
+import duckdb, pandas as pd, numpy as np, glob, json, sys, os
 out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 oracle = json.load(open(out_dir + "/oracle_sql.json"))
+# COMPARE_SCALABLE=1: overlay scalable twins (validated row-identical
+# against the naive primaries at the largest scale where both finish)
+# so sf1+ sweeps don't time out on deliberately naive oracle SQL
+if os.environ.get("COMPARE_SCALABLE") == "1":
+    sc_path = out_dir + "/oracle_sql_scalable.json"
+    if os.path.exists(sc_path):
+        oracle.update(json.load(open(sc_path)))
 got = pd.concat([pd.read_parquet(f)
                  for f in glob.glob(out_dir + "/" + name + "/*.parquet")],
                 ignore_index=True)
