@@ -30,17 +30,32 @@ for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
     # single-file (driver testdata) vs Spark-written directory layouts
     p = f"{sf_dir}/{t}.parquet"
-    src = f"'{p}/*.parquet'" if _os.path.isdir(p) else f"'{p}'"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    is_dir = _os.path.isdir(p)
+    src = f"'{p}/*.parquet'" if is_dir else f"'{p}'"
+    # Directory globs bind with estimated cardinality 0/1 in DuckDB, and
+    # the optimizer then collapses multi-join queries into CROSS_PRODUCT
+    # plans (observed: q116's pairs x item at sf1 — quadratic, >1800 s
+    # for a 6 s query; the round-11 "oracle timeout"). Materializing the
+    # directory sources as tables restores real stats and sane join
+    # orders at the cost of an upfront copy.
+    # events gets a normalizing view on top, so its physical source
+    # lands under a _src name and `events` is always the view
+    tgt = "events_src" if t == "events" else t
+    if is_dir:
+        con.execute(f"CREATE TABLE {tgt} AS SELECT * FROM {src}")
+    else:
+        con.execute(f"CREATE VIEW {tgt} AS SELECT * FROM {src}")
     if t == "events":
         ts_type = con.execute(
-            "SELECT column_type FROM (DESCRIBE events) WHERE column_name='ts'"
+            "SELECT column_type FROM (DESCRIBE events_src) WHERE column_name='ts'"
         ).fetchone()[0]
         if ts_type == "BIGINT":  # raw nanos -> micros-truncated TIMESTAMP
             con.execute(
-                "CREATE OR REPLACE VIEW events AS SELECT "
+                "CREATE VIEW events AS SELECT "
                 "event_id, make_timestamp(ts // 1000) AS ts, user_id, "
-                f"event_type, value, props FROM {src}")
+                "event_type, value, props FROM events_src")
+        else:
+            con.execute("CREATE VIEW events AS SELECT * FROM events_src")
 exp = con.execute(oracle[name]).fetchdf()
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
