@@ -86,8 +86,29 @@ object Dedup {
     * then exact-verified by shingle-set intersection, so prefix
     * filtering affects COST only, never the answer. The 1e-9 slack on
     * both bounds makes float wobble lengthen a prefix (safe: more
-    * candidates) rather than shorten it (unsound: missed pairs). */
-  private def jaccardPairsFromShingles(s: DataFrame, threshold: Double): DataFrame = {
+    * candidates) rather than shorten it (unsound: missed pairs).
+    *
+    * Shingles travel as XXHASH64 LONGS, not strings, from the df count
+    * onward: every downstream stage — the df join, the per-doc arrays,
+    * the prefix self-join, and above all the verify join that ships
+    * BOTH docs' full shingle sets per candidate pair — moves 8 bytes
+    * per shingle instead of a ~25-byte 3-gram, cutting the job's
+    * shuffle volume ~3x (measured: the sf10 probe's uncapped run
+    * exhausted 65 GB of local shuffle disk on strings). The ranking
+    * order (df asc, hash asc) is still a single global total order, so
+    * prefix soundness is untouched. Exactness caveat: a wrong answer
+    * now requires two DISTINCT shingles of the same candidate pair to
+    * collide in 64 bits — probability < 1e-5 at the sf10 probe scale
+    * (~1e9 pairs x ~1e5 shingle-pairs each / 2^64) and the per-round
+    * DuckDB brute-force oracle cross-checks the output empirically;
+    * swap the hash for the string itself to restore bit-exactness at
+    * ~3x the shuffle cost. */
+  private def jaccardPairsFromShingles(s0: DataFrame, threshold: Double): DataFrame = {
+    // hash shingle strings down to longs; the input is already distinct
+    // per (doc, shingle), so a duplicate long per doc requires a
+    // same-doc 64-bit collision (~1e-9 across the whole sf10 corpus) —
+    // not worth a defensive re-distinct's extra full shuffle
+    val s = s0.select(col("doc"), xxhash64(col("sh")).as("sh"))
     // ONE doc-keyed aggregation builds each doc's rarest-first shingle
     // array; the prefix is a slice of it and the SAME array feeds the
     // exact verify, so no window sort, no verify-side semi-join +
