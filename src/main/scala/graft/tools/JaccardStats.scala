@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Candidate-volume diagnostic for the prefix-filtered Jaccard join:
+  * counts — WITHOUT materializing the verify join — how many candidate
+  * pairs the prefix self-join generates at a given scale, and how many
+  * of them are CROSS-COPY pairs under ScaleUp's key-shift layout
+  * (copy index = doc % mult). Motivation: the sf10 probe's uncapped
+  * q21 run exhausted local shuffle disk twice (65 GB on string
+  * shingles, then again after the xxhash64 cut), and the question
+  * "is that the engine or the workload?" needs numbers, not vibes.
+  * The expected answer, confirmed by this tool's output in SCALING.md:
+  * word-permutation preserves a small set of permutation-invariant
+  * shingles per source doc (short docs, repeated phrases), so every
+  * source doc's ~mult copies share them pairwise — candidates grow
+  * ~quadratically in mult while TRUE >=t pairs grow linearly. That is
+  * the canonical regime where exact all-pairs similarity is
+  * super-linear by nature and the capped (q39) / LSH (q22) variants
+  * are the scale path.
+  *
+  * The count streams through one aggregate: prefix postings are
+  * shuffled once (small), the pair join feeds count() directly — no
+  * distinct, no verify arrays, no pair materialization on disk.
+  *
+  * Usage: sbt "runMain graft.tools.JaccardStats [sfDir] [threshold] [mult]"
+  *        (defaults: /tmp/graft_sf10  0.8  100)
+  */
+object JaccardStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_sf10")
+    val threshold = args.drop(1).headOption.map(_.toDouble).getOrElse(0.8)
+    val mult = args.drop(2).headOption.map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val s = Dedup.shingles(docs, "doc_id", "text")
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    val byDoc = s
+      .join(s.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("doc"),
+        expr("transform(ranked, x -> x.sh)").as("shs"),
+        size(col("ranked")).as("ns"))
+    val prefix = byDoc.select(col("doc"), col("ns"),
+      explode(expr(
+        s"slice(shs, 1, ns - CAST(ceil($threshold * ns - 1e-9) AS INT) + 1)"))
+        .as("sh"))
+    val nDocs = docs.count()
+    val nPostings = s.count()
+    val nPrefix = prefix.count()
+    // raw candidate matches (pre-distinct): the volume the candidate
+    // join actually pushes into its shuffle; split by copy locality
+    val raw = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
+          col("b.ns") >= lit(threshold) * col("a.ns") - lit(1e-9) &&
+          col("a.ns") >= lit(threshold) * col("b.ns") - lit(1e-9))
+      .select((pmod(col("a.doc"), lit(mult)) === pmod(col("b.doc"), lit(mult)))
+        .as("same_copy"))
+      .groupBy("same_copy").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val sameCopy = raw.getOrElse(true, 0L)
+    val crossCopy = raw.getOrElse(false, 0L)
+    println(
+      s"""{"sf_dir":"$sfDir","threshold":$threshold,"mult":$mult,
+         |"docs":$nDocs,"postings":$nPostings,"prefix_postings":$nPrefix,
+         |"raw_candidates_same_copy":$sameCopy,
+         |"raw_candidates_cross_copy":$crossCopy}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
