@@ -37,12 +37,15 @@ class SpillSpec extends SparkSpec {
   private val heavyEight =
     "q21,q22,q48,q51,q116,q139,q149,q162"
   // queries observed to spill with a WIDE margin at their tier's pool
-  // (20–650 MB). The marginal ones (q22/q48/q51/q162) hover near zero
-  // once the JVM is JIT-warm — they degrade via storage eviction +
+  // (260–740 MB). The marginal ones (q21/q22/q48/q51/q162) hover near
+  // zero once the JVM is JIT-warm — they degrade via storage eviction +
   // recompute instead, which is correct-but-slower — so they are
   // equality-only, and an aggregate floor below catches a pool-wide
-  // pressure loss.
-  private val mustSpill = Set("q21", "q115", "q116", "q139", "q149")
+  // pressure loss. q21 moved from mustSpill to marginal in round 12:
+  // hashing shingles to longs (Dedup.jaccardPairsFromShingles) cut its
+  // per-task verify-join footprint ~3x, below the 96 MB pressure point
+  // (retuned from the failure log's spill table, per its design).
+  private val mustSpill = Set("q115", "q116", "q139", "q149")
 
   private def addOpens: Seq[String] =
     ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
