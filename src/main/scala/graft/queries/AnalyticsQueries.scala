@@ -1462,30 +1462,41 @@ object AnalyticsQueries {
     * dangling-mass term needed). */
   def q115PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    // edges are partitioned by the join key ONCE, before the lineage
-    // cut, and the cut PRESERVES that partitioning (truncateKeep-
-    // Partitioning) — so every iteration's edge⋈rank join and the deg
-    // aggregation read the checkpointed blocks in place and shuffle
-    // only the COMPACT rank table, never the edge list again. At
-    // 100 TB the edge list is the dominant relation; re-exchanging it
-    // per iteration would multiply the job's shuffle volume by the
-    // round count (and did, until the partitioning survived the cut —
-    // see Lineage.truncateKeepPartitioning).
-    val edges = li.as("a").join(li.as("b"),
+    // The graph is cached in ADJACENCY-LIST form — one row per node
+    // with its out-neighbor set — not as an edge list: same longs, but
+    // |V| UnsafeRow headers instead of |E| (the sf10 probe measured
+    // the edge-list form hitting the storage pool's ceiling from the
+    // first iteration; row overhead was ~40% of that footprint), the
+    // out-degree comes free as size(vs), and collect_set dedupes
+    // in-aggregate so the build is ONE shuffle, not distinct + groupBy.
+    // Set order is nondeterministic but nothing downstream reads it:
+    // deg is a size, contributions explode into an order-independent
+    // integer sum. The adjacency is partitioned by its join key ONCE,
+    // before the lineage cut, and the cut PRESERVES that partitioning
+    // (truncateKeepPartitioning) — so every iteration's adj⋈rank join
+    // reads the checkpointed blocks in place and shuffles only the
+    // COMPACT rank table. At 100 TB the graph is the dominant
+    // relation; re-exchanging it per iteration would multiply the
+    // job's shuffle volume by the round count (and did, until the
+    // partitioning survived the cut — see Lineage.truncateKeepPartitioning).
+    // The per-iteration gather (groupBy node over exploded
+    // contributions) still moves ~|E| rows — inherent to scatter-
+    // gather PageRank; on N executors that is |E|/N each.
+    val adj = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+      .groupBy("u").agg(collect_set(col("v")).as("vs"))
       .repartition(col("u"))
       .transform(graft.operators.Lineage.truncateKeepPartitioning)
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    var rank = deg.withColumn("rank_micro", lit(1000000L))
-      .select(col("u").as("node"), col("deg"), col("rank_micro"))
+    var rank = adj
+      .select(col("u").as("node"), size(col("vs")).as("deg"),
+        lit(1000000L).as("rank_micro"))
       .transform(graft.operators.Lineage.truncate)
     for (_ <- 1 to 5) {
-      val contrib = edges
+      val contrib = adj
         .join(rank.select(col("node").as("u"), col("deg"), col("rank_micro")), "u")
-        .select(col("v").as("node"),
+        .select(explode(col("vs")).as("node"),
           expr("rank_micro div deg").as("c"))
         .groupBy("node").agg(sum("c").as("sumc"))
       rank = rank.drop("rank_micro")
