@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * join -> exact verify).
   *
   * Scale shape: everything is shuffle-on-key; no driver-side state, no
-  * pairwise O(n^2) work outside LSH buckets. Hashes are md5-based so the
-  * DuckDB oracle can replicate results bit-for-bit (a production deploy
-  * would swap in xxhash64 — same plan shape, cheaper hash).
+  * pairwise O(n^2) work outside LSH buckets. Oracle-visible hashes
+  * (minhash signatures, simhash bits) are md5-derived integers with
+  * pure-arithmetic mixing so the DuckDB oracle replicates them
+  * bit-for-bit; oracle-invisible internals (shingle identity inside
+  * the verify joins) use xxhash64 — cheaper, and equality-only.
   */
 object Dedup {
 
@@ -140,17 +142,39 @@ object Dedup {
       .select("ia", "ib", "jaccard")
   }
 
+  /** The Carter-Wegman modulus (the Mersenne prime 2^31 - 1) and the
+    * fixed per-function mixing constants (a_i, b_i), a_i in [1, M).
+    * Both the Spark plan and the DuckDB oracle SQL are generated from
+    * THIS list (PipelineQueries interpolates it into the twin), so the
+    * two engines compute identical signatures by construction. Bounds:
+    * h < M and a < 2^32, so a*h + b < 2^63 — no overflow under ANSI. */
+  val MinhashPrime = 2147483647L
+  def minhashMixers(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (2654435761L * (i + 1) + 1013904223L) % (MinhashPrime - 1) + 1
+      val b = (1103515245L * (i + 1) + 12345L) % MinhashPrime
+      (a, b)
+    }
+
   /** MinHash signatures, wide form: one row per doc with columns
-    * mh0..mh{k-1}, mh_i = min over shingles of md5(i || ':' || shingle)
-    * (lexicographic min over hex strings). Computed in a single
+    * mh0..mh{k-1}, mh_i = min over shingles of (a_i*h + b_i) mod M
+    * where h = the shingle's md5-derived 60-bit integer reduced mod M
+    * (the q23 simhash idiom — replicable in DuckDB as
+    * ('0x'||substr(md5(sh),1,15))::BIGINT). ONE md5 per shingle row
+    * plus k integer multiply-mixes, instead of k md5-of-string
+    * computations: the k-fold string hashing was 83% of q22's wall
+    * time at sf10 (bench/probe_r12_q22_stages). Computed in a single
     * aggregation pass — no k-way row blowup, one shuffle on doc. */
   def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val h = conv(substring(md5(col("sh")), 1, 15), 16, 10)
+      .cast("long") % MinhashPrime
+    val mins = minhashMixers(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashPrime).as(s"mh$i") }
     // shingle count rides along in the same pass for callers that need
     // set sizes without a separate groupBy over the shingle set
     val aggs = mins :+ count(lit(1)).as("ns")
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+    sh.select(col("doc"), h.as("h")).groupBy(col("doc"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded minhash signature table — one row per (doc, band) with the
@@ -163,10 +187,13 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sig = minhashSignature(shingles(docs, idCol, textCol), k)
-    // one row per (doc, band): band hash = md5 of the band's minhashes
+    // one row per (doc, band): band bucket = polynomial combine of the
+    // band's integer minhashes (each < M < 2^31, so the base-31 fold
+    // stays < 2^47 — overflow-free, and identical in the oracle)
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
-        md5(concat((0 until r).map(j => col(s"mh${b * r + j}")): _*)).as("bh"))): _*)
+        (0 until r).map(j => col(s"mh${b * r + j}"))
+          .reduce((acc, c) => acc * 31 + c).as("bh"))): _*)
     sig
       .select(col("doc"), explode(bandStructs).as("bs"))
       .select(col("doc"), col("bs.band").as("band"), col("bs.bh").as("bh"))
@@ -178,8 +205,13 @@ object Dedup {
     * pairs to the two arrays and intersect. Verify work is proportional
     * to candidate pairs — NOT the all-pairs co-shingle join, which would
     * redo the brute-force path and negate LSH at scale. */
-  private def jaccardVerify(cand: DataFrame, s: DataFrame,
+  private def jaccardVerify(cand: DataFrame, s0: DataFrame,
                             threshold: Double): DataFrame = {
+    // 64-bit shingle hashes through the verify join, as in the q21
+    // prefix-filter path: intersection counts are identical modulo
+    // xxhash64 collisions within one doc pair (~2^-64 per shingle
+    // pair), and the gathered arrays shed ~3x their bytes
+    val s = s0.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val candDocs = cand.select(col("ia").as("doc"))
       .union(cand.select(col("ib").as("doc"))).distinct()
     val docShingles = s.join(candDocs, Seq("doc"), "left_semi")

@@ -549,6 +549,27 @@ object PipelineQueries {
       |FROM common
       |JOIN ns na ON ia = na.doc JOIN ns nb ON ib = nb.doc""".stripMargin
 
+  /** The minhash/band CTEs of the q22/q124 twins, generated from the
+    * SAME mixing constants the Spark plan uses
+    * ([[graft.operators.Dedup.minhashMixers]]) so the two engines
+    * compute identical signatures by construction. */
+  private val minhashCtes: String = {
+    val m = graft.operators.Dedup.MinhashPrime
+    val mix = graft.operators.Dedup.minhashMixers(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""hh AS (SELECT doc, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $m AS h FROM s),
+       |mx AS (SELECT * FROM (VALUES $mix) t(i, a, b)),
+       |hs AS (SELECT doc, i, min((h * a + b) % $m) AS mh
+       |       FROM hh CROSS JOIN mx GROUP BY doc, i),
+       |bh AS (
+       |  SELECT doc, CAST(i // 4 AS INT) AS band,
+       |         ((max(CASE WHEN i % 4 = 0 THEN mh END) * 31
+       |          + max(CASE WHEN i % 4 = 1 THEN mh END)) * 31
+       |          + max(CASE WHEN i % 4 = 2 THEN mh END)) * 31
+       |          + max(CASE WHEN i % 4 = 3 THEN mh END) AS bhv
+       |  FROM hs GROUP BY doc, band)""".stripMargin
+  }
+
   /** q101: MP4 (ISO-BMFF) header decode — the FOURTH real byte-level
     * format (PNG, WAV, JPEG precedent) and the first with a NESTED
     * structure: moov is found by hopping top-level boxes via their
@@ -940,16 +961,7 @@ object PipelineQueries {
 
     "q22_dedup_minhash_lsh" ->
       s"""WITH $shingleCtes,
-         |hs AS (
-         |  SELECT doc, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-         |  FROM s CROSS JOIN (SELECT range AS i FROM range(16)) GROUP BY doc, i),
-         |bh AS (
-         |  SELECT doc, CAST(i // 4 AS INT) AS band,
-         |         md5(max(CASE WHEN i % 4 = 0 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 1 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 2 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 3 THEN mh END)) AS bhv
-         |  FROM hs GROUP BY doc, band),
+         |$minhashCtes,
          |cand AS (
          |  SELECT DISTINCT x.doc AS ia, y.doc AS ib
          |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv AND x.doc < y.doc)
@@ -963,16 +975,7 @@ object PipelineQueries {
     // the incremental index path must agree with it exactly
     "q124_incremental_dedup" ->
       s"""WITH $shingleCtes,
-         |hs AS (
-         |  SELECT doc, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-         |  FROM s CROSS JOIN (SELECT range AS i FROM range(16)) GROUP BY doc, i),
-         |bh AS (
-         |  SELECT doc, CAST(i // 4 AS INT) AS band,
-         |         md5(max(CASE WHEN i % 4 = 0 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 1 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 2 THEN mh END)
-         |          || max(CASE WHEN i % 4 = 3 THEN mh END)) AS bhv
-         |  FROM hs GROUP BY doc, band),
+         |$minhashCtes,
          |cand AS (
          |  SELECT DISTINCT x.doc AS ia, y.doc AS ib
          |  FROM bh x JOIN bh y ON x.band = y.band AND x.bhv = y.bhv AND x.doc < y.doc
