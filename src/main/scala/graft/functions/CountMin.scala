@@ -1,8 +1,6 @@
 package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -23,10 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Point estimates read `min_i counters[i][h_i(v)]`, which never
   * under-counts (est >= true; over-count bounded by e/width · N with
-  * prob 1-(1/2)^depth). The row hashes are md5-derived
-  * (`md5(i ":" v)` -> first 60 bits), so [[CountMin.estimate]] can
-  * compute the identical bucket index with built-in column functions
-  * and any engine with md5 can replicate the sketch bit-for-bit.
+  * prob 1-(1/2)^depth). The row hashes are ONE xxhash64 of the value
+  * mixed through per-row Carter-Wegman `(a_i·h+b_i) mod 2³¹−1`
+  * functions — [[CountMin.estimate]] computes the identical bucket
+  * index with the built-in `xxhash64` column function plus codegen'd
+  * integer arithmetic, so the aggregate and the probe agree
+  * bit-for-bit at one hash per row (the scheme is oracle-INVISIBLE:
+  * the q57/q67 twins check exact counts, not buckets — see the
+  * minhash precedent in operators/Dedup.scala for the oracle-visible
+  * variant of the same trick).
   */
 case class CountMinAgg(
     child: Expression, depth: Int, width: Int,
@@ -37,10 +40,10 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      val h = CountMin.hashValue(v.asInstanceOf[UTF8String])
       var i = 0
       while (i < depth) {
-        buf(i * width + (CountMin.hashRow(i, s) % width).toInt) += 1L
+        buf(i * width + CountMin.bucket(i, h, width)) += 1L
         i += 1
       }
     }
@@ -124,15 +127,27 @@ trait CountMinBase { self: TypedImperativeAggregate[Array[Long]] =>
 }
 
 object CountMin {
-  /** Row-i hash of `v`: first 60 bits of md5("i:" + v), identical to the
-    * SQL-side `conv(substring(md5(concat('i:', v)), 1, 15), 16, 10)`. */
-  private[graft] def hashRow(i: Int, v: String): Long = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s"$i:$v".getBytes(StandardCharsets.UTF_8))
-    var acc = 0L
-    var j = 0
-    while (j < 8) { acc = (acc << 8) | (d(j) & 0xffL); j += 1 }
-    acc >>> 4 // 16 nibbles -> the first 15 hex chars' worth
+  /** Carter-Wegman modulus and per-row mixing constants — the same
+    * formula family as `Dedup.minhashMixers`; bounds keep a·h+b < 2^63
+    * so the arithmetic is overflow-free under ANSI in both the JVM
+    * update loop and the codegen'd estimate expression. */
+  private[graft] val MixPrime = 2147483647L
+  private[graft] def mixer(i: Int): (Long, Long) = (
+    (2654435761L * (i + 1) + 1013904223L) % (MixPrime - 1) + 1,
+    (1103515245L * (i + 1) + 12345L) % MixPrime)
+
+  /** The one per-row hash: identical to the SQL `xxhash64(v)` column
+    * function (seed 42), so the aggregate's buckets and
+    * [[estimate]]'s codegen'd probe agree bit-for-bit. */
+  private[graft] def hashValue(v: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, org.apache.spark.sql.types.StringType, 42L)
+
+  /** Row-i bucket of hash `h`: ((a_i·pmod(h,M) + b_i) mod M) mod width. */
+  private[graft] def bucket(i: Int, h: Long, width: Int): Int = {
+    val hm = ((h % MixPrime) + MixPrime) % MixPrime
+    val (a, b) = mixer(i)
+    (((a * hm + b) % MixPrime) % width).toInt
   }
 
   private def expr(c: Column) = org.apache.spark.sql.graft.bridge.expression(c)
@@ -149,14 +164,18 @@ object CountMin {
     aggCol(CountMinMergeAgg(expr(c), depth, width).toAggregateExpression())
 
   /** Point estimate of `value`'s count from a sketch column: the minimum
-    * over rows of the value's bucket. Pure built-in functions (md5 /
-    * conv / element_at), so it runs codegen'd and the bucket math is
-    * bit-identical to the aggregate's. */
-  def estimate(sketch: Column, value: Column, depth: Int, width: Int): Column =
+    * over rows of the value's bucket. ONE xxhash64 plus integer
+    * arithmetic per row — pure built-in functions, so it runs
+    * codegen'd and the bucket math is bit-identical to the
+    * aggregate's [[bucket]]. */
+  def estimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
+    val hm = pmod(xxhash64(value), lit(MixPrime))
     least((0 until depth).map { i =>
+      val (a, b) = mixer(i)
       element_at(sketch,
         (lit(i * width) +
-          pmod(conv(substring(md5(concat(lit(s"$i:"), value)), 1, 15), 16, 10)
-            .cast("long"), lit(width.toLong))).cast("int") + 1)
+          pmod(lit(a) * hm + lit(b), lit(MixPrime)) % lit(width.toLong))
+          .cast("int") + 1)
     }: _*)
+  }
 }
