@@ -20,16 +20,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * kilobytes.
   *
   * Point estimates read `min_i counters[i][h_i(v)]`, which never
-  * under-counts (est >= true; over-count bounded by e/width · N with
-  * prob 1-(1/2)^depth). The row hashes are ONE xxhash64 of the value
-  * mixed through per-row Carter-Wegman `(a_i·h+b_i) mod 2³¹−1`
-  * functions — [[CountMin.estimate]] computes the identical bucket
-  * index with the built-in `xxhash64` column function plus codegen'd
-  * integer arithmetic, so the aggregate and the probe agree
-  * bit-for-bit at one hash per row (the scheme is oracle-INVISIBLE:
-  * the q57/q67 twins check exact counts, not buckets — see the
-  * minhash precedent in operators/Dedup.scala for the oracle-visible
-  * variant of the same trick).
+  * under-counts (est >= true; over-count bounded by e/width · N per
+  * the usual CMS analysis). The row hashes are ONE xxhash64 of the
+  * value split into TWO 31-bit residues `h1 = h mod M`,
+  * `h2 = (h >> 31) mod M`, with row i probing
+  * `(a_i·h1 + b_i + i·h2) mod M mod width` — the Kirsch–Mitzenmacher
+  * two-hash construction (ACM ESA 2006) under the Carter-Wegman
+  * mixers, so the per-row functions stay pairwise-uniform AND two
+  * distinct keys collide in EVERY row only when both residues
+  * collide (row 0 forces h1≡h1', then any later row forces h2≡h2' —
+  * probability ~2⁻⁶², not the ~2⁻³¹ a single shared residue would
+  * give). [[CountMin.estimate]] computes the identical bucket index
+  * with the built-in `xxhash64`/`shiftright` column functions plus
+  * codegen'd integer arithmetic, so the aggregate and the probe
+  * agree bit-for-bit at one hash per row (the scheme is
+  * oracle-INVISIBLE: the q57/q67 twins check exact counts, not
+  * buckets — see the minhash precedent in operators/Dedup.scala for
+  * the oracle-visible variant of the same trick).
   */
 case class CountMinAgg(
     child: Expression, depth: Int, width: Int,
@@ -143,11 +150,15 @@ object CountMin {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function
       .hash(v, org.apache.spark.sql.types.StringType, 42L)
 
-  /** Row-i bucket of hash `h`: ((a_i·pmod(h,M) + b_i) mod M) mod width. */
+  /** Row-i bucket of hash `h`: ((a_i·h1 + b_i + i·h2) mod M) mod width
+    * where h1/h2 are the two 31-bit residues of `h` (see class doc).
+    * Overflow-free: a_i·h1 < 2⁶², the mod brings it under 2³¹, and
+    * i·h2 < depth·2³¹ ≪ 2⁶³. */
   private[graft] def bucket(i: Int, h: Long, width: Int): Int = {
-    val hm = ((h % MixPrime) + MixPrime) % MixPrime
+    val h1 = ((h % MixPrime) + MixPrime) % MixPrime
+    val h2 = (((h >> 31) % MixPrime) + MixPrime) % MixPrime
     val (a, b) = mixer(i)
-    (((a * hm + b) % MixPrime) % width).toInt
+    ((((a * h1 + b) % MixPrime + i.toLong * h2) % MixPrime) % width).toInt
   }
 
   private def expr(c: Column) = org.apache.spark.sql.graft.bridge.expression(c)
@@ -169,12 +180,15 @@ object CountMin {
     * codegen'd and the bucket math is bit-identical to the
     * aggregate's [[bucket]]. */
   def estimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
-    val hm = pmod(xxhash64(value), lit(MixPrime))
+    val h = xxhash64(value)
+    val h1 = pmod(h, lit(MixPrime))
+    val h2 = pmod(shiftright(h, 31), lit(MixPrime))
     least((0 until depth).map { i =>
       val (a, b) = mixer(i)
       element_at(sketch,
         (lit(i * width) +
-          pmod(lit(a) * hm + lit(b), lit(MixPrime)) % lit(width.toLong))
+          (pmod(lit(a) * h1 + lit(b), lit(MixPrime)) + lit(i.toLong) * h2)
+            % lit(MixPrime) % lit(width.toLong))
           .cast("int") + 1)
     }: _*)
   }

@@ -106,6 +106,33 @@ object Dedup {
     * swap the hash for the string itself to restore bit-exactness at
     * ~3x the shuffle cost. */
   private def jaccardPairsFromShingles(s0: DataFrame, threshold: Double): DataFrame = {
+    val st = prefixStages(s0, threshold)
+    val cand = st.rawCandidates.distinct()
+    val arrays = st.byDoc.select(col("doc"), col("shs"))
+    cand
+      .join(arrays.select(col("doc").as("ia"), col("shs").as("sa")), "ia")
+      .join(arrays.select(col("doc").as("ib"), col("shs").as("sb")), "ib")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sa")) + size(col("sb")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("ia", "ib", "jaccard")
+  }
+
+  /** The stages of the prefix-filtered pair search up to (and
+    * including) the RAW candidate join, shared between
+    * [[jaccardPairsFromShingles]] and the `tools.JaccardStats`
+    * candidate-volume diagnostic — the prefix rule (ranking order,
+    * slice length, size-filter predicates, 1e-9 slack) lives in
+    * exactly one place, so the diagnostic always measures the
+    * workload the production join actually runs. */
+  private[graft] case class PrefixStages(
+      postings: DataFrame,      // (doc, sh: long) — hashed shingle postings
+      byDoc: DataFrame,         // (doc, shs: array<long> rarest-first, ns)
+      prefixPostings: DataFrame, // (doc, ns, sh) — prefix slice, exploded
+      rawCandidates: DataFrame) // (ia, ib) — pre-distinct candidate matches
+
+  private[graft] def prefixStages(s0: DataFrame, threshold: Double): PrefixStages = {
     // hash shingle strings down to longs; the input is already distinct
     // per (doc, shingle), so a duplicate long per doc requires a
     // same-doc 64-bit collision (~1e-9 across the whole sf10 corpus) —
@@ -126,20 +153,12 @@ object Dedup {
       explode(expr(
         s"slice(shs, 1, ns - CAST(ceil($threshold * ns - 1e-9) AS INT) + 1)"))
         .as("sh"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val raw = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
           col("b.ns") >= lit(threshold) * col("a.ns") - lit(1e-9) &&
           col("a.ns") >= lit(threshold) * col("b.ns") - lit(1e-9))
-      .select(col("a.doc").as("ia"), col("b.doc").as("ib")).distinct()
-    val arrays = byDoc.select(col("doc"), col("shs"))
-    cand
-      .join(arrays.select(col("doc").as("ia"), col("shs").as("sa")), "ia")
-      .join(arrays.select(col("doc").as("ib"), col("shs").as("sb")), "ib")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (size(col("sa")) + size(col("sb")) - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("ia", "ib", "jaccard")
+      .select(col("a.doc").as("ia"), col("b.doc").as("ib"))
+    PrefixStages(s, byDoc, prefix, raw)
   }
 
   /** The Carter-Wegman modulus (the Mersenne prime 2^31 - 1) and the

@@ -221,8 +221,9 @@ object AnalyticsQueries {
     * the 100 TB telemetry pattern: each partition/day ships a
     * depth×width Long array, never its rows.
     *
-    * The estimates are oracle-checkable EXACTLY: the sketch's md5-derived
-    * buckets are deterministic, the estimate never under-counts, and at
+    * The estimates are oracle-checkable EXACTLY: the sketch's buckets
+    * are deterministic (one xxhash64 split into two residues, mixed per
+    * row — see CountMin's class doc), the estimate never under-counts, and at
     * depth 4 × width 2048 the handful of event types do not collide in
     * every row, so `min_i bucket_i` equals the true count and the DuckDB
     * twin is a plain GROUP BY count. (CountMinSpec covers the lossy

@@ -107,16 +107,25 @@ object FaultProbe {
         attempt += 1
         val frac = 0.4 / attempt
         @volatile var killedAt = 0L
+        // `armed` + interrupt make the killer cancellable: if the warm
+        // faulted run finishes BEFORE the scheduled offset, the thread
+        // must not stay sleeping past this attempt and fire a stray
+        // SIGKILL into the NEXT attempt (two simultaneous kills on a
+        // 2-executor cluster can exhaust stage attempts and crash the
+        // probe before the artifact is written).
+        @volatile var armed = true
         val killer = new Thread(() => {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (tracker.getActiveJobIds().isEmpty &&
-              System.nanoTime() < deadline) Thread.sleep(10)
-          Thread.sleep(math.max(50L, (baseSecs * 1000 * frac).toLong))
-          executorPids().sortBy(_.pid()).headOption.foreach { h =>
-            killedPid = h.pid()
-            h.destroyForcibly()
-            killedAt = System.nanoTime()
-          }
+          try {
+            val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+            while (tracker.getActiveJobIds().isEmpty &&
+                System.nanoTime() < deadline) Thread.sleep(10)
+            Thread.sleep(math.max(50L, (baseSecs * 1000 * frac).toLong))
+            if (armed) executorPids().sortBy(_.pid()).headOption.foreach { h =>
+              killedPid = h.pid()
+              h.destroyForcibly()
+              killedAt = System.nanoTime()
+            }
+          } catch { case _: InterruptedException => () }
         })
         killer.setDaemon(true)
         val t1 = System.nanoTime()
@@ -124,7 +133,9 @@ object FaultProbe {
         val faulted = fn(spark, sfDir).cache()
         nFault = faulted.count()
         val endAt = System.nanoTime()
-        killer.join(5000)
+        armed = false
+        killer.interrupt()
+        killer.join()
         faultSecs = (endAt - t1) / 1e9
         val killedDuring = killedAt != 0L && killedAt < endAt
         status =
@@ -156,7 +167,8 @@ object FaultProbe {
     // ~1 s, so runs can SURVIVE locally without validating the default
     // mode for real clusters. The load-bearing result stays the PASS
     // rows: reliable mode completes AND matches under executor loss.
-    if (sys.env.get("GRAFT_FAULT_CONTRAST").forall(_ == "1")) {
+    // Default-ON; set GRAFT_FAULT_CONTRAST=0 to skip the contrast runs.
+    if (!sys.env.get("GRAFT_FAULT_CONTRAST").contains("0")) {
       val (cName, cFn) = selected.head
       spark.conf.set("graft.checkpoint.reliable", "false")
       cFn(spark, sfDir).count() // warm
@@ -168,14 +180,17 @@ object FaultProbe {
       // observe a few mid-run kills and report the tally
       val observations = (1 to 3).map { i =>
         @volatile var killedAt = 0L
+        @volatile var armed = true // same stale-kill guard as the main loop
         val killer = new Thread(() => {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (tracker.getActiveJobIds().isEmpty &&
-              System.nanoTime() < deadline) Thread.sleep(10)
-          Thread.sleep(math.max(50L, (warmSecs * 1000 * 0.4 / i).toLong))
-          executorPids().sortBy(_.pid()).headOption.foreach { h =>
-            h.destroyForcibly(); killedAt = System.nanoTime()
-          }
+          try {
+            val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+            while (tracker.getActiveJobIds().isEmpty &&
+                System.nanoTime() < deadline) Thread.sleep(10)
+            Thread.sleep(math.max(50L, (warmSecs * 1000 * 0.4 / i).toLong))
+            if (armed) executorPids().sortBy(_.pid()).headOption.foreach { h =>
+              h.destroyForcibly(); killedAt = System.nanoTime()
+            }
+          } catch { case _: InterruptedException => () }
         })
         killer.setDaemon(true)
         killer.start()
@@ -186,7 +201,9 @@ object FaultProbe {
             if (killedAt != 0L && killedAt < endAt) "SURVIVED" else "UNTESTED"
           }
           catch { case t: Throwable => s"FAILED(${t.getClass.getSimpleName})" }
-        killer.join(5000)
+        armed = false
+        killer.interrupt()
+        killer.join()
         obs
       }
       System.err.println(

@@ -45,29 +45,18 @@ object JaccardStats {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = graft.sources.Tables.documents(spark, sfDir)
-    val s = Dedup.shingles(docs, "doc_id", "text")
-      .select(col("doc"), xxhash64(col("sh")).as("sh"))
-    val byDoc = s
-      .join(s.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
-      .groupBy("doc")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
-      .select(col("doc"),
-        expr("transform(ranked, x -> x.sh)").as("shs"),
-        size(col("ranked")).as("ns"))
-    val prefix = byDoc.select(col("doc"), col("ns"),
-      explode(expr(
-        s"slice(shs, 1, ns - CAST(ceil($threshold * ns - 1e-9) AS INT) + 1)"))
-        .as("sh"))
+    // The stages ARE the production pipeline's (Dedup.prefixStages is
+    // shared with the q21/q39 pair search), so these counts describe
+    // the join q21 actually runs, not a re-implementation of it.
+    val st = Dedup.prefixStages(
+      Dedup.shingles(docs, "doc_id", "text"), threshold)
     val nDocs = docs.count()
-    val nPostings = s.count()
-    val nPrefix = prefix.count()
+    val nPostings = st.postings.count()
+    val nPrefix = st.prefixPostings.count()
     // raw candidate matches (pre-distinct): the volume the candidate
     // join actually pushes into its shuffle; split by copy locality
-    val raw = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
-          col("b.ns") >= lit(threshold) * col("a.ns") - lit(1e-9) &&
-          col("a.ns") >= lit(threshold) * col("b.ns") - lit(1e-9))
-      .select((pmod(col("a.doc"), lit(mult)) === pmod(col("b.doc"), lit(mult)))
+    val raw = st.rawCandidates
+      .select((pmod(col("ia"), lit(mult)) === pmod(col("ib"), lit(mult)))
         .as("same_copy"))
       .groupBy("same_copy").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap

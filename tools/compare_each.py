@@ -25,9 +25,16 @@ got = pd.concat([pd.read_parquet(f)
 if name not in oracle:
     print("ROWS-ONLY", len(got)); sys.exit(0)
 con = duckdb.connect()
-import os as _os
+import os as _os, re as _re
+sql_under_test = oracle[name]
 for t in ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split():
+    # Each subprocess compares ONE query: only bind (and, for
+    # directory layouts, copy) the tables its SQL actually names —
+    # materializing all ~10 per process multiplies the upfront parquet
+    # decode by the sweep's query count for nothing.
+    if not _re.search(r"\b" + t + r"\b", sql_under_test):
+        continue
     # single-file (driver testdata) vs Spark-written directory layouts
     p = f"{sf_dir}/{t}.parquet"
     is_dir = _os.path.isdir(p)

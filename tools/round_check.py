@@ -95,9 +95,11 @@ def main():
                 continue
             if f <= p * REGRESSION_X:
                 continue
-            # the artifact's own second opinions, before grading
+            # the artifact's own second opinions, before grading.
+            # Bench encodes a FAILED run as a negative duration, so a
+            # floor only exonerates when it is a real (positive) timing.
             fl, sp = floors.get(q), spread.get(q)
-            if fl is not None and fl <= p * REGRESSION_X:
+            if fl is not None and 0 < fl <= p * REGRESSION_X:
                 exon.append((q, p, f, f"floor {fl:.2f}s <= {REGRESSION_X}x prev"))
             elif sp is not None and sp > (f - p):
                 exon.append((q, p, f, f"spread {sp:.2f}s > delta {f - p:.2f}s"))
