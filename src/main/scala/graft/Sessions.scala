@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Master selection shared by the runtime mains (Verify / Bench).
+  *
+  * `SPARK_GRAFT_MASTER` overrides the default `local[$cpus]` so the
+  * SAME correctness sweep the driver runs single-JVM can be replayed
+  * under `local-cluster[n,cores,mem]` — separate executor JVMs, real
+  * driver↔executor serialization boundaries, the closest local proxy
+  * for a multi-node cluster. A local-cluster master spawns executors
+  * as fresh processes, so this build's classes and the Java 17 module
+  * opens Spark needs must ride along in executor conf (the same set
+  * `tools.FaultProbe` uses); the caller must export
+  * `SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13` so the worker can
+  * assemble the executor command line.
+  */
+object Sessions {
+  /** Java 17 module opens Spark's executor JVMs require (mirrors the
+    * sbt fork options; kept in one place for every local-cluster user). */
+  val addOpens: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  /** Apply the session master: `SPARK_GRAFT_MASTER` if set (with the
+    * executor classpath/opens conf a local-cluster needs), else the
+    * default `local[$cpus]`. */
+  def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val withM = b.master(master)
+    if (master.startsWith("local-cluster"))
+      withM
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", addOpens)
+    else withM
+  }
+}

@@ -29,15 +29,7 @@ import org.apache.spark.sql.SparkSession
   * Exit 0 = every query PASS; 1 = any FAIL/UNTESTED.
   */
 object FaultProbe {
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+  private val addOpens = graft.Sessions.addOpens
 
   /** The executor JVMs are direct children of this process: the
     * local-cluster Workers run in-process and spawn executors via
