@@ -208,8 +208,12 @@ object FaultProbe {
     }
     val line = out.toString.stripSuffix(",") + "}"
     println(line)
+    // GRAFT_FAULT_OUT selects the artifact file so a probe of a different
+    // query family (e.g. the streaming set) does not clobber the batch
+    // iterative record at the default path
+    val artifact = sys.env.getOrElse("GRAFT_FAULT_OUT", "bench/fault_probe.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench/fault_probe.json"),
+      java.nio.file.Paths.get(artifact),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"faultprobe: could not persist: $e") }
