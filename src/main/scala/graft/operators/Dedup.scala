@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines:
@@ -474,5 +475,60 @@ object Dedup {
       .reduce(_ + _)
     toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc"), assembled.as("simhash"))
+  }
+
+  /** Cross-document EXACT-SUBSTRING duplication stats — the span-level
+    * complement to the document-level dedup family above (exact /
+    * Jaccard / MinHash / SimHash all judge whole documents; this finds
+    * the duplicated REGIONS inside them, the "exact substring
+    * deduplication" of the training-data literature, realized over
+    * word k-grams instead of a suffix array).
+    *
+    * Per document (with >= k tokens): every token position opens one
+    * k-gram window; a window is DUPLICATED if its k-gram occurs in at
+    * least one OTHER document. Emitted per document with any
+    * duplicated window: total windows, duplicated windows, and
+    * `dup_tokens` — the exact size of the UNION of the duplicated
+    * [pos, pos+k) intervals, computed gaps-and-islands style (each
+    * window contributes min(k, pos - prev_pos) tokens), NOT by
+    * exploding k rows per window.
+    *
+    * Scale shape: one explode to ~|tokens| gram rows, a postings-style
+    * groupBy on the gram hash (map-side combinable count-distinct over
+    * at most 2 tracked docs), one equi-join back (each position matches
+    * at most one surviving hash row — boilerplate grams cost O(their
+    * positions), never O(pairs^2)), and a per-document window over only
+    * the DUPLICATED positions. Gram identity is xxhash64 (oracle-
+    * invisible: only equality matters downstream; the DuckDB twin joins
+    * the raw gram strings), so the shuffle carries 8-byte keys instead
+    * of k-word strings. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val t = docs
+      .withColumn("tok", split(col(textCol), " "))
+      .filter(size(col("tok")) >= k)
+      .select(col(idCol).as("doc"), col("tok"))
+    // n_windows rides along each gram row (one int) so the final join
+    // does not need a second pass over the text column
+    val grams = t
+      .select(col("doc"), (size(col("tok")) - k + 1).cast("long").as("n_windows"),
+        posexplode(expr(
+          s"transform(sequence(0, size(tok)-$k), " +
+          s"i -> xxhash64(concat_ws(' ', slice(tok, i+1, $k))))"))
+          .as(Seq("pos", "h")))
+    val crossDoc = grams.groupBy("h")
+      .agg(count_distinct(col("doc")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val dup = grams.join(crossDoc, "h").select("doc", "n_windows", "pos")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val cov = dup.withColumn("c",
+      least(lit(k), col("pos") - lag(col("pos"), 1).over(w)))
+    cov.groupBy("doc").agg(
+        first(col("n_windows")).as("n_windows"),
+        count(lit(1)).as("dup_windows"),
+        sum(coalesce(col("c"), lit(k))).cast("long").as("dup_tokens"))
+      .select(col("doc").as("doc_id"), col("n_windows"),
+        col("dup_windows"), col("dup_tokens"))
   }
 }

@@ -30,6 +30,15 @@ object PipelineQueries {
     Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
       .orderBy("ia", "ib")
 
+  /** Span-level exact-substring dedup stats (word 8-grams): which
+    * documents contain text runs that also occur verbatim in another
+    * document, and how many tokens those runs cover (exact interval
+    * union). Complements the document-level q20–q23 family — a doc can
+    * be globally unique yet carry a big duplicated region. */
+  def q165SubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(spark, sfDir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   def q22MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text",
         k = 16, bands = 4, threshold = 0.8)
@@ -718,6 +727,29 @@ object PipelineQueries {
         |SELECT source, total_tok, oov_tok,
         |       CAST((oov_tok * 1000000) // total_tok AS BIGINT) AS oov_ppm
         |FROM g ORDER BY source""".stripMargin,
+
+    "q165_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest(range(len(tok)-8+1)) AS pos,
+        |         unnest(list_transform(range(len(tok)-8+1),
+        |                i -> array_to_string(tok[i+1:i+8], ' '))) AS g
+        |  FROM t WHERE len(tok) >= 8),
+        |df AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+        |d AS (SELECT p.doc_id, p.pos FROM p JOIN df USING(g)),
+        |cov AS (SELECT doc_id, pos,
+        |               LEAST(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)) AS c
+        |        FROM d),
+        |agg AS (SELECT doc_id, COUNT(*) AS dup_windows,
+        |               SUM(COALESCE(c, 8)) AS dup_tokens
+        |        FROM cov GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       CAST(len(t.tok) - 8 + 1 AS BIGINT) AS n_windows,
+        |       CAST(a.dup_windows AS BIGINT) AS dup_windows,
+        |       CAST(a.dup_tokens AS BIGINT) AS dup_tokens
+        |FROM agg a JOIN t USING(doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q117_decontamination" ->
       """WITH t AS (

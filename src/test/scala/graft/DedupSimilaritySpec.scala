@@ -300,4 +300,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
     assert(fp(1L).length == 96) // 3 md5 hex strings
   }
+
+  test("substring dedup: interval-union coverage, cross-doc only") {
+    // doc 1 and doc 2 share the 4-token run "a b c d" twice (positions
+    // 0 and 5 in doc 1 — overlapping nothing, disjoint intervals) and
+    // doc 3 repeats ITS OWN phrase but shares nothing cross-doc.
+    val d = Seq(
+      (1L, "a b c d x a b c d y"),   // 10 toks, dup wins at pos 0 and 5
+      (2L, "p a b c d q r s t"),     // 9 toks, dup win at pos 1
+      (3L, "u v w u v w u v w z z")) // self-repeats only -> excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 7 windows total; dup at pos 0 and 5 -> union size 4+4=8
+    assert(out(1L) == ((7L, 2L, 8L)))
+    // doc 2: 6 windows; dup at pos 1 -> 4 covered tokens
+    assert(out(2L) == ((6L, 1L, 4L)))
+    assert(!out.contains(3L)) // within-doc repetition is not cross-doc dup
+  }
+
+  test("substring dedup: overlapping windows count tokens once") {
+    // docs share a 6-token run -> with k=4, THREE overlapping dup
+    // windows (pos 0,1,2) but the union covers exactly 6 tokens
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f x")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 3L, 6L)))
+    assert(out(2L) == ((4L, 3L, 6L)))
+  }
 }
