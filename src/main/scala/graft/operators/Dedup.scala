@@ -494,8 +494,10 @@ object Dedup {
     * exploding k rows per window.
     *
     * Scale shape: one explode to ~|tokens| gram rows, a postings-style
-    * groupBy on the gram hash (map-side combinable count-distinct over
-    * at most 2 tracked docs), one equi-join back (each position matches
+    * groupBy on the gram hash (min/max doc per gram — "more than one
+    * distinct doc" is just min != max, ONE map-side-combinable shuffle
+    * where count-distinct would cost two), one equi-join back (each
+    * position matches
     * at most one surviving hash row — boilerplate grams cost O(their
     * positions), never O(pairs^2)), and a per-document window over only
     * the DUPLICATED positions. Gram identity is xxhash64 (oracle-
@@ -516,9 +518,13 @@ object Dedup {
           s"transform(sequence(0, size(tok)-$k), " +
           s"i -> xxhash64(concat_ws(' ', slice(tok, i+1, $k))))"))
           .as(Seq("pos", "h")))
+    // "occurs in >1 distinct doc" needs only min(doc) != max(doc) —
+    // ONE map-side-combinable shuffle of the gram table, where a
+    // count-distinct would expand to two (a (h,doc) dedup exchange,
+    // then the h exchange)
     val crossDoc = grams.groupBy("h")
-      .agg(count_distinct(col("doc")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min(col("doc")).as("dmin"), max(col("doc")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
       .select("h")
     val dup = grams.join(crossDoc, "h").select("doc", "n_windows", "pos")
     val w = Window.partitionBy("doc").orderBy("pos")
