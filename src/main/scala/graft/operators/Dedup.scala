@@ -504,8 +504,48 @@ object Dedup {
     * invisible: only equality matters downstream; the DuckDB twin joins
     * the raw gram strings), so the shuffle carries 8-byte keys instead
     * of k-word strings. */
-  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
+  /** The REMOVAL companion to [[substringDupStats]]: emit every
+    * document with its cross-doc duplicated spans cut out (every
+    * occurrence is removed, both copies — the aggressive mode of the
+    * published exact-substring dedup tooling). Duplicated window
+    * positions are merged into disjoint [start,end] token intervals
+    * per document (gaps-and-islands: a new island opens when
+    * pos - prev_pos > k), the interval lists are collected per doc —
+    * bounded by that doc's own window count, per-row state no bigger
+    * than the document itself — and one codegen'd lambda
+    * (`filter(tok, (t,i) -> !exists(ivs, ...))`) rebuilds the kept
+    * text. Only flagged docs carry intervals through the join; clean
+    * docs pass with a null interval list and zero removals. */
+  def substringDedupClean(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val dup = dupPositions(docs, idCol, textCol, k)
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val islands = dup
+      .withColumn("gap",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = islands.groupBy("doc", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("tok"))
+      .join(intervals, Seq("doc"), "left")
+      .select(
+        col("doc").as("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        expr("filter(tok, (t, i) -> ivs IS NULL OR NOT exists(ivs, v -> i >= v.s AND i <= v.e))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Shared core of the substring-dedup pair: (doc, n_windows, pos)
+    * for every window position whose k-gram occurs in another doc. */
+  private def dupPositions(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
     val t = docs
       .withColumn("tok", split(col(textCol), " "))
       .filter(size(col("tok")) >= k)
@@ -526,7 +566,12 @@ object Dedup {
       .agg(min(col("doc")).as("dmin"), max(col("doc")).as("dmax"))
       .filter(col("dmin") =!= col("dmax"))
       .select("h")
-    val dup = grams.join(crossDoc, "h").select("doc", "n_windows", "pos")
+    grams.join(crossDoc, "h").select("doc", "n_windows", "pos")
+  }
+
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val dup = dupPositions(docs, idCol, textCol, k)
     val w = Window.partitionBy("doc").orderBy("pos")
     val cov = dup.withColumn("c",
       least(lit(k), col("pos") - lag(col("pos"), 1).over(w)))

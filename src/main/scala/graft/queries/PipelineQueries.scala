@@ -39,6 +39,13 @@ object PipelineQueries {
     Dedup.substringDupStats(Tables.documents(spark, sfDir), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  /** The removal companion to q165: every document re-emitted with its
+    * cross-doc duplicated spans cut (all occurrences — the aggressive
+    * mode of the published exact-substring tooling). */
+  def q166SubstringRemoval(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.substringDedupClean(Tables.documents(spark, sfDir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   def q22MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text",
         k = 16, bands = 4, threshold = 0.8)
@@ -750,6 +757,45 @@ object PipelineQueries {
         |       CAST(a.dup_tokens AS BIGINT) AS dup_tokens
         |FROM agg a JOIN t USING(doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q166_substring_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tok FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         unnest(range(len(tok)-8+1)) AS pos,
+        |         unnest(list_transform(range(len(tok)-8+1),
+        |                i -> array_to_string(tok[i+1:i+8], ' '))) AS g
+        |  FROM t WHERE len(tok) >= 8),
+        |df AS (SELECT g FROM p GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |d AS (SELECT p.doc_id, p.pos FROM p JOIN df USING(g)),
+        |gaps AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |              THEN 1 ELSE 0 END AS gap
+        |  FROM d),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM gaps),
+        |iv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 - 1 AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |tk AS (
+        |  SELECT doc_id,
+        |         unnest(range(len(tok))) AS i,
+        |         unnest(tok) AS tkn
+        |  FROM t),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.i, tk.tkn,
+        |         NOT EXISTS (SELECT 1 FROM iv
+        |                     WHERE iv.doc_id = tk.doc_id
+        |                       AND tk.i BETWEEN iv.s AND iv.e) AS keep
+        |  FROM tk)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS removed_tokens,
+        |       COALESCE(string_agg(tkn, ' ' ORDER BY i) FILTER (WHERE keep), '') AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q117_decontamination" ->
       """WITH t AS (

@@ -320,6 +320,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains(3L)) // within-doc repetition is not cross-doc dup
   }
 
+  test("substring removal cuts every occurrence, keeps clean docs verbatim") {
+    val d = Seq(
+      (1L, "a b c d x a b c d y"),   // dup run "a b c d" at 0 and 5
+      (2L, "p a b c d q r s t"),     // dup run at 1
+      (3L, "u v w u v w u v w z z")) // self-repeats only -> untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupClean(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 8L, "x y")))     // both occurrences cut
+    assert(out(2L) == ((9L, 4L, "p q r s t")))
+    assert(out(3L) == ((11L, 0L, "u v w u v w u v w z z"))) // verbatim
+    // a doc shorter than k passes through untouched
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val so = Dedup.substringDedupClean(short, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(so == Map(1L -> "a b", 2L -> "a b"))
+  }
+
+  test("substring removal can empty a fully-duplicated doc") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e x")).toDF("doc_id", "text")
+    val out = Dedup.substringDedupClean(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, "")))   // every token covered -> empty text
+    assert(out(2L) == ((5L, "x")))
+  }
+
   test("substring dedup: overlapping windows count tokens once") {
     // docs share a 6-token run -> with k=4, THREE overlapping dup
     // windows (pos 0,1,2) but the union covers exactly 6 tokens

@@ -63,6 +63,30 @@ class SubstringDedupPropertiesSpec extends SparkSpec {
     }.toMap
   }
 
+  /** Naive removal reference: same marking array, text rebuilt from
+    * the uncovered tokens; docs under k tokens pass through. */
+  private def modelClean(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, t) =>
+      val tk = t.split(" ", -1).toVector
+      if (tk.length >= K)
+        tk.sliding(K).map(_.mkString(" ")).foreach { g =>
+          gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+        }
+    }
+    docs.map { case (id, t) =>
+      val tk = t.split(" ", -1).toVector
+      val covered = Array.fill(tk.length)(false)
+      if (tk.length >= K)
+        (0 to tk.length - K).foreach { p =>
+          if (gramDocs(tk.slice(p, p + K).mkString(" ")).exists(_ != id))
+            (p until p + K).foreach(covered(_) = true)
+        }
+      val kept = tk.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((tk.length.toLong, covered.count(identity).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
   test("substringDupStats equals the naive marking reference on random corpora") {
     (1L to 6L).foreach { seed =>
       val docs = corpus(nDocs = 30, seed = seed * 1000)
@@ -71,6 +95,23 @@ class SubstringDedupPropertiesSpec extends SparkSpec {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
       assert(got == model(docs), s"mismatch at seed $seed")
+    }
+  }
+
+  test("substringDedupClean equals the naive removal reference on random corpora") {
+    (1L to 6L).foreach { seed =>
+      val docs = corpus(nDocs = 30, seed = seed * 1000)
+      val got = Dedup.substringDedupClean(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == modelClean(docs), s"mismatch at seed $seed")
+      // cross-operator invariant: removed_tokens == q165's dup_tokens
+      val stats = Dedup.substringDupStats(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      got.foreach { case (id, (_, removed, _)) =>
+        assert(stats.getOrElse(id, 0L) == removed, s"q165/q166 disagree on doc $id seed $seed")
+      }
     }
   }
 }
