@@ -27,10 +27,21 @@ object Bench {
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    // count-prunable queries (SparkEntry.noopSink) are timed through the
+    // noop sink — full materialization of every output column — so the
+    // artifact's number measures the work the query exists to do, not
+    // the pruned skeleton count() leaves behind (q166's left-join
+    // removal folded to a doc count: 0.19 s "measured", 1.68 s real)
+    val noopQs = SparkEntry.noopSink
+    def materialize(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (noopQs(name)) df.write.mode("overwrite").format("noop").save()
+      else df.count(): Unit
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-      queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      queries.foreach { case (name, fn) =>
+        // warm through the SAME sink: the noop plan compiles different
+        // codegen than the count-pruned one
+        try materialize(name, fn(spark, warmupDir)) catch { case _: Throwable => () }
       }
       // drop warmup session debris (memory-sink tables, cached relations,
       // young-gen garbage) so it does not tax the timed runs
@@ -63,7 +74,7 @@ object Bench {
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { materialize(name, fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       isolate(name)
       if (ok) secs else -secs
@@ -169,8 +180,16 @@ object Bench {
       case ((_, m), (_, sp)) if math.abs(m) >= 0.5 => sp / math.abs(m)
     }
     val noise = cs(if (noiseRatios.isEmpty) 0.0 else median(noiseRatios))
+    // per-query sink map (only non-default entries; everything absent
+    // was timed via count()). Placed near the END of the line so the
+    // driver's front-truncating tail capture always keeps it — a
+    // reviewer of BENCH_rN can see which numbers are noop-sink without
+    // the in-repo copy.
+    val sinksJson = queries.collect { case (n, _) if noopQs(n) =>
+      "\"" + n.takeWhile(_ != '_') + "\":\"noop\""
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"sinks":$sinksJson,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the captured tail can truncate the early queries at 159 entries;
     // the full line survives in-repo so per-query history stays

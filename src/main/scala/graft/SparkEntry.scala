@@ -184,6 +184,34 @@ object SparkEntry {
     "q166_substring_removal" -> (PipelineQueries.q166SubstringRemoval _),
   )
 
+  /** Registry sink annotation: queries whose `count()` timing is a
+    * structural fiction because Catalyst prunes the work the query
+    * exists to do — a cardinality-preserving transform whose computed
+    * columns fold away under count (q166's left-join removal, q92/q93's
+    * redaction exprs, q26's text stats, q100/q101's decode projections,
+    * q38's as-of value column, q103's postings arrays) or an aggregate
+    * whose agg expressions prune to a bare group count (q32 rollup,
+    * q133's percentile pair). `graft.Bench` times these through the
+    * noop sink (full materialization of every output column, nothing
+    * written) and stamps the artifact's per-query `sinks` map, so the
+    * honest number lives in BENCH_rN itself rather than a side probe.
+    * Membership criterion (audited r12, bench/probe_r12_noop_audit_
+    * sf01.json): noop/count ratio >= ~2.5 with a structural pruning
+    * mechanism, or structurally obvious at any ratio (q93). Everything
+    * else is honest under count() — verified by the same audit (total
+    * 181.2 noop vs 178.5 count over the other 156 queries). */
+  val noopSink: Set[String] = Set(
+    "q26_text_stats",                  // 6.1x: per-row text stats pruned
+    "q32_rollup",                      // 3.1x: rollup agg exprs prune to group count
+    "q38_asof_join",                   // 3.0x: as-of value column unused by count
+    "q92_pii_redaction",               // 8.8x: redaction exprs pruned
+    "q93_url_canonicalize",            // 2.2x, structural: canonicalization pruned
+    "q100_int8_quant",                 // 2.7x: quantization projection pruned
+    "q101_mp4_meta",                   // 2.8x: box-walk decode pruned
+    "q103_inverted_index",             // 3.0x: postings collect_list pruned
+    "q133_approx_percentile_contract", // 8.6x: percentile aggs prune to group count
+    "q166_substring_removal")          // 8.8x: whole clean-text transform pruned
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =

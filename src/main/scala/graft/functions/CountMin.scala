@@ -26,11 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `h2 = (h >> 31) mod M`, with row i probing
   * `(a_i·h1 + b_i + i·h2) mod M mod width` — the Kirsch–Mitzenmacher
   * two-hash construction (ACM ESA 2006) under the Carter-Wegman
-  * mixers, so the per-row functions stay pairwise-uniform AND two
-  * distinct keys collide in EVERY row only when both residues
-  * collide (row 0 forces h1≡h1', then any later row forces h2≡h2' —
-  * probability ~2⁻⁶², not the ~2⁻³¹ a single shared residue would
-  * give). [[CountMin.estimate]] computes the identical bucket index
+  * mixers, so the per-row functions stay pairwise-uniform and avoid
+  * the ~2⁻³¹ all-rows-collide floor a single shared residue would
+  * give. Two distinct keys can still collide in EVERY row two ways:
+  * both 31-bit residues collide (~2⁻⁶²), or — the dominant term —
+  * each row's post-mix values land in the same bucket mod width by
+  * chance, probability ~(1/width)^depth (≈2⁻⁴⁴ at q57's 4×2048,
+  * larger at smaller widths). The stated guarantee is therefore the
+  * per-round empirical oracle match (q57/q67 twins check exact
+  * counts), not the collision bound alone.
+  * [[CountMin.estimate]] computes the identical bucket index
   * with the built-in `xxhash64`/`shiftright` column functions plus
   * codegen'd integer arithmetic, so the aggregate and the probe
   * agree bit-for-bit at one hash per row (the scheme is
@@ -180,7 +185,13 @@ object CountMin {
     * codegen'd and the bucket math is bit-identical to the
     * aggregate's [[bucket]]. */
   def estimate(sketch: Column, value: Column, depth: Int, width: Int): Column = {
-    val h = xxhash64(value)
+    // cast to string FIRST: the aggregate side always hashes a
+    // UTF8String (update() runs on the string child), so a probe with a
+    // non-string column must hash the same string rendering — xxhash64
+    // of a native int and of its string form differ, and a mismatched
+    // probe reads wrong buckets and can UNDER-count, breaking the
+    // one-sided CMS guarantee
+    val h = xxhash64(value.cast("string"))
     val h1 = pmod(h, lit(MixPrime))
     val h2 = pmod(shiftright(h, 31), lit(MixPrime))
     least((0 until depth).map { i =>

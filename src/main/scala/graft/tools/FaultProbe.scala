@@ -112,10 +112,15 @@ object FaultProbe {
             while (tracker.getActiveJobIds().isEmpty &&
                 System.nanoTime() < deadline) Thread.sleep(10)
             Thread.sleep(math.max(50L, (baseSecs * 1000 * frac).toLong))
+            // re-check armed right before firing: the interrupt can land
+            // between the sleep and the kill, and a stray SIGKILL here
+            // would hit the NEXT attempt's executors
             if (armed) executorPids().sortBy(_.pid()).headOption.foreach { h =>
-              killedPid = h.pid()
-              h.destroyForcibly()
-              killedAt = System.nanoTime()
+              if (armed) {
+                killedPid = h.pid()
+                h.destroyForcibly()
+                killedAt = System.nanoTime()
+              }
             }
           } catch { case _: InterruptedException => () }
         })
@@ -127,7 +132,10 @@ object FaultProbe {
         val endAt = System.nanoTime()
         armed = false
         killer.interrupt()
-        killer.join()
+        // bounded join: interrupt makes prompt exit the common case, the
+        // timeout bounds the pathological one (executorPids()/
+        // destroyForcibly() respond to neither interrupt nor cancel)
+        killer.join(5000)
         faultSecs = (endAt - t1) / 1e9
         val killedDuring = killedAt != 0L && killedAt < endAt
         status =
@@ -180,7 +188,7 @@ object FaultProbe {
                 System.nanoTime() < deadline) Thread.sleep(10)
             Thread.sleep(math.max(50L, (warmSecs * 1000 * 0.4 / i).toLong))
             if (armed) executorPids().sortBy(_.pid()).headOption.foreach { h =>
-              h.destroyForcibly(); killedAt = System.nanoTime()
+              if (armed) { h.destroyForcibly(); killedAt = System.nanoTime() }
             }
           } catch { case _: InterruptedException => () }
         })
@@ -195,7 +203,7 @@ object FaultProbe {
           catch { case t: Throwable => s"FAILED(${t.getClass.getSimpleName})" }
         armed = false
         killer.interrupt()
-        killer.join()
+        killer.join(5000) // bounded for the same reason as the main loop
         obs
       }
       System.err.println(

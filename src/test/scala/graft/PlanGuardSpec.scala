@@ -201,6 +201,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, s"single-partition windows in: ${bad.mkString(", ")}")
   }
 
+  test("the noop-sink annotation names real registry queries, no streaming members") {
+    val names = SparkEntry.queries.keySet
+    val unknown = SparkEntry.noopSink -- names
+    assert(unknown.isEmpty, s"noopSink annotates unknown queries: $unknown")
+    // the noop sink is a batch writer; a streaming query routed through
+    // it would fail at bench time, not compile time — keep the
+    // annotation honest here
+    val streaming = SparkEntry.noopSink.filter(_.contains("stream"))
+    assert(streaming.isEmpty, s"noopSink annotates streaming queries: $streaming")
+  }
+
   test("the eager/lint split covers the whole registry (no silent skips)") {
     val names = SparkEntry.queries.keySet
     val unknown = eager.keySet -- names

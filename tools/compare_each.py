@@ -33,7 +33,10 @@ for t in ("region nation customer supplier part orders lineitem "
     # directory layouts, copy) the tables its SQL actually names —
     # materializing all ~10 per process multiplies the upfront parquet
     # decode by the sweep's query count for nothing.
-    if not _re.search(r"\b" + t + r"\b", sql_under_test):
+    # match case-insensitively (table names are lowercase, but a twin
+    # may name them in any case); a CTE/alias sharing a table name just
+    # causes a harmless extra bind
+    if not _re.search(r"\b" + t + r"\b", sql_under_test.lower()):
         continue
     # single-file (driver testdata) vs Spark-written directory layouts
     p = f"{sf_dir}/{t}.parquet"

@@ -61,6 +61,9 @@ def load(path):
     m = re.search(r'"trials":(\d+)', tail)
     if m:
         d["trials"] = int(m.group(1))
+    m = re.search(r'"sinks":\{(.*?)\}', tail)
+    if m:
+        d["sinks"] = dict(re.findall(r'"(q\d+)":"(\w+)"', m.group(1)))
     return d
 
 
@@ -84,6 +87,34 @@ def main():
         fq, pq = fresh.get("queries", {}), prev.get("queries", {})
         floors = fresh.get("floors", {})
         spread = fresh.get("spread", {})
+        # like-with-like across a sink change: a query the fresh artifact
+        # timed through the noop sink (sinks[q] == "noop") but the prev
+        # round timed via count() would read as a fake regression (the
+        # count number was the pruned fiction). For those queries, take
+        # prev from a noop-sink reference artifact instead — by default
+        # the r12 audit probe, override with argv[3].
+        fsinks, psinks = fresh.get("sinks", {}), prev.get("sinks", {})
+        changed = {q for q in fsinks if fsinks.get(q) != psinks.get(q)}
+        changed |= {q for q in psinks if q not in fsinks}
+        if changed:
+            ref_path = (sys.argv[3] if len(sys.argv) > 3
+                        else "bench/probe_r12_noop_audit_sf01.json")
+            try:
+                ref = load(ref_path).get("queries", {})
+            except OSError:
+                ref = {}
+            sub = {q: ref[q] for q in changed if q in ref}
+            if sub:
+                pq = dict(pq, **sub)
+                print(f"sink change: {sorted(sub)} compared against "
+                      f"noop reference {ref_path}")
+            dropped = sorted(q for q in changed if q not in ref and q in pq)
+            if dropped:
+                # no honest prev sample exists — skip rather than grade
+                # a count-vs-noop fiction
+                pq = {q: v for q, v in pq.items() if q not in dropped}
+                print(f"sink change: {dropped} have no noop reference; "
+                      "skipped in regression check")
         missing = sorted(set(pq) - set(fq))
         if missing:
             print(f"FAIL: queries present in prev but missing from fresh: {missing}")
