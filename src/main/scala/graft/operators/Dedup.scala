@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,7 +61,78 @@ object Dedup {
         .select("sh")
       s0.join(hot, Seq("sh"), "left_anti")
     }
+    // the UNCAPPED path is the one with no structural bound on the
+    // verify join — guard it before committing 100s of GB to shuffle
+    // disk (the capped variant bounds per-shingle fan-out by
+    // construction; its callers chose the bound deliberately)
+    if (maxDocFreq.isEmpty) verifyJoinGuard(docs.sparkSession, s, threshold)
     jaccardPairsFromShingles(s, threshold)
+  }
+
+  /** Spark-conf key for [[verifyJoinGuard]]'s budget, in bytes of
+    * PROJECTED pre-compression verify-join volume. `0` disables the
+    * guard (the JaccardStats diagnostic and the brute-force specs need
+    * the uncapped join on inputs they control). */
+  val VerifyBytesBudgetKey = "graft.jaccard.maxVerifyBytes"
+  private val DefaultVerifyBytesBudget: Long = 64L << 30 // 64 GiB
+
+  /** Pre-flight disk-wall guard for the exact all-pairs verify join.
+    *
+    * The sf10 probe established where exact all-pairs genuinely ends:
+    * the verify join ships BOTH docs' full shingle arrays per candidate
+    * pair, and at ~754M candidates × ~0.9 KB that is ~650 GB of
+    * pre-compression shuffle — it exhausted the box's free disk 65 GB
+    * in, TWICE (SCALING.md round-12). This guard runs the
+    * `tools.JaccardStats` estimate as a metadata-scale pre-flight
+    * (aggregates over the prefix postings — linear, no pair
+    * materialization) and fails FAST with the projected numbers and
+    * the in-library alternatives instead of dying mid-shuffle:
+    *
+    *  - candidate estimate: Σ over prefix shingles of C(pdf, 2), where
+    *    pdf = the shingle's prefix-posting count — computed on a
+    *    DETERMINISTIC 10% doc sample (xxhash64(doc) mod 10 = 0) and
+    *    scaled ×100: a candidate pair survives doc sampling with
+    *    probability p², so the rescaled sum is an unbiased estimator
+    *    of the full-corpus candidate count, at ~10% of one prefix
+    *    pass (a first, unsampled cut cost +60% of q21's whole bench
+    *    time; this one costs ~5%). The size filter and the post-join
+    *    `distinct()` only shrink the real volume below the estimate.
+    *  - bytes per pair: both docs' shingle arrays ≈ 2 · avg(ns) · 8 B
+    *    plus ~32 B row overhead, avg(ns) from the same sample.
+    *
+    * This is an order-of-magnitude pre-flight, not an exact audit —
+    * the regimes it exists for (sf10's 754M-pair, ~650 GB projection
+    * vs a 64 GiB budget) are decided by factors of 10, far beyond the
+    * sample noise and the estimate's small biases (sample-local df
+    * ranking; pair survival variance at tiny pdf). */
+  private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
+                                     threshold: Double): Unit = {
+    val budget = spark.conf.getOption(VerifyBytesBudgetKey)
+      .map(_.toLong).getOrElse(DefaultVerifyBytesBudget)
+    if (budget <= 0) return
+    val sampled = s0.filter(pmod(xxhash64(col("doc")), lit(10)) === 0)
+    val st = prefixStages(sampled, threshold)
+    val row = st.prefixPostings.groupBy("sh").agg(count(lit(1)).as("pdf"))
+      .agg(coalesce(sum(expr("pdf * (pdf - 1) div 2")), lit(0L)).as("pairs_est"))
+      .collect()(0)
+    val pairsEst = row.getLong(0) * 100 // rescale the p² pair survival
+    // avg shingle count straight off the sampled postings — same number
+    // as byDoc's avg(ns) but without re-running the ranked-array build
+    val nsRow = sampled.groupBy("doc").agg(count(lit(1)).as("ns"))
+      .agg(avg(col("ns"))).collect()(0)
+    val avgNs = if (nsRow.isNullAt(0)) 0.0 else nsRow.getDouble(0)
+    val bytesPerPair = 2.0 * avgNs * 8 + 32
+    val projected = (pairsEst * bytesPerPair).toLong
+    if (projected > budget) throw new IllegalStateException(
+      f"ngramJaccardPairs pre-flight: projected verify-join volume " +
+        f"~${projected / (1L << 30)}%d GiB (~$pairsEst%,d candidate pairs × " +
+        f"~${bytesPerPair.toLong}%d B, estimated from a 10%% doc sample) " +
+        f"exceeds the $VerifyBytesBudgetKey budget of " +
+        f"${budget / (1L << 30)}%d GiB. Exact all-pairs is worst-case " +
+        "quadratic in duplicate-group size by nature; use " +
+        "ngramJaccardPairsCapped (df-capped, 4x/decade measured) or " +
+        "minhashLshPairs (banded LSH, sub-linear candidates), or raise " +
+        "the budget / set it to 0 to proceed anyway.")
   }
 
   /** The bounded form of [[ngramJaccardPairs]] with the cutoff

@@ -28,6 +28,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("verify-join guard trips fast on sf10-shaped candidate volume, names numbers") {
+    // sf10's disk wall in miniature: a large group of documents whose
+    // prefix shingles all collide (identical texts), so the candidate
+    // count grows C(n,2)-quadratically — exactly the replication regime
+    // the round-12 probe measured at 754M pairs / ~650 GB. A tight
+    // budget must fail FAST (pre-flight, not 65 GB into the shuffle)
+    // with an actionable message.
+    val wall = spark.range(200)
+      .select(col("id").as("doc_id"),
+        lit("a b c d e f g h i j k l m n o p q r s t u v w x y z").as("text"))
+    spark.conf.set(Dedup.VerifyBytesBudgetKey, (64L * 1024).toString) // 64 KiB
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(wall, "doc_id", "text", 0.8)
+      }
+      assert(e.getMessage.contains("candidate pairs"), e.getMessage)
+      assert(e.getMessage.contains(Dedup.VerifyBytesBudgetKey))
+      assert(e.getMessage.contains("ngramJaccardPairsCapped"))
+      assert(e.getMessage.contains("minhashLshPairs"))
+      // budget 0 disables: the same input must plan and answer exactly
+      // (199 clones of doc 0 -> C(200,2) jaccard-1.0 pairs)
+      spark.conf.set(Dedup.VerifyBytesBudgetKey, "0")
+      assert(Dedup.ngramJaccardPairs(wall, "doc_id", "text", 0.8).count() ==
+        200L * 199 / 2)
+      // the capped variant is one of the guard's two named outs: the
+      // all-identical corpus has every shingle at df=200 > cap, so it
+      // returns no pairs and, critically, does NOT trip the guard
+      spark.conf.set(Dedup.VerifyBytesBudgetKey, (64L * 1024).toString)
+      assert(Dedup.ngramJaccardPairsCapped(wall, "doc_id", "text", 0.8, 50)
+        .count() == 0)
+    } finally spark.conf.unset(Dedup.VerifyBytesBudgetKey)
+  }
+
   test("minhash LSH recovers pairs that brute-force jaccard finds") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
