@@ -1490,24 +1490,39 @@ object AnalyticsQueries {
       .groupBy("u").agg(collect_set(col("v")).as("vs"))
       .repartition(col("u"))
       .transform(graft.operators.Lineage.truncateKeepPartitioning)
-    var rank = adj
-      .select(col("u").as("node"), size(col("vs")).as("deg"),
-        lit(1000000L).as("rank_micro"))
-      .transform(graft.operators.Lineage.truncate)
+    // The rank table is SLIM — (node, rank_micro) only. deg = size(vs)
+    // is read off the adjacency row it already travels with inside the
+    // scatter, and the output deg re-derives from the cached adjacency
+    // at the end, so the per-iteration state the loop exchanges and
+    // checkpoints is 1/3 smaller. Both loop joins carry SHUFFLE_HASH
+    // hints building on the |V|-sized side: without them Spark plans
+    // sort-merge and re-SORTS the cached adjacency — |V| rows dragging
+    // ~|E| array cells — TWICE per iteration (sorts the r12 plan paid;
+    // the round-13 sf1 probe measured the hints + slim state at
+    // 13.0 -> 9.4 s). rank is cut with truncateKeepPartitioning, so
+    // its hash(node) layout survives each round and the joins against
+    // the node-partitioned sides run exchange-free; project aliases
+    // (node <-> u) preserve the partitioning attribution.
+    val nodes = adj.select(col("u").as("node"))
+    var rank = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+      .transform(graft.operators.Lineage.truncateKeepPartitioning)
     for (_ <- 1 to 5) {
       val contrib = adj
-        .join(rank.select(col("node").as("u"), col("deg"), col("rank_micro")), "u")
+        .join(rank.select(col("node").as("u"), col("rank_micro"))
+          .hint("SHUFFLE_HASH"), "u")
         .select(explode(col("vs")).as("node"),
-          expr("rank_micro div deg").as("c"))
+          expr("rank_micro div size(vs)").as("c"))
         .groupBy("node").agg(sum("c").as("sumc"))
-      rank = rank.drop("rank_micro")
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("deg"),
+      rank = nodes
+        .join(contrib.hint("SHUFFLE_HASH"), Seq("node"), "left")
+        .select(col("node"),
           (lit(150000L) + expr("(850000 * coalesce(sumc, 0)) div 1000000"))
             .as("rank_micro"))
-        .transform(graft.operators.Lineage.truncate)
+        .transform(graft.operators.Lineage.truncateKeepPartitioning)
     }
-    rank.select(col("node").as("l_partkey"), col("deg"), col("rank_micro"))
+    adj.select(col("u").as("node"), size(col("vs")).as("deg"))
+      .join(rank.hint("SHUFFLE_HASH"), "node")
+      .select(col("node").as("l_partkey"), col("deg"), col("rank_micro"))
       .orderBy("l_partkey")
   }
 

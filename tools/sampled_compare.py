@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Copy-closed sampled-key oracle compare for the heavy queries whose
+FULL DuckDB twins die oracle-side at sf10 (q115's 180M-edge CTE chain
+crashes the process; q22's 16-way minhash cross join OOMs).
+
+Idea: ScaleUp's replicas are DISJOINT SUBUNIVERSES — every key of copy
+c is `orig * mult + c`, and no join/group/shingle-bucket relationship
+crosses copies for these queries (closure arguments per query below).
+So the engine's sfN output restricted to copy-0 keys must equal the
+oracle SQL run over the INPUT TABLES restricted to copy 0
+(`key % mult = 0`) — a DIRECT engine-vs-DuckDB check on a
+deterministic 1/mult of the keys, with oracle-side work at 1/mult of
+the data (sf0.1-scale for an sf10 probe), instead of a bespoke
+per-query replication argument.
+
+Closure, per configured query:
+ - q115_pagerank: edges need a shared l_orderkey and ScaleUp shifts
+   l_orderkey/l_partkey with the SAME copy index, so copies are
+   disjoint subgraphs; PageRank on a disjoint component equals global
+   PageRank restricted to it.
+ - q22_dedup_minhash_lsh: signatures/band hashes are PER-DOC
+   (no corpus statistics), candidate generation is same-band-value
+   equality, verify is per-pair — so the sampled run's pair set is
+   exactly the full run's pairs with both docs in the sample.
+ - q124_incremental_dedup: same per-doc/per-pair structure as q22;
+   the %4 batch split commutes with the copy-0 restriction because it
+   is a predicate on the same doc_id either way.
+NOT copy-closed (documented, not configured): anything df-capped
+(q21/q39/q51) — a shingle's document frequency is a CORPUS statistic,
+and cross-copy shingle sharing makes full-corpus df differ from
+sample df, so the cap drops different shingles. Their sf10 evidence
+stays the replication-exactness / stats-probe route (SCALING.md).
+
+Validation protocol: run this at sf1 with mult=10, where the FULL
+twins also pass (CORRECTNESS sweeps) — if the sampled scheme agrees
+there, the closure argument is measured, not assumed.
+
+Usage:
+  python3 tools/sampled_compare.py <verify_out_dir> <sf_dir> <mult> [names...]
+
+Prints one line per query (OK/SCHEMA/ROWCOUNT/HASH + sampled row
+count) and a summary; exit 1 on any mismatch.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SAMPLED = {
+    "q115_pagerank": {
+        "input_filters": {"lineitem": "l_orderkey % {m} = 0"},
+        "output_filter": "l_partkey % {m} = 0",
+    },
+    "q22_dedup_minhash_lsh": {
+        "input_filters": {"documents": "doc_id % {m} = 0"},
+        "output_filter": "ia % {m} = 0 AND ib % {m} = 0",
+    },
+    "q124_incremental_dedup": {
+        "input_filters": {"documents": "doc_id % {m} = 0"},
+        "output_filter": "ia % {m} = 0 AND ib % {m} = 0",
+    },
+}
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare_one(out_dir, sf_dir, mult, name, oracle):
+    cfg = SAMPLED[name]
+    con = duckdb.connect()
+    sql = oracle[name]
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        if not re.search(r"\b" + t + r"\b", sql.lower()):
+            continue
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        filt = cfg["input_filters"].get(t)
+        where = " WHERE " + filt.format(m=mult) if filt else ""
+        # materialize (stats for sane join orders, as in compare_each)
+        con.execute(f"CREATE TABLE {t} AS SELECT * FROM {src}{where}")
+    exp = con.execute(sql).fetchdf()
+    got_full = pd.concat(
+        [pd.read_parquet(f)
+         for f in glob.glob(f"{out_dir}/{name}/*.parquet")],
+        ignore_index=True)
+    con.register("got_full", got_full)
+    got = con.execute(
+        "SELECT * FROM got_full WHERE "
+        + cfg["output_filter"].format(m=mult)).fetchdf()
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        return ("SCHEMA", f"{list(g.columns)} vs {list(e.columns)}")
+    if len(g) != len(e):
+        return ("ROWCOUNT", f"engine {len(g)} vs oracle {len(e)}")
+    if g.equals(e):
+        return ("OK", f"rows={len(g)} (sampled 1/{mult} of keys)")
+    return ("HASH", f"rows={len(g)}")
+
+
+def main():
+    out_dir, sf_dir, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    names = sys.argv[4:] or sorted(
+        n for n in SAMPLED if os.path.isdir(os.path.join(out_dir, n)))
+    oracle = json.load(open(out_dir + "/oracle_sql.json"))
+    sc_path = out_dir + "/oracle_sql_scalable.json"
+    if os.environ.get("COMPARE_SCALABLE") == "1" and os.path.exists(sc_path):
+        oracle.update(json.load(open(sc_path)))
+    ok = 0
+    for name in names:
+        if name not in SAMPLED:
+            print(f"SKIP       {name}: no copy-closure config")
+            continue
+        status, detail = compare_one(out_dir, sf_dir, mult, name, oracle)
+        if status == "OK":
+            ok += 1
+        print(f"{status:10} {name}: {detail}", flush=True)
+    print(f"\n{ok}/{len(names)} sampled-key twins match")
+    sys.exit(0 if ok == len(names) else 1)
+
+
+if __name__ == "__main__":
+    main()
