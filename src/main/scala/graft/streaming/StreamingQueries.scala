@@ -41,9 +41,25 @@ object StreamingQueries {
     * checkpoints incrementally, i.e. the one a 100 TB deployment runs —
     * the JVM-heap HDFS provider caps state at executor heap.
     * StreamingStateSpec proves provider equivalence on the same queries. */
-  private def useRocksDbState(spark: SparkSession): Unit =
+  private def useRocksDbState(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: each commit uploads the batch's DELTA
+    // (changelog file) instead of a full RocksDB snapshot, so commit
+    // cost tracks rows-changed rather than rows-held. This is what
+    // broke q68's decade: session-window state holds ~|sessions| rows
+    // (~4.8M at sf10) and snapshot-mode commit_ms grew to ~200k
+    // task-ms per run — the round-13 SessionProbe measured changelog
+    // mode cutting q68 43.3 -> 28.3 s at sf10 (commit_ms ~5k) and the
+    // 10x-events ratio 5.8x -> 4.4x, back toward the family band.
+    // Snapshots still happen, asynchronously every
+    // minDeltasForSnapshot batches — the recovery story a 100 TB
+    // deployment needs anyway (replaying every changelog since t0 is
+    // not a restart plan).
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
 
   /** Stage the events table into `srcDir` for the file streaming
     * source. The driver's testdata ships `events.parquet` as a single
