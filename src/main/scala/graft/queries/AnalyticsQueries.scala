@@ -793,11 +793,34 @@ object AnalyticsQueries {
     * is a real switch, not prose: `graft.triangles.broadcast=false`
     * drops every hint and leaves the join strategy to the optimizer
     * (SqlSurfaceSpec proves the shuffle plan counts identically).
+    * Since round 13 the switch has a DEFAULT that scales itself:
+    * unless `graft.triangles.broadcast` pins it, the decision reads
+    * the scan's size-in-bytes STATISTIC (parquet footers — metadata,
+    * no job) and hints broadcast only while the input is under
+    * `graft.triangles.broadcastMaxInputBytes` (default 8 GiB, sized
+    * so the derived adjacency still fits executor memory with slack).
+    * A 100 TB lineitem therefore falls back to shuffle equi-joins
+    * automatically — the strategy flip r12 measured (148 vs 443 s at
+    * sf10 single-box favors broadcast; a real cluster's memory wall
+    * reverses it) is now a threshold, not an operator's guess.
     * q115/q116 share this edge derivation; closes the graph family
     * (components, ranking, baskets, triangles). */
   def q139TriangleCount(spark: SparkSession, sfDir: String): DataFrame =
     triangleCount(spark, sfDir,
-      spark.conf.getOption("graft.triangles.broadcast").forall(_.toBoolean))
+      spark.conf.getOption("graft.triangles.broadcast").map(_.toBoolean)
+        .getOrElse(triangleBroadcastAuto(spark, sfDir)))
+
+  /** The automatic broadcast decision: input-scan bytes (statistics
+    * only) under the configured ceiling. Exposed for the spec. */
+  private[graft] def triangleBroadcastAuto(spark: SparkSession,
+                                           sfDir: String): Boolean = {
+    val bytes = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val ceiling = spark.conf.getOption("graft.triangles.broadcastMaxInputBytes")
+      .map(_.toLong).getOrElse(8L << 30)
+    bytes < BigInt(ceiling)
+  }
 
   /** The edge-iterator with the broadcast decision explicit: hinted
     * (bench scale — adjacency is |V| rows) or unhinted (100 TB — the

@@ -245,6 +245,26 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q139 broadcast decision auto-degrades by input-size statistics") {
+    // default ceiling (8 GiB) >> the fixture: broadcast
+    assert(AnalyticsQueries.triangleBroadcastAuto(spark, sf()))
+    // a 100 TB-shaped input is simulated by shrinking the ceiling under
+    // the fixture's scan bytes: the decision must flip to shuffle
+    // WITHOUT any pinned conf — and it reads statistics only (metadata),
+    // so asserting it runs no job is implicit in its signature
+    val key = "graft.triangles.broadcastMaxInputBytes"
+    spark.conf.set(key, "1")
+    try assert(!AnalyticsQueries.triangleBroadcastAuto(spark, sf()))
+    finally spark.conf.unset(key)
+    // the explicit pin still overrides the auto decision
+    spark.conf.set("graft.triangles.broadcast", "false")
+    try {
+      val plan = AnalyticsQueries.q139TriangleCount(spark, sf())
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("ResolvedHint"), "pin must drop the hints")
+    } finally spark.conf.unset("graft.triangles.broadcast")
+  }
+
   test("q140 bitmap intersection is exact and bounded by its sides") {
     val rows = AnalyticsQueries.q140AudienceOverlap(spark, sf()).collect()
     assert(rows.nonEmpty)
