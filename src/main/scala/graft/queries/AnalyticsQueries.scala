@@ -48,7 +48,7 @@ object AnalyticsQueries {
       .agg(sum(microLong(col("o_totalprice"))).as("rev_l"))
     val w = Window.partitionBy("n_name").orderBy(col("rev_l").desc, col("o_custkey").asc)
     rev
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimBroadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -289,7 +289,7 @@ object AnalyticsQueries {
       .filter(to_date(col("l_shipdate")) > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimBroadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"))
       .orderBy(col("rev_l").desc, col("l_orderkey"))
@@ -322,8 +322,8 @@ object AnalyticsQueries {
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(Tables.dimBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dimBroadcast(s), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(microLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_l"))
@@ -569,7 +569,7 @@ object AnalyticsQueries {
       .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
     val w = Window.partitionBy("segment")
       .orderBy(col("spend_micro").desc, col("custkey").asc)
-    spend.join(broadcast(cust), "custkey")
+    spend.join(Tables.dimBroadcast(cust), "custkey")
       .select(col("segment"), col("custkey"), col("spend_micro"),
         round(percent_rank().over(w) * 1e6).cast("long").as("pr_micro"),
         round(cume_dist().over(w) * 1e6).cast("long").as("cd_micro"))
@@ -1594,9 +1594,9 @@ object AnalyticsQueries {
       .groupBy(col("a.l_partkey").as("item_a"), col("b.l_partkey").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
-      .join(broadcast(itemN.select(col("l_partkey").as("item_a"),
+      .join(Tables.dimBroadcast(itemN.select(col("l_partkey").as("item_a"),
         col("n_item").as("n_a"))), "item_a")
-      .join(broadcast(itemN.select(col("l_partkey").as("item_b"),
+      .join(Tables.dimBroadcast(itemN.select(col("l_partkey").as("item_b"),
         col("n_item").as("n_b"))), "item_b")
       .withColumn("lift_micro",
         expr(s"(n_ab * ${nOrders}L * 1000000L) div (n_a * n_b)"))

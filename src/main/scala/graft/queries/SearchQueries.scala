@@ -125,7 +125,9 @@ object SearchQueries {
     val idf = (lit(n) - col("df") + 0.5d) / (col("df") + 0.5d)
     val w = idf * (col("tf") * 2.2d) /
       (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / avgdl))
-    tf.join(broadcast(df), "token")
+    // df is vocabulary-sized — sublinear in corpus but unbounded, so the
+    // hint scales itself (Tables.dimBroadcast) instead of asserting
+    tf.join(Tables.dimBroadcast(df), "token")
       .join(dl, "doc_id")
       .withColumn("w_micro", floor(w * 1e6 + 0.5d).cast("long"))
       .groupBy("doc_id")

@@ -21,6 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Spark-conf ceiling for [[dimBroadcast]], bytes. */
+  val DimBroadcastMaxBytesKey = "graft.join.dimBroadcastMaxBytes"
+
+  /** Broadcast hint that scales itself — the q139 pattern, generalized.
+    *
+    * An unconditional `broadcast(customer)` is right at bench scale
+    * and wrong at 100 TB, where customer is ~15B rows: the hint
+    * OVERRIDES Spark's size checks, so the build side OOMs instead of
+    * falling back. This helper hints only while the frame's LARGEST
+    * LEAF SCAN statistic (parquet footers — metadata, no job) is under
+    * `graft.join.dimBroadcastMaxBytes` (default 512 MiB). Leaf stats,
+    * not plan-output stats, because dim CHAINS (supplier⋈nation⋈region)
+    * carry multiplied join estimates that over-project by orders of
+    * magnitude while the true output is bounded by the scan; for the
+    * same reason this helper is only for frames whose ROW COUNT scales
+    * with the corpus (sf-scaling dims, per-key aggregates over them) —
+    * provably bounded frames (singleton aggregates, fixed dims like
+    * nation/region, k-limited tops) keep their unconditional hints.
+    * When the hint is declined at small scale, AQE's runtime-measured
+    * broadcast conversion usually restores the same physical join;
+    * when it is declined at 100 TB, that IS the correct plan. */
+  def dimBroadcast(df: DataFrame): DataFrame = {
+    val ceiling = df.sparkSession.conf.getOption(DimBroadcastMaxBytesKey)
+      .map(_.toLong).getOrElse(512L << 20)
+    // analyzed, not optimizedPlan: leaf scans carry their footer stats
+    // already at analysis time, and skipping the optimizer pass keeps
+    // the decision at ~10 ms instead of ~100+ (it runs per plan build)
+    val maxLeaf = df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes)
+      .foldLeft(BigInt(0))(_ max _)
+    if (maxLeaf < BigInt(ceiling)) broadcast(df) else df
+  }
+
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -822,7 +822,11 @@ object StreamingQueries {
       .select(col("c_custkey"), col("c_mktsegment"))
     val stream = spark.readStream.schema(eventsStreamSchema(spark, sfDir))
       .parquet(srcDir.toString)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      // customer scales with the corpus: the hint must not assert
+      // broadcast at 100 TB (Tables.dimBroadcast declines it past the
+      // stats ceiling and the per-batch join falls back to shuffle)
+      .join(graft.sources.Tables.dimBroadcast(dim),
+        col("user_id") === col("c_custkey"))
       .select(col("c_mktsegment"),
         round(col("value") * 1e6).cast("long").as("vmicro"))
     val q = stream.writeStream

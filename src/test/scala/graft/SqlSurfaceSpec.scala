@@ -265,6 +265,29 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.conf.unset("graft.triangles.broadcast")
   }
 
+  test("dimBroadcast hints at bench scale and declines past the stats ceiling") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      Tables.dimBroadcast(df).queryExecution.analyzed.exists {
+        case _: ResolvedHint => true
+        case _ => false
+      }
+    val cust = Tables.customer(spark, sf())
+    assert(hinted(cust), "fixture-scale customer should carry the hint")
+    // a dim CHAIN must decide off its largest LEAF, not the multiplied
+    // join estimate — supplier⋈nation stays hinted at fixture scale
+    val chain = Tables.supplier(spark, sf())
+      .join(Tables.nation(spark, sf()),
+        col("s_nationkey") === col("n_nationkey"))
+    assert(hinted(chain), "dim chain should hint off leaf stats")
+    // 100 TB in miniature: ceiling under the scan bytes -> no hint
+    spark.conf.set(Tables.DimBroadcastMaxBytesKey, "1")
+    try {
+      assert(!hinted(cust), "past the ceiling the hint must be declined")
+      assert(!hinted(chain))
+    } finally spark.conf.unset(Tables.DimBroadcastMaxBytesKey)
+  }
+
   test("q140 bitmap intersection is exact and bounded by its sides") {
     val rows = AnalyticsQueries.q140AudienceOverlap(spark, sf()).collect()
     assert(rows.nonEmpty)
