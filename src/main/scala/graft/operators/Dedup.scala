@@ -392,22 +392,29 @@ object Dedup {
       .distinct()
       .repartition(col("b"))
       .transform(Lineage.truncateKeepPartitioning)
+    // labels keep their hash(doc) layout across cuts (the q115 lesson):
+    // the rename doc->b preserves the attribute, so BOTH loop joins run
+    // exchange-free against the b-partitioned edges / doc-partitioned
+    // prop, and the SHUFFLE_HASH hints build on the |V|-sized label
+    // table — without them Spark plans sort-merge and re-SORTS the
+    // cached |E| edge list every iteration
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
-      .transform(Lineage.truncate)
+      .transform(Lineage.truncateKeepPartitioning)
     var converged = false
     while (!converged) {
       // candidate label per node: its own, plus every neighbor's; chg
       // records whether the propagated minimum beats the current label
       val next = edges
         .join(labels.withColumnRenamed("doc", "b")
-          .withColumnRenamed("cluster", "nb_cluster"), "b")
+          .withColumnRenamed("cluster", "nb_cluster")
+          .hint("SHUFFLE_HASH"), "b")
         .groupBy(col("a").as("doc"))
         .agg(min(col("nb_cluster")).as("prop"))
-        .join(labels, "doc")
+        .join(labels.hint("SHUFFLE_HASH"), "doc")
         .select(col("doc"), least(col("cluster"), col("prop")).as("cluster"),
           (col("prop") < col("cluster")).as("chg"))
-        .transform(Lineage.truncate)
+        .transform(Lineage.truncateKeepPartitioning)
       // read convergence off the already-materialized blocks; an empty
       // label set (no pairs at all) converges immediately via coalesce
       val changed = next.agg(coalesce(max(col("chg")), lit(false)))
