@@ -104,7 +104,14 @@ object Dedup {
     * the regimes it exists for (sf10's 754M-pair, ~650 GB projection
     * vs a 64 GiB budget) are decided by factors of 10, far beyond the
     * sample noise and the estimate's small biases (sample-local df
-    * ranking; pair survival variance at tiny pdf). */
+    * ranking; pair survival variance at tiny pdf).
+    *
+    * Contract note: the guard makes the uncapped path EAGER — building
+    * the frame runs the two sampled estimate jobs and can throw. That
+    * is the point (fail at build time, not 65 GB into the shuffle),
+    * but explain-only tooling that constructs the plan for an
+    * over-budget corpus without intending to run it should set the
+    * budget conf to 0 first. */
   private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
                                      threshold: Double): Unit = {
     val budget = spark.conf.getOption(VerifyBytesBudgetKey)
@@ -123,12 +130,18 @@ object Dedup {
     val avgNs = if (nsRow.isNullAt(0)) 0.0 else nsRow.getDouble(0)
     val bytesPerPair = 2.0 * avgNs * 8 + 32
     val projected = (pairsEst * bytesPerPair).toLong
+    // human-readable bytes at any magnitude — integer-dividing by GiB
+    // printed "~0 GiB exceeds the budget of 0 GiB" for sub-GiB values
+    def human(b: Long): String =
+      if (b >= (1L << 30)) f"${b / (1L << 30).toDouble}%.1f GiB"
+      else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.1f MiB"
+      else s"$b B"
     if (projected > budget) throw new IllegalStateException(
       f"ngramJaccardPairs pre-flight: projected verify-join volume " +
-        f"~${projected / (1L << 30)}%d GiB (~$pairsEst%,d candidate pairs × " +
+        f"~${human(projected)} (~$pairsEst%,d candidate pairs × " +
         f"~${bytesPerPair.toLong}%d B, estimated from a 10%% doc sample) " +
         f"exceeds the $VerifyBytesBudgetKey budget of " +
-        f"${budget / (1L << 30)}%d GiB. Exact all-pairs is worst-case " +
+        f"${human(budget)}. Exact all-pairs is worst-case " +
         "quadratic in duplicate-group size by nature; use " +
         "ngramJaccardPairsCapped (df-capped, 4x/decade measured) or " +
         "minhashLshPairs (banded LSH, sub-linear candidates), or raise " +

@@ -61,7 +61,12 @@ object SessionProbe {
       case _ => ()
     }
     // per-batch state-operator metrics, collected via listener because
-    // the query object lives inside the pipeline function
+    // the query object lives inside the pipeline function. The listener
+    // bus delivers events on its OWN thread, possibly after
+    // awaitTermination returns — synchronize every touch and drain the
+    // bus (spark.streams semantics offer no flush, so a short bounded
+    // wait after each trial lets the terminal progress event land
+    // before the buffer is read or cleared).
     val batches = ArrayBuffer.empty[String]
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -72,13 +77,15 @@ object SessionProbe {
           e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         p.stateOperators.headOption.foreach { s =>
-          batches += (s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},""" +
-            s""""state_rows":${s.numRowsTotal},"updated":${s.numRowsUpdated},""" +
-            s""""removed":${s.numRowsRemoved},""" +
-            s""""update_ms":${s.allUpdatesTimeMs},""" +
-            s""""removal_ms":${s.allRemovalsTimeMs},""" +
-            s""""commit_ms":${s.commitTimeMs},""" +
-            s""""state_bytes":${s.memoryUsedBytes}}""")
+          val line =
+            s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},""" +
+              s""""state_rows":${s.numRowsTotal},"updated":${s.numRowsUpdated},""" +
+              s""""removed":${s.numRowsRemoved},""" +
+              s""""update_ms":${s.allUpdatesTimeMs},""" +
+              s""""removal_ms":${s.allRemovalsTimeMs},""" +
+              s""""commit_ms":${s.commitTimeMs},""" +
+              s""""state_bytes":${s.memoryUsedBytes}}"""
+          batches.synchronized { batches += line }
         }
       }
     })
@@ -86,15 +93,26 @@ object SessionProbe {
       val t0 = System.nanoTime()
       graft.streaming.StreamingQueries
         .q68StreamSessionWindow(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // bounded drain of the async listener bus
+      secs
     }
     once() // warm: codegen + RocksDB JNI load outside the trials
-    val times = (1 to trials).map { _ => batches.clear(); once() }
+    val times = (1 to trials).map { _ =>
+      batches.synchronized { batches.clear() }
+      once()
+    }
     def cs(v: Double): Double = math.round(v * 100) / 100.0
-    val med = times.sorted.apply(times.size / 2)
+    // same median as graft.Bench: average the middle pair for even N
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = median(times)
+    val batchesJson = batches.synchronized { batches.mkString(",") }
     println(s"""{"variant":"$variant","sf":"$sfDir","trials":${times.size},""" +
       s""""times":[${times.map(cs).mkString(",")}],"median":${cs(med)},""" +
-      s""""last_trial_batches":[${batches.mkString(",")}]}""")
+      s""""last_trial_batches":[$batchesJson]}""")
     spark.stop()
   }
 }

@@ -103,18 +103,27 @@ def main():
                 ref = load(ref_path).get("queries", {})
             except OSError:
                 ref = {}
-            sub = {q: ref[q] for q in changed if q in ref}
+            # the noop reference is only an honest prev for queries whose
+            # FRESH sink is noop (count -> noop direction). For the
+            # reverse (noop -> count) the reference is still a noop
+            # timing and would grade the fresh count number against it —
+            # a count-path regression up to the pruning ratio would read
+            # as a speedup. No honest prev exists for that direction:
+            # skip those queries instead.
+            to_noop = {q for q in changed if fsinks.get(q) == "noop"}
+            sub = {q: ref[q] for q in to_noop if q in ref}
             if sub:
                 pq = dict(pq, **sub)
                 print(f"sink change: {sorted(sub)} compared against "
                       f"noop reference {ref_path}")
-            dropped = sorted(q for q in changed if q not in ref and q in pq)
+            dropped = sorted(q for q in changed if q not in sub and q in pq)
             if dropped:
-                # no honest prev sample exists — skip rather than grade
-                # a count-vs-noop fiction
+                # count->noop with no reference, or noop->count — no
+                # honest prev sample exists; skip rather than grade a
+                # count-vs-noop fiction in either direction
                 pq = {q: v for q, v in pq.items() if q not in dropped}
-                print(f"sink change: {dropped} have no noop reference; "
-                      "skipped in regression check")
+                print(f"sink change: {dropped} have no like-sink "
+                      "reference; skipped in regression check")
         missing = sorted(set(pq) - set(fq))
         if missing:
             print(f"FAIL: queries present in prev but missing from fresh: {missing}")
