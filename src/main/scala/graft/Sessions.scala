@@ -34,10 +34,21 @@ object Sessions {
   def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val withM = b.master(master)
-    if (master.startsWith("local-cluster"))
-      withM
+    if (master.startsWith("local-cluster")) {
+      val base = withM
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions", addOpens)
-    else withM
+      // local-cluster[n,cores,memMB]'s third field is only the WORKER's
+      // advertised capacity — executor JVMs still launch with the
+      // default spark.executor.memory=1g. Every probe that wrote
+      // "local-cluster[4,8,6144]" therefore ran 1 GiB executor heaps
+      // (discovered when q115's sf10 adjacency OOM'd identically at
+      // "6/12/24 GiB"). Size the executor to the bracket so the master
+      // string means what it says; SPARK_GRAFT_EXECUTOR_MEM overrides.
+      val mem = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").orElse(
+        "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+          .findFirstMatchIn(master).map(_.group(1) + "m"))
+      mem.fold(base)(m => base.config("spark.executor.memory", m))
+    } else withM
   }
 }
