@@ -45,10 +45,20 @@ object Sessions {
       // (discovered when q115's sf10 adjacency OOM'd identically at
       // "6/12/24 GiB"). Size the executor to the bracket so the master
       // string means what it says; SPARK_GRAFT_EXECUTOR_MEM overrides.
+      // Spark's own master regex tolerates whitespace
+      // ("local-cluster[4, 8, 6144]"), so this one must too — a
+      // non-matching bracket here would silently re-introduce the
+      // 1 GiB-default under-sizing this exists to fix. If the bracket
+      // still doesn't parse, fail loudly rather than under-size.
       val mem = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").orElse(
-        "local-cluster\\[\\d+,\\d+,(\\d+)\\]".r
+        "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
           .findFirstMatchIn(master).map(_.group(1) + "m"))
-      mem.fold(base)(m => base.config("spark.executor.memory", m))
+      val m = mem.getOrElse(throw new IllegalArgumentException(
+        s"Sessions.withMaster: cannot size executors — master '$master' " +
+          "does not parse as local-cluster[n,cores,memMB] and " +
+          "SPARK_GRAFT_EXECUTOR_MEM is unset; executors would silently " +
+          "launch at the 1 GiB default"))
+      base.config("spark.executor.memory", m)
     } else withM
   }
 }

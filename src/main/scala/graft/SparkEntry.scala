@@ -199,7 +199,12 @@ object SparkEntry {
     * sf01.json): noop/count ratio >= ~2.5 with a structural pruning
     * mechanism, or structurally obvious at any ratio (q93). Everything
     * else is honest under count() — verified by the same audit (total
-    * 181.2 noop vs 178.5 count over the other 156 queries). */
+    * 181.2 noop vs 178.5 count over the other 156 queries).
+    * Borderline, decided and closed: q16_pricing_summary measured 2.4x
+    * in the refreshed r13 audit (bench/probe_r13_noop_audit_sf01.json,
+    * noop 0.98 s) — under the 2.5x bar and its agg exprs are the
+    * query, not a prunable projection, so it stays on count(); do not
+    * re-derive. */
   val noopSink: Set[String] = Set(
     "q26_text_stats",                  // 6.1x: per-row text stats pruned
     "q32_rollup",                      // 3.1x: rollup agg exprs prune to group count

@@ -111,41 +111,84 @@ object Dedup {
     * is the point (fail at build time, not 65 GB into the shuffle),
     * but explain-only tooling that constructs the plan for an
     * over-budget corpus without intending to run it should set the
-    * budget conf to 0 first. */
+    * budget conf to 0 first.
+    *
+    * The pre-flight is MEMOIZED per (canonicalized input plan,
+    * threshold, budget): a pipeline that calls `ngramJaccardPairs` in
+    * a loop — or a bench trial matrix that builds the same query three
+    * times — pays the two sampled estimate jobs once. The key uses the
+    * analyzed plan's semanticHash, so the memo hits only for the SAME
+    * logical input (same files, same filters); a different corpus or
+    * a changed budget re-estimates. A tripped guard is memoized too —
+    * repeat construction re-throws the recorded verdict without
+    * re-running the jobs. */
+  private val guardMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Long), Option[String]]()
+
   private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
                                      threshold: Double): Unit = {
     val budget = spark.conf.getOption(VerifyBytesBudgetKey)
       .map(_.toLong).getOrElse(DefaultVerifyBytesBudget)
     if (budget <= 0) return
-    val sampled = s0.filter(pmod(xxhash64(col("doc")), lit(10)) === 0)
+    val key = (s0.queryExecution.analyzed.semanticHash(), threshold, budget)
+    if (guardMemo.size > 256) guardMemo.clear() // unbounded-session hygiene
+    val verdict = guardMemo.computeIfAbsent(key, _ => estimateVerdict(s0, threshold, budget))
+    verdict.foreach(msg => throw new IllegalStateException(msg))
+  }
+
+  /** One sampled estimate pass at doc-sampling rate 1/mod; returns
+    * (projected bytes, estimated pairs, bytes/pair). */
+  private def estimateAt(s0: DataFrame, threshold: Double,
+                         mod: Int): (Long, Long, Double) = {
+    val sampled = s0.filter(pmod(xxhash64(col("doc")), lit(mod)) === 0)
     val st = prefixStages(sampled, threshold)
     val row = st.prefixPostings.groupBy("sh").agg(count(lit(1)).as("pdf"))
       .agg(coalesce(sum(expr("pdf * (pdf - 1) div 2")), lit(0L)).as("pairs_est"))
       .collect()(0)
-    val pairsEst = row.getLong(0) * 100 // rescale the p² pair survival
+    val pairsEst = row.getLong(0) * mod.toLong * mod // rescale the p² pair survival
     // avg shingle count straight off the sampled postings — same number
     // as byDoc's avg(ns) but without re-running the ranked-array build
     val nsRow = sampled.groupBy("doc").agg(count(lit(1)).as("ns"))
       .agg(avg(col("ns"))).collect()(0)
     val avgNs = if (nsRow.isNullAt(0)) 0.0 else nsRow.getDouble(0)
     val bytesPerPair = 2.0 * avgNs * 8 + 32
-    val projected = (pairsEst * bytesPerPair).toLong
+    ((pairsEst * bytesPerPair).toLong, pairsEst, bytesPerPair)
+  }
+
+  /** Some(message) when the projection exceeds the budget, None when it
+    * clears. The first estimate samples docs at p=1/10 (cheap, decides
+    * the factor-of-10 regimes the guard exists for). When that estimate
+    * lands WITHIN 10x of the budget either way — the regime where a
+    * single unbiased draw's variance could flip the verdict, because a
+    * corpus of many small duplicate groups gives most groups no
+    * surviving sampled pair (survival p²=1%) — it re-estimates at
+    * p=1/4 (survival 6.25%, ~6x more surviving pairs) and decides on
+    * that. The refinement pass costs ~2.5x the first, paid only in the
+    * ambiguous band. */
+  private def estimateVerdict(s0: DataFrame, threshold: Double,
+                              budget: Long): Option[String] = {
+    val coarse @ (p10, _, _) = estimateAt(s0, threshold, 10)
+    val ambiguous = p10 < budget * 10 && p10 > budget / 10
+    val (projected, pairsEst, bytesPerPair) =
+      if (ambiguous) estimateAt(s0, threshold, 4) else coarse
+    val sampleNote = if (ambiguous) "25%" else "10%"
     // human-readable bytes at any magnitude — integer-dividing by GiB
     // printed "~0 GiB exceeds the budget of 0 GiB" for sub-GiB values
     def human(b: Long): String =
       if (b >= (1L << 30)) f"${b / (1L << 30).toDouble}%.1f GiB"
       else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.1f MiB"
       else s"$b B"
-    if (projected > budget) throw new IllegalStateException(
+    if (projected > budget) Some(
       f"ngramJaccardPairs pre-flight: projected verify-join volume " +
         f"~${human(projected)} (~$pairsEst%,d candidate pairs × " +
-        f"~${bytesPerPair.toLong}%d B, estimated from a 10%% doc sample) " +
+        f"~${bytesPerPair.toLong}%d B, estimated from a $sampleNote doc sample) " +
         f"exceeds the $VerifyBytesBudgetKey budget of " +
         f"${human(budget)}. Exact all-pairs is worst-case " +
         "quadratic in duplicate-group size by nature; use " +
         "ngramJaccardPairsCapped (df-capped, 4x/decade measured) or " +
         "minhashLshPairs (banded LSH, sub-linear candidates), or raise " +
         "the budget / set it to 0 to proceed anyway.")
+    else None
   }
 
   /** The bounded form of [[ngramJaccardPairs]] with the cutoff

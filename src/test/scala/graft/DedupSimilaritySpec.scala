@@ -61,6 +61,39 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.VerifyBytesBudgetKey)
   }
 
+  test("verify-join guard memoizes: repeat construction runs zero new jobs") {
+    // a pipeline calling ngramJaccardPairs in a loop — or a bench trial
+    // matrix building the same query thrice — must pay the two sampled
+    // pre-flight jobs ONCE per (input plan, threshold, budget)
+    val memoDocs = docs.withColumn("text", upper(col("text"))) // fresh plan, cold memo key
+    Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.5)   // warm the memo
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async but FIFO: once a SENTINEL job submitted
+    // AFTER the construction is visible, every job the construction
+    // submitted is visible too
+    def drainVia(sentinelFloor: Int): Unit = {
+      // RDD count = exactly ONE job (an AQE SQL count submits one job
+      // per query stage and would inflate the counter)
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs < sentinelFloor && System.nanoTime() < deadline) Thread.sleep(10)
+    }
+    try {
+      Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.5) // construction only
+      drainVia(1)
+      assert(jobs == 1, s"repeat construction ran ${jobs - 1} pre-flight jobs; memo missed")
+      // a DIFFERENT threshold is a different verdict — must re-estimate
+      Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.9)
+      drainVia(3)
+      assert(jobs > 2, "changed threshold must re-run the pre-flight")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("minhash LSH recovers pairs that brute-force jaccard finds") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -97,6 +97,7 @@ class PlanGuardSpec extends SparkSpec {
     "q130_dormant_segments" -> "registers temp views",
     "q131_filtered_agg" -> "registers temp views",
     "q133_approx_percentile_contract" -> "registers temp views",
+    "q21_dedup_ngram_jaccard" -> "uncapped-path guard pre-flight runs sampled estimate jobs at construction",
     "q36_stats_envelope" -> "collects the envelope bounds (bounded)",
     "q49_stratified_sample" -> "collects per-stratum counts (bounded)",
     "q82_weighted_sample" -> "collects stratum weights (bounded)",

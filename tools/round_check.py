@@ -31,6 +31,11 @@ import sys
 REGRESSION_X = 1.3   # warn threshold vs previous round
 HARD_X = 3.0         # fail threshold vs previous round
 MIN_SEC = 1.0        # ignore sub-second timing noise
+NOISE_MAX = 0.30     # refuse certification above this artifact noise:
+                     # the bench's own scalar (~0.1 quiet host) marks the
+                     # sample as host debris, and every per-query verdict
+                     # below would chase phantoms (BENCH_r13: 248.6 s at
+                     # noise 0.43 vs same-code 200.6 s at 0.17)
 
 
 def load(path):
@@ -72,6 +77,15 @@ def main():
     prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
     ok = True
 
+    noise = fresh.get("noise")
+    if noise is not None and noise > NOISE_MAX:
+        print(f"FAIL: artifact noise {noise:.2f} exceeds NOISE_MAX={NOISE_MAX}"
+              " — the trials disagree too much for any per-query verdict to"
+              " carry signal. Re-run graft.Bench on a quiet host (the bench"
+              " only promotes <= {:.2f}-noise runs to bench/last_bench.json"
+              " now) and certify that run instead.".format(NOISE_MAX))
+        ok = False
+
     failed = fresh.get("failed", [])
     if failed:
         print(f"FAIL: fresh run has {len(failed)} failed queries: {failed[:10]}...")
@@ -100,7 +114,23 @@ def main():
             ref_path = (sys.argv[3] if len(sys.argv) > 3
                         else "bench/probe_r12_noop_audit_sf01.json")
             try:
-                ref = load(ref_path).get("queries", {})
+                ref_doc = load(ref_path)
+                ref = ref_doc.get("queries", {})
+                # the reference is only an honest prev at the SAME scale
+                # factor: grading an sf1 round against sf0.1 noop numbers
+                # would report ~10x fake regressions. Drop (with a
+                # message) rather than substitute on mismatch. The sf
+                # field is a path ("/root/testdata/sf0.1") or a scalar;
+                # compare the trailing sf token.
+                def sf_tag(d):
+                    v = str(d.get("sf", ""))
+                    return v.rstrip("/").split("/")[-1]
+                if ref and sf_tag(ref_doc) != sf_tag(fresh):
+                    print(f"sink change: noop reference {ref_path} is at "
+                          f"sf '{sf_tag(ref_doc)}' but fresh artifact is at "
+                          f"'{sf_tag(fresh)}' — reference dropped, sink-"
+                          "changed queries skipped instead of mis-scaled")
+                    ref = {}
             except OSError:
                 ref = {}
             # the noop reference is only an honest prev for queries whose
