@@ -811,14 +811,26 @@ object AnalyticsQueries {
         .getOrElse(triangleBroadcastAuto(spark, sfDir)))
 
   /** The automatic broadcast decision: input-scan bytes (statistics
-    * only) under the configured ceiling. Exposed for the spec. */
+    * only) under the configured ceiling. Exposed for the spec.
+    *
+    * The DEFAULT ceiling is heap-aware — min(8 GiB, maxMemory/4) — not
+    * a fixed constant: the 8 GiB bound was sized for the 48-64 g heaps
+    * the sf10 probes ran on, and on an 8 g driver it green-lit a
+    * broadcast the JVM could not host (q139 at sf10 died in the
+    * broadcast build, round 14). The derived adjacency must fit the
+    * memory the query actually RUNS in, which the ceiling can only
+    * know by asking the runtime — a fixed threshold is the same
+    * "fits at bench scale" assertion the stats-bounded broadcast work
+    * exists to eliminate. Pinning graft.triangles.broadcastMaxInputBytes
+    * still overrides both terms. */
   private[graft] def triangleBroadcastAuto(spark: SparkSession,
                                            sfDir: String): Boolean = {
     val bytes = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey")
       .queryExecution.optimizedPlan.stats.sizeInBytes
     val ceiling = spark.conf.getOption("graft.triangles.broadcastMaxInputBytes")
-      .map(_.toLong).getOrElse(8L << 30)
+      .map(_.toLong)
+      .getOrElse(math.min(8L << 30, Runtime.getRuntime.maxMemory / 4))
     bytes < BigInt(ceiling)
   }
 

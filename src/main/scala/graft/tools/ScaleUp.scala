@@ -30,14 +30,34 @@ import org.apache.spark.sql.functions._
   *  - dimension tables that are fixed-size in TPC-H (nation, region)
   *    are copied as-is: dims stay dims.
   *
-  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [mult]"
-  *        (defaults: /root/testdata/sf0.1  /tmp/graft_sf1  10)
+  * A 4th arg `salt` switches documents to DISJOINT-VOCABULARY
+  * replication: copy 0 keeps the text VERBATIM; copy c>0 tags every
+  * word with the copy index (`w#c`). Each copy is then an exact
+  * structural replica of the source corpus (same within-copy document
+  * frequencies, duplicate groups, window repeats, shingle statistics)
+  * sharing ZERO vocabulary with any other copy — the "10 parallel
+  * tenants" shape of a really-grown corpus. Two uses:
+  *  - replication-free decade probes: any super-linear scaling left on
+  *    this fixture is a plan property, not a cross-copy artifact of the
+  *    word permutation (which preserves word BAGS, so copies still
+  *    collide on hot words/bands with small probability);
+  *  - copy-closed sampled-key oracle twins (tools/sampled_compare.py)
+  *    for the corpus-statistic operators: df-caps (q39/q48/q59/q51),
+  *    duplicated-window detection (q165/q166) and LSH banding
+  *    (q22/q124) are closed under the copy-0 restriction ONLY when no
+  *    shingle/window/band value can cross copies — which the word
+  *    permutation makes merely unlikely, and the salt makes impossible
+  *    by construction.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [mult] [salt]"
+  *        (defaults: /root/testdata/sf0.1  /tmp/graft_sf1  10  off)
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
     val mult = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val saltVocab = args.drop(3).headOption.contains("salt")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,17 +103,24 @@ object ScaleUp {
       .withColumn("event_id", shift("event_id"))
       .withColumn("user_id", shift("user_id")), "events")
 
-    // word permutation: stable sort of (hash(word, position, copy), word)
-    // — same bag of words, unrecognizable n-grams across copies
-    write(copies(raw("documents"))
-      .withColumn("doc_id", shift("doc_id"))
-      .withColumn("text", expr(
+    // salt: copy-tagged vocabulary (exact structural replica per copy,
+    // zero cross-copy term sharing; copy 0 verbatim). default: word
+    // permutation — stable sort of (hash(word, position, copy), word) —
+    // same bag of words, unrecognizable n-grams across copies
+    val textExpr =
+      if (saltVocab) expr(
+        """concat_ws(' ', transform(split(text, ' '),
+          |  w -> if(_c = 0, w, concat(w, '#', _c))))""".stripMargin)
+      else expr(
         """concat_ws(' ', transform(
           |  array_sort(zip_with(
           |    split(text, ' '),
           |    sequence(1, size(split(text, ' '))),
           |    (w, i) -> struct(xxhash64(w, i, _c) as h, w as w))),
-          |  s -> s.w))""".stripMargin))
+          |  s -> s.w))""".stripMargin)
+    write(copies(raw("documents"))
+      .withColumn("doc_id", shift("doc_id"))
+      .withColumn("text", textExpr)
       .withColumn("n_chars", length(col("text"))), "documents")
 
     // stride permutation of components: copy c reads index (j*s_c) mod d

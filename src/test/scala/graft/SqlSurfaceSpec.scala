@@ -246,7 +246,9 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("q139 broadcast decision auto-degrades by input-size statistics") {
-    // default ceiling (8 GiB) >> the fixture: broadcast
+    // default ceiling (min(8 GiB, maxMemory/4) — heap-aware since the
+    // sf10 run on an 8 g driver proved a fixed 8 GiB can green-light a
+    // broadcast the JVM cannot host) >> the fixture: broadcast
     assert(AnalyticsQueries.triangleBroadcastAuto(spark, sf()))
     // a 100 TB-shaped input is simulated by shrinking the ceiling under
     // the fixture's scan bytes: the decision must flip to shuffle
