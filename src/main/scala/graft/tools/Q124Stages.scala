@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Stage decomposition for q124 (incremental dedup): times cumulative
+  * prefixes of the pipeline at one scale factor so a decade probe can
+  * name WHICH stage grows super-linearly. Round-14 context: on the
+  * replication-free (salted) fixture q124's decade stayed ~9-10x while
+  * q22 — the same LSH machinery without the incremental index — sits
+  * at 5.8x, so the over-band growth lives in what q124 adds: the
+  * two-batch signature commit, the index read-back, the
+  * new-side-restricted candidate join, or the verify.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+  *   sbt "runMain graft.tools.Q124Stages <sfDir> [trials]"
+  * Prints one JSON line of per-stage medians (seconds).
+  */
+object Q124Stages {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val trials = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = Tables.documents(spark, sfDir)
+    def freshStore(): String =
+      graft.sources.TempDirs.create("graft_q124_probe").resolve("sigs").toString
+
+    // cumulative prefixes of q124's pipeline; each returns elapsed secs
+    def signOldNoop(): Unit =
+      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", k = 16, bands = 4)
+        .write.mode("overwrite").format("noop").save()
+    def commitBoth(store: String): Unit = {
+      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", k = 16, bands = 4)
+        .write.mode("overwrite").parquet(store)
+      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", k = 16, bands = 4)
+        .write.mode("append").parquet(store)
+    }
+    def sigsOf(store: String): DataFrame = spark.read.parquet(store)
+      .withColumn("is_new", pmod(col("doc"), lit(4)) === 0)
+    def candidates(store: String): Unit = {
+      val sigs = sigsOf(store)
+      sigs.as("x").join(sigs.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc") < col("y.doc") &&
+            (col("x.is_new") || col("y.is_new")))
+        .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
+        .write.mode("overwrite").format("noop").save()
+    }
+    def fullPairs(store: String): Unit =
+      Dedup.minhashLshIncrementalPairs(sigsOf(store),
+          Dedup.shingles(docs, "doc_id", "text"), threshold = 0.8)
+        .write.mode("overwrite").format("noop").save()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; math.round(s(s.size / 2) * 100) / 100.0
+    }
+    // warm codegen once at the probe scale itself (stage shapes differ
+    // from the registry query's, so the sf0.001 bench warmup wouldn't
+    // cover them)
+    val w = freshStore(); commitBoth(w); candidates(w)
+
+    val rows = (1 to trials).map { _ =>
+      val store = freshStore()
+      val tSign = timed(signOldNoop())
+      val tCommit = timed(commitBoth(store))
+      val tCand = timed(candidates(store))
+      val tPairs = timed(fullPairs(store))
+      spark.catalog.clearCache()
+      (tSign, tCommit, tCand, tPairs)
+    }
+    val line =
+      s"""{"sf":"$sfDir","trials":$trials,""" +
+        s""""sign_old_noop":${med(rows.map(_._1))},""" +
+        s""""commit_both_parquet":${med(rows.map(_._2))},""" +
+        s""""candidates_noop":${med(rows.map(_._3))},""" +
+        s""""incremental_pairs_noop":${med(rows.map(_._4))}}"""
+    println(line)
+    spark.stop()
+  }
+}
