@@ -188,8 +188,12 @@ object Bench {
     val sinksJson = queries.collect { case (n, _) if noopQs(n) =>
       "\"" + n.takeWhile(_ != '_') + "\":\"noop\""
     }.mkString("{", ",", "}")
+    // the promotion threshold rides IN the artifact so round_check
+    // grades against the same bar the bench promoted with — two
+    // hardcoded copies of 0.30 would drift apart silently
+    val noiseMax = sys.env.getOrElse("GRAFT_BENCH_NOISE_MAX", "0.30").toDouble
     val line =
-      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"sinks":$sinksJson,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"noise_max":$noiseMax,"sinks":$sinksJson,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the captured tail can truncate the early queries at 159 entries;
     // the full line survives in-repo so per-query history stays
@@ -212,13 +216,17 @@ object Bench {
       val benchDir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(benchDir)
       val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-      val stampRe = s"bench_${sfTag}_(\\d+)\\.json".r
+      // quote the tag: an unescaped '.' cross-matches other tags'
+      // counters, and a bracket in a dir name would make .r throw —
+      // which the blanket catch below would turn into silently losing
+      // the whole sample
+      val stampRe = (java.util.regex.Pattern.quote(s"bench_${sfTag}_") +
+        "(\\d+)\\.json").r
       val next = Option(benchDir.toFile.list()).getOrElse(Array.empty[String])
         .collect { case stampRe(n) => n.toInt }
         .foldLeft(0)(math.max) + 1
       val stamped = benchDir.resolve(f"bench_${sfTag}_$next%03d.json")
       java.nio.file.Files.write(stamped, (line + "\n").getBytes("UTF-8"))
-      val noiseMax = sys.env.getOrElse("GRAFT_BENCH_NOISE_MAX", "0.30").toDouble
       val force = sys.env.get("GRAFT_BENCH_FORCE_RECORD").contains("1")
       val recordPath = benchDir.resolve("last_bench.json")
       val haveRecord = java.nio.file.Files.exists(recordPath)

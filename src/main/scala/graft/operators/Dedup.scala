@@ -117,22 +117,33 @@ object Dedup {
     * threshold, budget): a pipeline that calls `ngramJaccardPairs` in
     * a loop — or a bench trial matrix that builds the same query three
     * times — pays the two sampled estimate jobs once. The key uses the
-    * analyzed plan's semanticHash, so the memo hits only for the SAME
-    * logical input (same files, same filters); a different corpus or
-    * a changed budget re-estimates. A tripped guard is memoized too —
-    * repeat construction re-throws the recorded verdict without
-    * re-running the jobs. */
+    * CANONICALIZED analyzed plan's string form — not its 32-bit
+    * semanticHash, whose Int collisions would let one corpus's verdict
+    * stand in for another's (a memoized pass waving an over-budget
+    * corpus into the very shuffle the guard prevents) — so the memo
+    * hits only for the SAME logical input (same files, same filters);
+    * a different corpus or a changed budget re-estimates. A tripped
+    * guard is memoized too — repeat construction re-throws the
+    * recorded verdict without re-running the jobs. The estimate runs
+    * OUTSIDE the map's bin lock (get / compute / putIfAbsent), so
+    * concurrent guard checks on different inputs never serialize on a
+    * minutes-long sampled estimate; two threads racing the same key at
+    * worst both compute the same verdict. */
   private val guardMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Long), Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Double, Long), Option[String]]()
 
   private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
                                      threshold: Double): Unit = {
     val budget = spark.conf.getOption(VerifyBytesBudgetKey)
       .map(_.toLong).getOrElse(DefaultVerifyBytesBudget)
     if (budget <= 0) return
-    val key = (s0.queryExecution.analyzed.semanticHash(), threshold, budget)
-    if (guardMemo.size > 256) guardMemo.clear() // unbounded-session hygiene
-    val verdict = guardMemo.computeIfAbsent(key, _ => estimateVerdict(s0, threshold, budget))
+    val key = (s0.queryExecution.analyzed.canonicalized.toString, threshold, budget)
+    val verdict = Option(guardMemo.get(key)).getOrElse {
+      val v = estimateVerdict(s0, threshold, budget)
+      if (guardMemo.size > 256) guardMemo.clear() // unbounded-session hygiene
+      guardMemo.putIfAbsent(key, v)
+      v
+    }
     verdict.foreach(msg => throw new IllegalStateException(msg))
   }
 
@@ -401,15 +412,20 @@ object Dedup {
     * corpus — the property that makes daily dedup of a growing 100 TB
     * corpus affordable. Verify touches only candidate docs' text
     * (bounded), exactly like the one-shot path. */
-  def minhashLshIncrementalPairs(sigs: DataFrame, s: DataFrame,
-                                 threshold: Double): DataFrame = {
-    val cand = sigs.as("x").join(sigs.as("y"),
+  /** Candidate derivation of the incremental path, shared with the
+    * stage probe (graft.tools.Q124Stages) so a predicate change there
+    * can never silently diverge from what the probe times: same-band
+    * same-bucket pairs where at least one side is NEW. */
+  private[graft] def incrementalCandidates(sigs: DataFrame): DataFrame =
+    sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc") &&
           (col("x.is_new") || col("y.is_new")))
       .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
-    jaccardVerify(cand, s, threshold)
-  }
+
+  def minhashLshIncrementalPairs(sigs: DataFrame, s: DataFrame,
+                                 threshold: Double): DataFrame =
+    jaccardVerify(incrementalCandidates(sigs), s, threshold)
 
   /** Connected components over an undirected pair list (ia, ib) —
     * the step that turns near-dup PAIRS into dedup CLUSTERS, so one

@@ -821,16 +821,26 @@ object AnalyticsQueries {
     * memory the query actually RUNS in, which the ceiling can only
     * know by asking the runtime — a fixed threshold is the same
     * "fits at bench scale" assertion the stats-bounded broadcast work
-    * exists to eliminate. Pinning graft.triangles.broadcastMaxInputBytes
-    * still overrides both terms. */
+    * exists to eliminate. Runtime.maxMemory is the DRIVER's heap; a
+    * broadcast must also fit every EXECUTOR heap, which in
+    * local-cluster mode is smaller (6 GiB executors under a 48 g
+    * driver in this repo's own probes) — so the bound also reads
+    * spark.executor.memory when set. Pinning
+    * graft.triangles.broadcastMaxInputBytes still overrides all terms. */
   private[graft] def triangleBroadcastAuto(spark: SparkSession,
                                            sfDir: String): Boolean = {
     val bytes = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey")
       .queryExecution.optimizedPlan.stats.sizeInBytes
+    def parseMem(s: String): Option[Long] =
+      try Some(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
+      catch { case _: Throwable => None }
+    val hostMem = spark.conf.getOption("spark.executor.memory")
+      .flatMap(parseMem)
+      .fold(Runtime.getRuntime.maxMemory)(math.min(_, Runtime.getRuntime.maxMemory))
     val ceiling = spark.conf.getOption("graft.triangles.broadcastMaxInputBytes")
       .map(_.toLong)
-      .getOrElse(math.min(8L << 30, Runtime.getRuntime.maxMemory / 4))
+      .getOrElse(math.min(8L << 30, hostMem / 4))
     bytes < BigInt(ceiling)
   }
 

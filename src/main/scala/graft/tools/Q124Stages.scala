@@ -37,30 +37,26 @@ object Q124Stages {
     def freshStore(): String =
       graft.sources.TempDirs.create("graft_q124_probe").resolve("sigs").toString
 
+    // q124's batch split and signature shape, in one place
+    def bandTable(newBatch: Boolean): DataFrame = Dedup.minhashBandTable(
+      docs.filter(if (newBatch) col("doc_id") % 4 === 0
+                  else col("doc_id") % 4 =!= 0),
+      "doc_id", "text", k = 16, bands = 4)
+
     // cumulative prefixes of q124's pipeline; each returns elapsed secs
     def signOldNoop(): Unit =
-      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 =!= 0),
-          "doc_id", "text", k = 16, bands = 4)
-        .write.mode("overwrite").format("noop").save()
+      bandTable(newBatch = false).write.mode("overwrite").format("noop").save()
     def commitBoth(store: String): Unit = {
-      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 =!= 0),
-          "doc_id", "text", k = 16, bands = 4)
-        .write.mode("overwrite").parquet(store)
-      Dedup.minhashBandTable(docs.filter(col("doc_id") % 4 === 0),
-          "doc_id", "text", k = 16, bands = 4)
-        .write.mode("append").parquet(store)
+      bandTable(newBatch = false).write.mode("overwrite").parquet(store)
+      bandTable(newBatch = true).write.mode("append").parquet(store)
     }
     def sigsOf(store: String): DataFrame = spark.read.parquet(store)
       .withColumn("is_new", pmod(col("doc"), lit(4)) === 0)
-    def candidates(store: String): Unit = {
-      val sigs = sigsOf(store)
-      sigs.as("x").join(sigs.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc") < col("y.doc") &&
-            (col("x.is_new") || col("y.is_new")))
-        .select(col("x.doc").as("ia"), col("y.doc").as("ib")).distinct()
+    def candidates(store: String): Unit =
+      // the operator's own derivation — the probe must time the same
+      // plan q124 runs, not a hand-copied predicate that can drift
+      Dedup.incrementalCandidates(sigsOf(store))
         .write.mode("overwrite").format("noop").save()
-    }
     def fullPairs(store: String): Unit =
       Dedup.minhashLshIncrementalPairs(sigsOf(store),
           Dedup.shingles(docs, "doc_id", "text"), threshold = 0.8)
@@ -77,21 +73,37 @@ object Q124Stages {
     // cover them)
     val w = freshStore(); commitBoth(w); candidates(w)
 
+    // the PRODUCTION (steady-state) shape: the old corpus's signatures
+    // already sit in the store from prior runs — a run signs ONLY the
+    // new batch, appends, and derives pairs. This is the per-run cost
+    // the operator's contract promises ("signature work proportional
+    // to the batch"); q124's bench framing re-signs the old corpus in
+    // the timed window to stay self-contained.
+    def appendNewOnly(store: String): Unit =
+      bandTable(newBatch = true).write.mode("append").parquet(store)
+    def commitOldOnly(store: String): Unit =
+      bandTable(newBatch = false).write.mode("overwrite").parquet(store)
+
     val rows = (1 to trials).map { _ =>
       val store = freshStore()
       val tSign = timed(signOldNoop())
       val tCommit = timed(commitBoth(store))
       val tCand = timed(candidates(store))
       val tPairs = timed(fullPairs(store))
+      val steadyStore = freshStore()
+      commitOldOnly(steadyStore) // untimed: prior runs' work
+      val tSteadyAppend = timed(appendNewOnly(steadyStore))
+      val tSteadyPairs = timed(fullPairs(steadyStore))
       spark.catalog.clearCache()
-      (tSign, tCommit, tCand, tPairs)
+      (tSign, tCommit, tCand, tPairs, tSteadyAppend + tSteadyPairs)
     }
     val line =
       s"""{"sf":"$sfDir","trials":$trials,""" +
         s""""sign_old_noop":${med(rows.map(_._1))},""" +
         s""""commit_both_parquet":${med(rows.map(_._2))},""" +
         s""""candidates_noop":${med(rows.map(_._3))},""" +
-        s""""incremental_pairs_noop":${med(rows.map(_._4))}}"""
+        s""""incremental_pairs_noop":${med(rows.map(_._4))},""" +
+        s""""steady_state_run":${med(rows.map(_._5))}}"""
     println(line)
     spark.stop()
   }

@@ -67,30 +67,43 @@ class DedupSimilaritySpec extends SparkSpec {
     // pre-flight jobs ONCE per (input plan, threshold, budget)
     val memoDocs = docs.withColumn("text", upper(col("text"))) // fresh plan, cold memo key
     Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.5)   // warm the memo
-    @volatile var jobs = 0
+    // jobs are classified by job group, so the drain keys on the
+    // SENTINEL specifically — waiting on a raw count floor could be
+    // satisfied by a construction job's own event and false-pass the
+    // zero-new-jobs assertion
+    @volatile var nonSentinel = 0
+    @volatile var sentinels = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (Option(js.properties).exists(
+            p => p.getProperty("spark.jobGroup.id") == "memo-sentinel"))
+          sentinels += 1
+        else nonSentinel += 1
     }
     spark.sparkContext.addSparkListener(listener)
-    // the listener bus is async but FIFO: once a SENTINEL job submitted
-    // AFTER the construction is visible, every job the construction
-    // submitted is visible too
-    def drainVia(sentinelFloor: Int): Unit = {
+    // the listener bus is async but FIFO: once the Nth SENTINEL job
+    // (submitted AFTER the construction) is visible, every job the
+    // construction submitted is visible too
+    def drainVia(expectSentinels: Int): Unit = {
+      spark.sparkContext.setJobGroup("memo-sentinel", "listener drain", false)
       // RDD count = exactly ONE job (an AQE SQL count submits one job
-      // per query stage and would inflate the counter)
-      spark.sparkContext.parallelize(Seq(1), 1).count()
+      // per query stage)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (jobs < sentinelFloor && System.nanoTime() < deadline) Thread.sleep(10)
+      while (sentinels < expectSentinels && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(sentinels >= expectSentinels, "sentinel job event never arrived")
     }
     try {
       Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.5) // construction only
       drainVia(1)
-      assert(jobs == 1, s"repeat construction ran ${jobs - 1} pre-flight jobs; memo missed")
+      assert(nonSentinel == 0,
+        s"repeat construction ran $nonSentinel pre-flight jobs; memo missed")
       // a DIFFERENT threshold is a different verdict — must re-estimate
       Dedup.ngramJaccardPairs(memoDocs, "doc_id", "text", 0.9)
-      drainVia(3)
-      assert(jobs > 2, "changed threshold must re-run the pre-flight")
+      drainVia(2)
+      assert(nonSentinel > 0, "changed threshold must re-run the pre-flight")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

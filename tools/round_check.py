@@ -31,11 +31,14 @@ import sys
 REGRESSION_X = 1.3   # warn threshold vs previous round
 HARD_X = 3.0         # fail threshold vs previous round
 MIN_SEC = 1.0        # ignore sub-second timing noise
-NOISE_MAX = 0.30     # refuse certification above this artifact noise:
-                     # the bench's own scalar (~0.1 quiet host) marks the
-                     # sample as host debris, and every per-query verdict
-                     # below would chase phantoms (BENCH_r13: 248.6 s at
-                     # noise 0.43 vs same-code 200.6 s at 0.17)
+NOISE_MAX = 0.30     # fallback certification bar for artifacts that
+                     # predate the in-artifact "noise_max" field: refuse
+                     # above this noise — the bench's own scalar (~0.1
+                     # quiet host) marks the sample as host debris, and
+                     # every per-query verdict below would chase phantoms
+                     # (BENCH_r13: 248.6 s at noise 0.43 vs same-code
+                     # 200.6 s at 0.17). Newer artifacts carry the bar
+                     # the bench actually promoted with; that one wins.
 
 
 def load(path):
@@ -63,6 +66,9 @@ def load(path):
     m = re.search(r'"noise":([0-9.]+)', tail)
     if m:
         d["noise"] = float(m.group(1))
+    m = re.search(r'"noise_max":([0-9.]+)', tail)
+    if m:
+        d["noise_max"] = float(m.group(1))
     m = re.search(r'"trials":(\d+)', tail)
     if m:
         d["trials"] = int(m.group(1))
@@ -78,12 +84,13 @@ def main():
     ok = True
 
     noise = fresh.get("noise")
-    if noise is not None and noise > NOISE_MAX:
-        print(f"FAIL: artifact noise {noise:.2f} exceeds NOISE_MAX={NOISE_MAX}"
+    noise_max = fresh.get("noise_max", NOISE_MAX)
+    if noise is not None and noise > noise_max:
+        print(f"FAIL: artifact noise {noise:.2f} exceeds noise_max={noise_max}"
               " — the trials disagree too much for any per-query verdict to"
               " carry signal. Re-run graft.Bench on a quiet host (the bench"
-              " only promotes <= {:.2f}-noise runs to bench/last_bench.json"
-              " now) and certify that run instead.".format(NOISE_MAX))
+              f" only promotes <= {noise_max:.2f}-noise runs to"
+              " bench/last_bench.json) and certify that run instead.")
         ok = False
 
     failed = fresh.get("failed", [])

@@ -153,14 +153,18 @@ def fixture_is_salted(sf_dir, mult):
     """True when documents copies >0 carry the `w#c` vocabulary tag —
     the property the corpus-statistic closures depend on. Checked on a
     handful of copy-1 docs, not assumed from how the fixture was
-    (supposedly) generated."""
+    (supposedly) generated. EVERY word must end with the copy's own
+    tag: a mere '#' substring test would false-positive on source text
+    that naturally contains hashtag/anchor tokens, and the closures
+    would then be graded on a fixture where they do not hold."""
     con = duckdb.connect()
     p = f"{sf_dir}/documents.parquet"
     src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
     rows = con.execute(
         f"SELECT text FROM {src} WHERE doc_id % {mult} = 1 "
         "AND length(text) > 0 LIMIT 5").fetchall()
-    return bool(rows) and all("#" in r[0] for r in rows)
+    return bool(rows) and all(
+        w.endswith("#1") for r in rows for w in r[0].split(" ") if w)
 
 
 def compare_one(out_dir, sf_dir, mult, name, oracle):
