@@ -28,11 +28,28 @@ object Sessions {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
+  /** Executor memory implied by a local-cluster master bracket.
+    * Spark's own master regex tolerates whitespace
+    * ("local-cluster[4, 8, 6144]"), so this one must too — a
+    * non-matching bracket would silently re-introduce the 1 GiB-default
+    * under-sizing the bracket parse exists to fix (SCALING.md r13). */
+  private[graft] def executorMemFromMaster(master: String): Option[String] =
+    "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+      .findFirstMatchIn(master).map(_.group(1) + "m")
+
   /** Apply the session master: `SPARK_GRAFT_MASTER` if set (with the
     * executor classpath/opens conf a local-cluster needs), else the
-    * default `local[$cpus]`. */
-  def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    * default `local[$cpus]`. A local-cluster master that does not parse
+    * (and no SPARK_GRAFT_EXECUTOR_MEM) fails LOUDLY rather than letting
+    * executors launch at the 1 GiB default. */
+  def withMaster(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    applyMaster(b, sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"),
+      sys.env.get("SPARK_GRAFT_EXECUTOR_MEM"))
+
+  /** The env-free core of [[withMaster]], separated so the sizing
+    * contract is directly testable (SessionsSpec). */
+  private[graft] def applyMaster(b: SparkSession.Builder, master: String,
+                                 memOverride: Option[String]): SparkSession.Builder = {
     val withM = b.master(master)
     if (master.startsWith("local-cluster")) {
       val base = withM
@@ -45,19 +62,13 @@ object Sessions {
       // (discovered when q115's sf10 adjacency OOM'd identically at
       // "6/12/24 GiB"). Size the executor to the bracket so the master
       // string means what it says; SPARK_GRAFT_EXECUTOR_MEM overrides.
-      // Spark's own master regex tolerates whitespace
-      // ("local-cluster[4, 8, 6144]"), so this one must too — a
-      // non-matching bracket here would silently re-introduce the
-      // 1 GiB-default under-sizing this exists to fix. If the bracket
-      // still doesn't parse, fail loudly rather than under-size.
-      val mem = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").orElse(
-        "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
-          .findFirstMatchIn(master).map(_.group(1) + "m"))
-      val m = mem.getOrElse(throw new IllegalArgumentException(
-        s"Sessions.withMaster: cannot size executors — master '$master' " +
-          "does not parse as local-cluster[n,cores,memMB] and " +
-          "SPARK_GRAFT_EXECUTOR_MEM is unset; executors would silently " +
-          "launch at the 1 GiB default"))
+      val m = memOverride
+        .orElse(executorMemFromMaster(master))
+        .getOrElse(throw new IllegalArgumentException(
+          s"Sessions.withMaster: cannot size executors — master '$master' " +
+            "does not parse as local-cluster[n,cores,memMB] and " +
+            "SPARK_GRAFT_EXECUTOR_MEM is unset; executors would silently " +
+            "launch at the 1 GiB default"))
       base.config("spark.executor.memory", m)
     } else withM
   }
