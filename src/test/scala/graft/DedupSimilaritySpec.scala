@@ -61,6 +61,32 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.VerifyBytesBudgetKey)
   }
 
+  test("guard refines to a 25% sample only in the ambiguous band") {
+    // same wall corpus as the trip test: ~20.8 MiB projected at the
+    // 10% sample. budget 4 MiB puts that estimate WITHIN 10x of the
+    // budget — the regime where one unbiased draw could flip the
+    // verdict — so the guard must re-estimate at 25% and say so;
+    // budget 64 KiB is decided by a factor >10 and must pay only the
+    // cheap pass.
+    val wall = spark.range(200)
+      .select(col("id").as("doc_id"),
+        lit("a b c d e f g h i j k l m n o p q r s t u v w x y z").as("text"))
+    try {
+      spark.conf.set(Dedup.VerifyBytesBudgetKey, (4L * 1024 * 1024).toString)
+      val ambiguous = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(wall, "doc_id", "text", 0.8)
+      }
+      assert(ambiguous.getMessage.contains("25% doc sample"), ambiguous.getMessage)
+      spark.conf.set(Dedup.VerifyBytesBudgetKey, (64L * 1024).toString)
+      val decisive = intercept[IllegalStateException] {
+        // fresh plan: a different projection defeats the guard memo
+        Dedup.ngramJaccardPairs(wall.withColumn("doc_id", col("doc_id") + 0L),
+          "doc_id", "text", 0.8)
+      }
+      assert(decisive.getMessage.contains("10% doc sample"), decisive.getMessage)
+    } finally spark.conf.unset(Dedup.VerifyBytesBudgetKey)
+  }
+
   test("verify-join guard memoizes: repeat construction runs zero new jobs") {
     // a pipeline calling ngramJaccardPairs in a loop — or a bench trial
     // matrix building the same query thrice — must pay the two sampled
