@@ -192,8 +192,13 @@ object Bench {
     // grades against the same bar the bench promoted with — two
     // hardcoded copies of 0.30 would drift apart silently
     val noiseMax = sys.env.getOrElse("GRAFT_BENCH_NOISE_MAX", "0.30").toDouble
+    // the HEAD SHA rides in the artifact so promotion (and any reader)
+    // can tell "same code, different host weather" from "code changed"
+    // — three same-code sweeps spread 195.9-214.3 s at noise <=0.20 in
+    // round 14 and the slowest displaced the fastest as the record
+    val sha = headSha()
     val line =
-      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"noise_max":$noiseMax,"sinks":$sinksJson,"metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"noise_max":$noiseMax,"sinks":$sinksJson,"sha":"$sha","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the captured tail can truncate the early queries at 159 entries;
     // the full line survives in-repo so per-query history stays
@@ -222,22 +227,40 @@ object Bench {
       // the whole sample
       val stampRe = (java.util.regex.Pattern.quote(s"bench_${sfTag}_") +
         "(\\d+)\\.json").r
-      val next = Option(benchDir.toFile.list()).getOrElse(Array.empty[String])
+      // list-then-write would race: two bench JVMs finishing together
+      // can compute the same NNN and one overwrites the other's sample.
+      // CREATE_NEW makes the filesystem arbitrate — the loser gets
+      // FileAlreadyExistsException and retries with the next counter,
+      // so no stamped sample is ever silently lost.
+      def nextCounter(): Int = Option(benchDir.toFile.list())
+        .getOrElse(Array.empty[String])
         .collect { case stampRe(n) => n.toInt }
         .foldLeft(0)(math.max) + 1
-      val stamped = benchDir.resolve(f"bench_${sfTag}_$next%03d.json")
-      java.nio.file.Files.write(stamped, (line + "\n").getBytes("UTF-8"))
+      var stamped: java.nio.file.Path = null
+      var n = nextCounter()
+      while (stamped == null) {
+        val p = benchDir.resolve(f"bench_${sfTag}_$n%03d.json")
+        try {
+          java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          stamped = p
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => n += 1
+        }
+      }
       val force = sys.env.get("GRAFT_BENCH_FORCE_RECORD").contains("1")
       val recordPath = benchDir.resolve("last_bench.json")
       val haveRecord = java.nio.file.Files.exists(recordPath)
+      val prevLine = if (haveRecord)
+        new String(java.nio.file.Files.readAllBytes(recordPath), "UTF-8") else ""
       // a GRAFT_ONLY-restricted probe is a partial suite — its tiny
       // total must never become the record the next round grades against
       val partial = only.isDefined
-      if (partial && !force)
-        System.err.println(
-          "bench: GRAFT_ONLY probe run — not promoted to last_bench.json " +
-            s"(preserved at ${stamped})")
-      if (force || (!partial && (!haveRecord || noise <= noiseMax))) {
+      val (promote, rule) = promoteRule(haveRecord, force, partial,
+        noise, noiseMax, recordSha(prevLine), sha,
+        recordValue(prevLine), total, recordSf(prevLine), sfDir)
+      if (promote) {
         java.nio.file.Files.write(recordPath, (line + "\n").getBytes("UTF-8"))
         // full per-trial matrix: {"trials":N,"runs":[{q:t,…},…]} — the
         // evidence a reviewer needs to tell debris from regression
@@ -246,16 +269,72 @@ object Bench {
           benchDir.resolve("last_bench_trials.json"),
           (s"""{"sf":"$sfDir","trials":$trials,"noise":$noise,"runs":$runsJson}""" + "\n")
             .getBytes("UTF-8"))
-      } else if (!partial) {
+        System.err.println(s"bench: promoted to ${recordPath} [$rule]")
+      } else {
         System.err.println(
-          f"bench: noise $noise%.2f exceeds GRAFT_BENCH_NOISE_MAX=$noiseMax%.2f " +
-            s"— loud-host sample NOT promoted to ${recordPath} (kept existing " +
-            s"record); this run is preserved at ${stamped}. Re-run on a quiet " +
-            "host or set GRAFT_BENCH_FORCE_RECORD=1 to override.")
+          s"bench: NOT promoted to ${recordPath} [$rule]; this run is " +
+            s"preserved at ${stamped}. Set GRAFT_BENCH_FORCE_RECORD=1 to override.")
       }
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not persist bench artifacts: $e")
     }
     spark.stop()
   }
+
+  /** HEAD commit of the working tree the bench ran from; "unknown" when
+    * git is unavailable (the artifact still writes — the SHA is
+    * evidence, not a dependency). */
+  private[graft] def headSha(): String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
+  private[graft] def recordSha(recordLine: String): Option[String] =
+    "\"sha\":\"([0-9a-f]{40})\"".r.findFirstMatchIn(recordLine).map(_.group(1))
+
+  private[graft] def recordValue(recordLine: String): Option[Double] =
+    "\"value\":([0-9.]+)".r.findFirstMatchIn(recordLine).map(_.group(1).toDouble)
+
+  private[graft] def recordSf(recordLine: String): Option[String] =
+    "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(recordLine).map(_.group(1))
+
+  /** The record-promotion rule, pure so the spec can pin it. Round 14's
+    * lesson: the noise gate alone let a same-code 214.3 s sweep displace
+    * the 195.9 s record — both were quiet (noise 0.18), so intra-run
+    * noise carries no signal about which SAMPLE of the same code to
+    * keep. Promotion is therefore keyed on the git SHA: a different SHA
+    * promotes (new code owns the record, faster or slower — a slowdown
+    * must be visible, not hidden under an old record); the SAME SHA
+    * promotes only a FASTER total (a slower same-code run is host
+    * weather by definition — the code cannot have regressed without
+    * changing). A record predating the sha field promotes as if the
+    * code changed. A run at a DIFFERENT scale factor than the record
+    * never promotes (first use of this rule caught itself: an sf0.001
+    * smoke run displaced the sf0.1 round-close record) — the record is
+    * the round-close sweep at the driver's grading SF; other scales are
+    * probes and live in their stamped copies. Returns (promote?, the
+    * rule that applied) — the rule string is printed so the round log
+    * says WHY the record moved. */
+  private[graft] def promoteRule(haveRecord: Boolean, force: Boolean,
+      partial: Boolean, noise: Double, noiseMax: Double,
+      prevSha: Option[String], newSha: String,
+      prevTotal: Option[Double], newTotal: Double,
+      prevSf: Option[String] = None, newSf: String = ""): (Boolean, String) =
+    if (force) (true, "forced: GRAFT_BENCH_FORCE_RECORD=1")
+    else if (partial) (false, "GRAFT_ONLY probe run — a partial suite is never the record")
+    else if (!haveRecord) (true, "first record")
+    else if (prevSf.exists(_ != newSf))
+      (false, s"scale factor differs: record is ${prevSf.get}, this run is " +
+        s"$newSf — a different-SF sweep is a probe, not the record")
+    else if (noise > noiseMax)
+      (false, f"noise $noise%.2f exceeds GRAFT_BENCH_NOISE_MAX=$noiseMax%.2f — loud-host sample")
+    else if (prevSha.isEmpty || !prevSha.contains(newSha))
+      (true, s"code changed: record sha ${prevSha.getOrElse("<pre-sha record>")} -> $newSha")
+    else if (prevTotal.forall(newTotal < _))
+      (true, f"same sha, faster total: ${prevTotal.getOrElse(Double.NaN)}%.1f s -> $newTotal%.1f s (keep-best-of)")
+    else
+      (false, f"same sha, slower total: ${prevTotal.getOrElse(Double.NaN)}%.1f s -> $newTotal%.1f s — host weather, record kept")
 }

@@ -114,33 +114,54 @@ object Dedup {
     * budget conf to 0 first.
     *
     * The pre-flight is MEMOIZED per (canonicalized input plan,
-    * threshold, budget): a pipeline that calls `ngramJaccardPairs` in
-    * a loop — or a bench trial matrix that builds the same query three
-    * times — pays the two sampled estimate jobs once. The key uses the
-    * CANONICALIZED analyzed plan's string form — not its 32-bit
-    * semanticHash, whose Int collisions would let one corpus's verdict
-    * stand in for another's (a memoized pass waving an over-budget
-    * corpus into the very shuffle the guard prevents) — so the memo
-    * hits only for the SAME logical input (same files, same filters);
-    * a different corpus or a changed budget re-estimates. A tripped
-    * guard is memoized too — repeat construction re-throws the
-    * recorded verdict without re-running the jobs. The estimate runs
-    * OUTSIDE the map's bin lock (get / compute / putIfAbsent), so
+    * physical input files, threshold, budget): a pipeline that calls
+    * `ngramJaccardPairs` in a loop — or a bench trial matrix that
+    * builds the same query three times — pays the two sampled estimate
+    * jobs once. The key uses the CANONICALIZED analyzed plan's string
+    * form — not its 32-bit semanticHash, whose Int collisions would
+    * let one corpus's verdict stand in for another's (a memoized pass
+    * waving an over-budget corpus into the very shuffle the guard
+    * prevents). The canonicalized STRING alone is not enough either:
+    * LogicalRelation's string form elides the data location, so two
+    * parquet reads of the same schema from DIFFERENT paths print
+    * identically ('Relation [none#0L,none#1] parquet') and would share
+    * one verdict — a session touching sf1 then sf10 would wave the
+    * over-budget corpus through on the small one's memoized pass (and
+    * falsely trip on the safe one). The key therefore ALSO carries the
+    * resolved input file list, which separates different paths AND
+    * same-path corpora that gained files since the last estimate. A
+    * different corpus, appended data, or a changed budget re-estimates.
+    * A tripped guard is memoized too — repeat construction re-throws
+    * the recorded verdict without re-running the jobs. The estimate
+    * runs OUTSIDE the map's bin lock (get / compute / putIfAbsent), so
     * concurrent guard checks on different inputs never serialize on a
     * minutes-long sampled estimate; two threads racing the same key at
-    * worst both compute the same verdict. */
-  private val guardMemo =
+    * worst both compute the same verdict. The memo is capacity-bounded
+    * by EVICTING one arbitrary entry past 256 — not by clearing the
+    * whole map, which would forget all 256 verdicts (and re-run every
+    * pre-flight) the moment a long session touched its 257th corpus. */
+  private[graft] val guardMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Double, Long), Option[String]]()
+
+  /** The memo key's input identity: canonicalized logical form PLUS the
+    * physical files behind every scan. Exposed for the spec that pins
+    * the same-schema-different-path non-collision. */
+  private[graft] def guardMemoInputKey(s0: DataFrame): String =
+    s0.queryExecution.analyzed.canonicalized.toString +
+      s0.inputFiles.sorted.mkString(" ", " ", "")
 
   private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
                                      threshold: Double): Unit = {
     val budget = spark.conf.getOption(VerifyBytesBudgetKey)
       .map(_.toLong).getOrElse(DefaultVerifyBytesBudget)
     if (budget <= 0) return
-    val key = (s0.queryExecution.analyzed.canonicalized.toString, threshold, budget)
+    val key = (guardMemoInputKey(s0), threshold, budget)
     val verdict = Option(guardMemo.get(key)).getOrElse {
       val v = estimateVerdict(s0, threshold, budget)
-      if (guardMemo.size > 256) guardMemo.clear() // unbounded-session hygiene
+      if (guardMemo.size > 256) { // unbounded-session hygiene: evict ONE
+        val it = guardMemo.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       guardMemo.putIfAbsent(key, v)
       v
     }
@@ -175,11 +196,23 @@ object Dedup {
     * surviving sampled pair (survival p²=1%) — it re-estimates at
     * p=1/4 (survival 6.25%, ~6x more surviving pairs) and decides on
     * that. The refinement pass costs ~2.5x the first, paid only in the
-    * ambiguous band. */
+    * ambiguous band. A coarse draw that surfaces ZERO surviving pairs
+    * from a NONEMPTY doc sample is ambiguous too, not a decisive pass:
+    * zero survival is exactly the many-small-groups variance regime
+    * the refinement exists for (every group of ≤3 sampled docs most
+    * likely contributes nothing at p²=1%), so a modestly over-budget
+    * corpus could otherwise be waved through on a zero draw. An empty
+    * SAMPLE (tiny corpus — no doc hashed into the 10% stratum) stays
+    * decisive: the 25% redraw of a corpus that small is decided by the
+    * same near-zero projection. */
   private def estimateVerdict(s0: DataFrame, threshold: Double,
                               budget: Long): Option[String] = {
-    val coarse @ (p10, _, _) = estimateAt(s0, threshold, 10)
-    val ambiguous = p10 < budget * 10 && p10 > budget / 10
+    val coarse @ (p10, pairs10, bpp10) = estimateAt(s0, threshold, 10)
+    // bytesPerPair > the 32 B row overhead ⇔ avg(ns) > 0 ⇔ the 10%
+    // stratum actually contained documents
+    val sampledDocs = bpp10 > 32.0
+    val ambiguous = (p10 < budget * 10 && p10 > budget / 10) ||
+      (pairs10 == 0L && sampledDocs)
     val (projected, pairsEst, bytesPerPair) =
       if (ambiguous) estimateAt(s0, threshold, 4) else coarse
     val sampleNote = if (ambiguous) "25%" else "10%"

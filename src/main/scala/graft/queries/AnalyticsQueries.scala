@@ -832,8 +832,12 @@ object AnalyticsQueries {
     val bytes = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey")
       .queryExecution.optimizedPlan.stats.sizeInBytes
+    // parse with Spark's OWN interpretation of spark.executor.memory:
+    // a unitless value means MiB there (byteStringAsMb upstream), so
+    // byteStringAsBytes would read '6144' as 6144 BYTES and silently
+    // force the shuffle plan with a ~1.5 KB ceiling
     def parseMem(s: String): Option[Long] =
-      try Some(org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
+      try Some(org.apache.spark.network.util.JavaUtils.byteStringAsMb(s) << 20)
       catch { case _: Throwable => None }
     val hostMem = spark.conf.getOption("spark.executor.memory")
       .flatMap(parseMem)

@@ -109,8 +109,12 @@ object ScaleUp {
     // same bag of words, unrecognizable n-grams across copies
     val textExpr =
       if (saltVocab) expr(
+        // empty tokens (consecutive spaces) stay empty in EVERY copy —
+        // tagging them would mint bare '#c' words that copy 0 lacks,
+        // breaking the exact-structural-replica property the decade
+        // probe's argument rests on
         """concat_ws(' ', transform(split(text, ' '),
-          |  w -> if(_c = 0, w, concat(w, '#', _c))))""".stripMargin)
+          |  w -> if(_c = 0 or w = '', w, concat(w, '#', _c))))""".stripMargin)
       else expr(
         """concat_ws(' ', transform(
           |  array_sort(zip_with(

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-record promotion rule (Bench.promoteRule): promotion
+  * is keyed on the git SHA with keep-best-of within a SHA, so a slower
+  * same-code sweep — host weather by definition — can never displace
+  * the round-close record (round 14: a 214.3 s same-code run displaced
+  * the 195.9 s record because the gate only looked at intra-run noise).
+  */
+class BenchPromoteSpec extends AnyFunSuite {
+  private val shaA = "a" * 40
+  private val shaB = "b" * 40
+
+  test("a slower same-sha run never displaces the record") {
+    // the round-14 incident, verbatim: same code, both quiet, slower
+    val (promote, rule) = Bench.promoteRule(haveRecord = true, force = false,
+      partial = false, noise = 0.18, noiseMax = 0.30,
+      prevSha = Some(shaA), newSha = shaA,
+      prevTotal = Some(195.88), newTotal = 214.33)
+    assert(!promote, rule)
+    assert(rule.contains("host weather"))
+  }
+
+  test("a faster same-sha run promotes (keep-best-of)") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.18, noiseMax = 0.30, Some(shaA), shaA, Some(214.33), 195.88)
+    assert(promote, rule)
+    assert(rule.contains("keep-best-of"))
+  }
+
+  test("a different sha promotes even when slower — a regression must be visible") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.18, noiseMax = 0.30, Some(shaA), shaB, Some(195.88), 250.0)
+    assert(promote, rule)
+    assert(rule.contains("code changed"))
+  }
+
+  test("a record predating the sha field is treated as code-changed") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.18, noiseMax = 0.30, None, shaA, Some(195.88), 250.0)
+    assert(promote, rule)
+  }
+
+  test("the noise gate still precedes the sha rule") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.43, noiseMax = 0.30, Some(shaA), shaB, Some(195.88), 180.0)
+    assert(!promote, rule)
+    assert(rule.contains("loud-host"))
+  }
+
+  test("first record / partial probe / force behave as before") {
+    assert(Bench.promoteRule(false, force = false, partial = false,
+      0.18, 0.30, None, shaA, None, 200.0)._1)
+    assert(!Bench.promoteRule(true, force = false, partial = true,
+      0.05, 0.30, Some(shaA), shaB, Some(200.0), 5.0)._1)
+    assert(Bench.promoteRule(true, force = true, partial = true,
+      0.99, 0.30, Some(shaA), shaA, Some(100.0), 999.0)._1)
+  }
+
+  test("a different-SF sweep never displaces the record") {
+    // caught live on this rule's first run: an sf0.001 smoke sweep
+    // displaced the sf0.1 round-close record under "code changed"
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.0, noiseMax = 0.30, Some(shaA), shaB, Some(195.88), 148.26,
+      prevSf = Some("/root/testdata/sf0.1"), newSf = "/root/testdata/sf0.001")
+    assert(!promote, rule)
+    assert(rule.contains("scale factor differs"))
+    // same SF passes through to the sha rules
+    assert(Bench.promoteRule(true, force = false, partial = false,
+      0.0, 0.30, Some(shaA), shaB, Some(195.88), 148.26,
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1")._1)
+  }
+
+  test("recordSha/recordValue parse the artifact line") {
+    val line = s"""{"queries":{"q01":0.5},"noise":0.18,"sha":"$shaA","metric":"total","value":195.88,"unit":"sec"}"""
+    assert(Bench.recordSha(line).contains(shaA))
+    assert(Bench.recordValue(line).contains(195.88))
+    assert(Bench.recordSha("""{"value":1.0}""").isEmpty)
+  }
+}

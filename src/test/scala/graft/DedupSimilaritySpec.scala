@@ -133,6 +133,64 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("same-schema reads from different paths get independent guard verdicts") {
+    // LogicalRelation's canonicalized string elides the data location:
+    // two parquet reads of the same schema from DIFFERENT paths print
+    // identically, so a memo keyed on the string alone would hand the
+    // clean corpus's PASS to the over-budget one — the exact bypass the
+    // guard exists to prevent (advisor finding, round 14). The key must
+    // separate them via the physical input files.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard_paths")
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/clean")
+    spark.range(200)
+      .select(col("id").as("doc_id"),
+        lit("a b c d e f g h i j k l m n o p q r s t u v w x y z").as("text"))
+      .write.parquet(s"$tmp/wall")
+    val cleanR = spark.read.parquet(s"$tmp/clean")
+    val wallR = spark.read.parquet(s"$tmp/wall")
+    // pin the premise: the canonicalized string CANNOT tell them apart
+    assert(cleanR.queryExecution.analyzed.canonicalized.toString ==
+      wallR.queryExecution.analyzed.canonicalized.toString)
+    assert(Dedup.guardMemoInputKey(cleanR) != Dedup.guardMemoInputKey(wallR))
+    spark.conf.set(Dedup.VerifyBytesBudgetKey, (64L * 1024).toString)
+    try {
+      // clean corpus first: memoizes a PASS under the shared plan string
+      assert(Dedup.ngramJaccardPairs(cleanR, "doc_id", "text", 0.8).count() == 0)
+      // the wall from the other path must still be estimated and TRIP
+      val e = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(wallR, "doc_id", "text", 0.8)
+      }
+      assert(e.getMessage.contains("candidate pairs"), e.getMessage)
+    } finally spark.conf.unset(Dedup.VerifyBytesBudgetKey)
+  }
+
+  test("guard memo evicts one entry past capacity, never the whole map") {
+    // unbounded-session hygiene used to be guardMemo.clear() — the
+    // 257th corpus forgot all 256 prior verdicts and every pre-flight
+    // re-ran. Eviction must shed exactly one entry.
+    Dedup.guardMemo.clear()
+    (0 until 256).foreach(i => Dedup.guardMemo.put((s"seed$i", 0.5, 123L), None))
+    spark.conf.set(Dedup.VerifyBytesBudgetKey, (64L << 30).toString)
+    try {
+      val k257 = docs.withColumn("text", concat(col("text"), lit(" evict")))
+      Dedup.ngramJaccardPairs(k257, "doc_id", "text", 0.5)
+      assert(Dedup.guardMemo.size() == 257) // at capacity: nothing evicted
+      val k258 = docs.withColumn("text", concat(col("text"), lit(" evict2")))
+      Dedup.ngramJaccardPairs(k258, "doc_id", "text", 0.5)
+      assert(Dedup.guardMemo.size() == 257) // one in, one out
+      val survivors = (0 until 256)
+        .count(i => Dedup.guardMemo.containsKey((s"seed$i", 0.5, 123L)))
+      assert(survivors >= 255,
+        s"eviction dropped ${256 - survivors} seeded verdicts; must be at most 1")
+    } finally {
+      spark.conf.unset(Dedup.VerifyBytesBudgetKey)
+      Dedup.guardMemo.clear()
+    }
+  }
+
   test("minhash LSH recovers pairs that brute-force jaccard finds") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
