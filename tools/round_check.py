@@ -24,8 +24,11 @@ Checks (exit 1 on any failure):
          do, so the median carries no regression signal).
      Queries under MIN_SEC are timing noise and skipped.
 """
+import glob
 import json
+import os
 import re
+import subprocess
 import sys
 
 REGRESSION_X = 1.3   # warn threshold vs previous round
@@ -41,16 +44,58 @@ NOISE_MAX = 0.30     # fallback certification bar for artifacts that
                      # the bench actually promoted with; that one wins.
 
 
+def stamped_fallback(path, tail):
+    """A wrapper whose tail capture is FRONT-TRUNCATED has lost the
+    early per-query entries — the missing-query check would then FAIL
+    on ~20 spuriously-'missing' queries (reproduced on BENCH_r14.json:
+    the identical run's stamped copy passes). The bench writes a full
+    stamped copy bench/bench_<sf>_NNN.json of every run, so recover THE
+    SAME RUN from there: match on the headline value (and sha when the
+    tail kept it), newest counter first. Returns the loaded stamped doc
+    or None."""
+    m = re.search(r'"value":([0-9.]+)', tail)
+    if not m:
+        return None
+    value = float(m.group(1))
+    msha = re.search(r'"sha":"([0-9a-f]{40})"', tail)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(path)), "bench")
+    candidates = sorted(glob.glob(os.path.join(bench_dir, "bench_*_*.json")),
+                        reverse=True)
+    for cand in candidates:
+        try:
+            c = json.load(open(cand))
+        except (OSError, ValueError):
+            continue
+        if abs(c.get("value", -1) - value) > 0.005:
+            continue
+        if msha and c.get("sha") and c["sha"] != msha.group(1):
+            continue
+        print(f"note: {path} tail is front-truncated; certified via the "
+              f"same run's stamped artifact {cand} (value {value} matched)")
+        return c
+    return None
+
+
 def load(path):
     """Accept either graft.Bench's own JSON line or the driver's
     BENCH_rN.json wrapper, which stores only a front-truncated `tail`
     capture of the bench stdout — recover queries/value/failed from it
     by regex so round-over-round comparison works against the official
-    artifacts, not just local bench output."""
+    artifacts, not just local bench output. A tail that lost its FRONT
+    (does not begin with the artifact's opening brace) is recovered from
+    the run's stamped copy instead; if none matches, the doc is marked
+    `_truncated` so main() can refuse to certify it as the FRESH
+    artifact (a prev artifact degrades gracefully — fewer queries to
+    compare, never a spurious failure)."""
     d = json.load(open(path))
     if "queries" in d or "tail" not in d:
         return d
     tail = d["tail"]
+    if not tail.lstrip().startswith("{"):
+        full = stamped_fallback(path, tail)
+        if full is not None:
+            return full
+        d["_truncated"] = path
     d["queries"] = {q: float(v) for q, v in
                     re.findall(r'"(q\d+)":([0-9.]+)', tail)}
     m = re.search(r'"value":([0-9.]+)', tail)
@@ -82,6 +127,36 @@ def main():
     fresh = load(sys.argv[1])
     prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
     ok = True
+
+    if "_truncated" in fresh:
+        sf = re.search(r'"sf":"[^"]*?(sf[0-9.]+)"', fresh.get("tail", ""))
+        tag = sf.group(1) if sf else "<sf>"
+        print(f"FAIL: {fresh['_truncated']} is a front-truncated tail capture "
+              f"(early per-query entries lost) and no stamped copy "
+              f"bench/bench_{tag}_NNN.json matches its headline value — "
+              "refusing to certify a partial record as the fresh artifact. "
+              "Certify the run's stamped bench/bench_<sf>_NNN.json directly.")
+        print("ROUND CHECK FAIL")
+        sys.exit(1)
+
+    # coverage drift gate: every COVERAGE.md carrier query must exist in
+    # the registry and be green in the newest CORRECTNESS artifact. Run
+    # whenever the companion script and inputs are present (repo root =
+    # the fresh artifact's directory), so a COVERAGE row naming a
+    # nonexistent or red query fails the round loudly here.
+    root = os.path.dirname(os.path.abspath(sys.argv[1]))
+    cov = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "coverage_check.py")
+    if os.path.exists(cov) and os.path.exists(os.path.join(root, "COVERAGE.md")):
+        r = subprocess.run([sys.executable, cov, root],
+                           capture_output=True, text=True)
+        tailtxt = (r.stdout + r.stderr).strip().splitlines()
+        print(("ok: " if r.returncode == 0 else "FAIL: ") +
+              (tailtxt[-1] if tailtxt else f"coverage_check rc={r.returncode}"))
+        if r.returncode != 0:
+            for ln in tailtxt[:-1]:
+                print("  " + ln)
+            ok = False
 
     noise = fresh.get("noise")
     noise_max = fresh.get("noise_max", NOISE_MAX)
