@@ -23,6 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Probe aid: GRAFT_BENCH_CONF="k=v;k2=v2" sets session confs the
+    // builder can't know (e.g. graft.q115.adjacencyDir for the fresh-JVM
+    // cold-start probe) without a bespoke main per experiment.
+    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     // Local-iteration aid: GRAFT_ONLY=q22,q39 restricts the timed set.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)

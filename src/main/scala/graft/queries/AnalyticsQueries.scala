@@ -1535,7 +1535,13 @@ object AnalyticsQueries {
   private[graft] def q115AdjacencyFiles(spark: SparkSession,
                                         sfDir: String): Seq[String] = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    // the configured store root is scoped PER FIXTURE: a TableStore has
+    // one current-version pointer, so two fixtures sharing one store
+    // would ping-pong the pointer (every run a fingerprint miss — e.g.
+    // the bench's sf0.001 warmup pass alternating with the measured SF)
+    // and no one would ever get a read-back hit
     val storeDir = spark.conf.getOption("graft.q115.adjacencyDir")
+      .map(root => s"$root/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
       .getOrElse(q115AdjTempDirs.getOrElseUpdate(sfDir,
         graft.sources.TempDirs.create("graft_q115_adj").toString))
     q115AdjMemo.getOrElseUpdate(s"$storeDir|$sfDir", {
