@@ -61,6 +61,26 @@ object StreamingQueries {
       "true")
   }
 
+  /** Run `f` with shuffle.partitions (= the state-store partition
+    * count, FIXED at first query start from that conf) sized to the
+    * stateful work instead of the session's batch default. A real
+    * deployment sizes this per streaming job: the store count bounds
+    * the join/window's task parallelism for the query's whole life, and
+    * each partition is a RocksDB instance with fixed overhead — too few
+    * starves a big cluster, too many drowns a small job in store
+    * maintenance. Default 8 fits the bench SFs (sf0.1: state per store
+    * ~MBs, overhead-dominated below that); `graft.stream.statePartitions`
+    * overrides for scale runs — at sf10 the 8-store default caps the
+    * interval join at 8 parallel tasks on a 32-core local-cluster
+    * (measured: q52 ~28 min; the round-15 probe raises it to the core
+    * count there). */
+  private def withStateParts[T](spark: SparkSession)(f: => T): T = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Stage the events table into `srcDir` for the file streaming
     * source. The driver's testdata ships `events.parquet` as a single
     * FILE, but any Spark-written copy of the table (the sf1
@@ -465,9 +485,7 @@ object StreamingQueries {
   def q94ChainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     useRocksDbState(spark)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark) {
       val tmp = TempDirs.create("graft_q94").toFile.getAbsolutePath
       val (src, schema) = stageEventHalves(spark, sfDir, tmp,
         Seq("event_type", "ts"))
@@ -492,7 +510,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.read.parquet(out).orderBy("h_start", "event_type")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** q52: stream-stream interval join — sparse "trade" events joined to
@@ -502,15 +520,8 @@ object StreamingQueries {
     * forever at 100 TB. Inner join; all matching pairs are emitted
     * (unlike the as-of join's latest-only pick). */
   def q52StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // state-store partition count is fixed at query start from
-    // shuffle.partitions; both join sides keep a store per partition, so
-    // size it to the stateful work, not the batch default (a real
-    // deployment sets this per streaming job for the same reason)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      q52Inner(spark, sfDir)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(spark)(
+      q52Inner(spark, sfDir))
   }
 
   private def q52Inner(spark: SparkSession, sfDir: String): DataFrame = {
@@ -575,11 +586,8 @@ object StreamingQueries {
     * one null per event, not one per bucket) — plain post-filtering,
     * proportional to the (sparse) null stream. */
   def q60StreamOuterIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      q60Inner(spark, sfDir)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(spark)(
+      q60Inner(spark, sfDir))
   }
 
   private def q60Inner(spark: SparkSession, sfDir: String): DataFrame = {
@@ -645,11 +653,8 @@ object StreamingQueries {
     * always emit (the unmatched, which semi silently drops, are exactly
     * what the EXISTS oracle drops too). */
   def q81StreamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      q81Inner(spark, sfDir)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(spark)(
+      q81Inner(spark, sfDir))
   }
 
   private def q81Inner(spark: SparkSession, sfDir: String): DataFrame = {
@@ -713,11 +718,8 @@ object StreamingQueries {
     * unmatched right emits exactly once — no dedup or cutoff logic
     * needed on that side. */
   def q90StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      q90Inner(spark, sfDir)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStateParts(spark)(
+      q90Inner(spark, sfDir))
   }
 
   private def q90Inner(spark: SparkSession, sfDir: String): DataFrame = {

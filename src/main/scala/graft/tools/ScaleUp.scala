@@ -49,15 +49,29 @@ import org.apache.spark.sql.functions._
   *    permutation makes merely unlikely, and the salt makes impossible
   *    by construction.
   *
-  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [mult] [salt]"
-  *        (defaults: /root/testdata/sf0.1  /tmp/graft_sf1  10  off)
+  * A 4th arg `span` switches EVENTS to time-EXTENDED replication: copy
+  * c is shifted by c·(source span + ~1 day), so the history grows
+  * mult× at the source's density instead of mult× tenants in the same
+  * window. This is the events analogue of `salt`: the default
+  * (densifying) shape is right for per-user/session state but grows
+  * time-windowed join OUTPUT ~mult² (each probe meets mult× the
+  * candidates — a fixture artifact no engine can dodge, since output
+  * lower-bounds work); the span shape is the one where a linear
+  * operator shows linear time. Span-mode events are written ts-sorted.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleUp [src] [dst] [mult] [salt|span] [onlyTables]"
+  *        (defaults: /root/testdata/sf0.1  /tmp/graft_sf1  10  off  all)
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
     val mult = args.drop(2).headOption.map(_.toInt).getOrElse(10)
-    val saltVocab = args.drop(3).headOption.contains("salt")
+    val mode = args.drop(3).headOption.getOrElse("off")
+    // optional 5th arg: comma-list of tables to (re)generate — a span
+    // probe only needs events, and regenerating 9 untouched tables at
+    // sf10 is minutes of wasted writes
+    val onlyTables = args.drop(4).headOption.map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,6 +81,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, src, dst, mult, mode, onlyTables)
+    finally spark.stop()
+  }
+
+  /** The generation itself, session-agnostic so specs can drive it on
+    * a shared test session (main owns the CLI session's lifecycle). */
+  def run(spark: SparkSession, src: String, dst: String, mult: Int,
+          mode: String, onlyTables: Option[Set[String]]): Unit = {
+    val saltVocab = mode == "salt"
+    val spanEvents = mode == "span"
     import spark.implicits._
 
     def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -79,10 +103,11 @@ object ScaleUp {
     def shift(c: String): org.apache.spark.sql.Column =
       col(c) * mult + col("_c")
 
-    def write(df: DataFrame, t: String): Unit = {
-      df.drop("_c").write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"scaled $t")
-    }
+    def write(df: DataFrame, t: String): Unit =
+      if (onlyTables.forall(_.contains(t))) {
+        df.drop("_c").write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"scaled $t")
+      } else println(s"skipped $t (not in only-list)")
 
     write(copies(raw("lineitem"))
       .withColumn("l_orderkey", shift("l_orderkey"))
@@ -99,9 +124,45 @@ object ScaleUp {
       .withColumn("p_partkey", shift("p_partkey")), "part")
     Seq("nation", "region").foreach(t => write(raw(t), t))
 
-    write(copies(raw("events"))
+    // Default: copies share the source TIME SPAN (10x users in the same
+    // window — parallel tenants), so watermarks, session gaps and window
+    // densities scale with the data. That is the right shape for
+    // per-user state, but it makes TIME-windowed join DENSITY grow with
+    // mult: every interval-join probe meets mult× the candidates, so
+    // join OUTPUT (and any engine's work — output size lower-bounds it)
+    // grows ~mult², a fixture artifact, not an operator property
+    // (measured: q52's batch twin emits 15.1M pairs at sf1 vs ~1.5G at
+    // sf10 on this shape). `span` mode instead EXTENDS history: copy c
+    // is time-shifted by c·(span + span/29 gap), so per-window density
+    // stays sf0.1-shaped while totals grow mult× — the linear-scaling
+    // shape for time-windowed operators, mirroring what `salt` does for
+    // the text family. Events are written ts-sorted in span mode so a
+    // file-source stream replays them roughly in event-time order.
+    val evs = copies(raw("events"))
       .withColumn("event_id", shift("event_id"))
-      .withColumn("user_id", shift("user_id")), "events")
+      .withColumn("user_id", shift("user_id"))
+    if (spanEvents) {
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+      val tsType = raw("events").schema("ts").dataType
+      // timestamp[_ntz] goes through micros (session TZ is UTC, so the
+      // TZ<->NTZ casts are lossless); integral epochs shift in their own
+      // unit — the step is span-relative, so no unit inference is needed
+      val asMicros: org.apache.spark.sql.Column = tsType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(col("ts").cast(TimestampType))
+        case _ => col("ts")
+      }
+      val Seq(lo, hi) = raw("events").agg(min(asMicros), max(asMicros))
+        .as[(Long, Long)].collect().head.productIterator.toSeq
+        .map(_.asInstanceOf[Long])
+      val step = (hi - lo) + (hi - lo) / 29 // span + ~1-day gap
+      val shifted = evs.withColumn("ts", tsType match {
+        case TimestampType | TimestampNTZType =>
+          timestamp_micros(asMicros + col("_c") * step).cast(tsType)
+        case _ => col("ts") + col("_c") * step
+      })
+      write(shifted.orderBy("ts"), "events")
+    } else write(evs, "events")
 
     // salt: copy-tagged vocabulary (exact structural replica per copy,
     // zero cross-copy term sharing; copy 0 verbatim). default: word
@@ -137,7 +198,5 @@ object ScaleUp {
           |  j -> element_at(embedding,
           |         int((j * (2 * _c + 1)) % size(embedding)) + 1))""".stripMargin)),
       "embeddings")
-
-    spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingQueries
+
+/** The state-store partition count is a DEPLOYMENT knob
+  * (`graft.stream.statePartitions`, default 8): it bounds a stateful
+  * query's task parallelism for its whole life, so scale runs must be
+  * able to raise it (at sf10 the 8-store default capped the interval
+  * join at 8 tasks on a 32-core cluster — q52 took ~28 min until the
+  * round-15 probe raised it). Two contracts pinned here: the knob
+  * never changes RESULTS, and it never leaks into the session's batch
+  * shuffle.partitions. */
+class StatePartitionsSpec extends SparkSpec {
+
+  test("q52: state-partition count changes parallelism, never results; conf restored") {
+    val base = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows() = StreamingQueries.q52StreamIntervalJoin(spark, sf())
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val atDefault = rows()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == base,
+      "the stateful override must not leak into batch queries")
+    spark.conf.set("graft.stream.statePartitions", "3")
+    try {
+      assert(rows() == atDefault,
+        "a deployment re-sizing its state stores must read the same answer")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == base)
+    } finally spark.conf.unset("graft.stream.statePartitions")
+  }
+
+  test("ScaleUp span mode extends history: disjoint per-copy time segments, linear density") {
+    val dst = java.nio.file.Files.createTempDirectory("graft_span_spec").toString
+    graft.tools.ScaleUp.run(spark, sf(), dst, 2, "span", Some(Set("events")))
+    val src = spark.read.parquet(s"${sf()}/events.parquet")
+    val out = spark.read.parquet(s"$dst/events.parquet")
+    assert(out.count() == 2 * src.count())
+    // copy index is recoverable from the key shift (id*2 + c)
+    val spans = out.withColumn("_c", col("event_id") % 2)
+      .groupBy("_c").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("_c").collect()
+    assert(spans.length == 2)
+    // copy 0 keeps the source window verbatim; copy 1 starts strictly
+    // after copy 0 ends (the 1-day-ish gap) — extended history, not
+    // densified tenants, so per-window join density stays source-shaped
+    val srcSpan = src.agg(min("ts"), max("ts")).collect().head
+    assert(spans(0).get(1) == srcSpan.get(0) && spans(0).get(2) == srcSpan.get(1))
+    assert(spans(1).getAs[java.time.LocalDateTime]("lo")
+      .isAfter(spans(0).getAs[java.time.LocalDateTime]("hi")))
+    // only-list honored: nothing but events was generated
+    assert(new java.io.File(dst).listFiles().map(_.getName).toSet ==
+      Set("events.parquet"))
+  }
+}
