@@ -25,8 +25,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Probe aid: GRAFT_BENCH_CONF="k=v;k2=v2" sets session confs the
     // builder can't know (e.g. graft.q115.adjacencyDir for the fresh-JVM
-    // cold-start probe) without a bespoke main per experiment.
-    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(';').filter(_.contains("="))
+    // cold-start probe) without a bespoke main per experiment. The value
+    // rides in the artifact ("conf" field) and marks the run as a PROBE
+    // for promotion — a conf-tweaked sample must not become the record,
+    // because the record claims to reproduce from its sha alone.
+    val injectedConf = sys.env.get("GRAFT_BENCH_CONF").filter(_.nonEmpty)
+    injectedConf.foreach(_.split(';').filter(_.contains("="))
       .foreach { kv =>
         val i = kv.indexOf('='); spark.conf.set(kv.take(i), kv.drop(i + 1))
       })
@@ -204,8 +208,15 @@ object Bench {
     // — three same-code sweeps spread 195.9-214.3 s at noise <=0.20 in
     // round 14 and the slowest displaced the fastest as the record
     val sha = headSha()
+    // injected confs are part of the run's identity: without this field
+    // a conf-tweaked run is indistinguishable from a plain run at the
+    // same sha, and the record would be irreproducible from its own line
+    val confField = injectedConf.fold("") { c =>
+      val esc = c.replace("\\", "\\\\").replace("\"", "\\\"")
+      s""""conf":"$esc","""
+    }
     val line =
-      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"noise_max":$noiseMax,"sinks":$sinksJson,"sha":"$sha","metric":"total","value":$total,"unit":"sec"}"""
+      s"""{"floors":${jmap(floors)},"spread":${jmap(spreads)},"queries":$qs,"failed":$failed,"sf":"$sfDir","trials":$trials,"noise":$noise,"noise_max":$noiseMax,"sinks":$sinksJson,$confField"sha":"$sha","metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // the captured tail can truncate the early queries at 159 entries;
     // the full line survives in-repo so per-query history stays
@@ -266,7 +277,9 @@ object Bench {
       val partial = only.isDefined
       val (promote, rule) = promoteRule(haveRecord, force, partial,
         noise, noiseMax, recordSha(prevLine), sha,
-        recordValue(prevLine), total, recordSf(prevLine), sfDir)
+        recordValue(prevLine), total, recordSf(prevLine), sfDir,
+        confInjected = injectedConf.isDefined,
+        gradingSfTag = sys.env.getOrElse("GRAFT_BENCH_GRADING_SF", "sf0.1"))
       if (promote) {
         java.nio.file.Files.write(recordPath, (line + "\n").getBytes("UTF-8"))
         // full per-trial matrix: {"trials":N,"runs":[{q:t,…},…]} — the
@@ -322,20 +335,39 @@ object Bench {
     * never promotes (first use of this rule caught itself: an sf0.001
     * smoke run displaced the sf0.1 round-close record) — the record is
     * the round-close sweep at the driver's grading SF; other scales are
-    * probes and live in their stamped copies. Returns (promote?, the
+    * probes and live in their stamped copies — EXCEPT that a sweep AT
+    * the grading SF displaces an off-SF record (otherwise a stray
+    * first-record smoke run at sf0.001 would wedge promotion forever:
+    * the SF-differs rule fires before the code-changed rule, so no
+    * legitimate grading sweep could ever take the record back without
+    * manual GRAFT_BENCH_FORCE_RECORD). A GRAFT_BENCH_CONF-injected run
+    * is a probe like GRAFT_ONLY: its session confs are not reproducible
+    * from the sha the record would claim. Returns (promote?, the
     * rule that applied) — the rule string is printed so the round log
     * says WHY the record moved. */
   private[graft] def promoteRule(haveRecord: Boolean, force: Boolean,
       partial: Boolean, noise: Double, noiseMax: Double,
       prevSha: Option[String], newSha: String,
       prevTotal: Option[Double], newTotal: Double,
-      prevSf: Option[String] = None, newSf: String = ""): (Boolean, String) =
+      prevSf: Option[String] = None, newSf: String = "",
+      confInjected: Boolean = false,
+      gradingSfTag: String = "sf0.1"): (Boolean, String) = {
+    def tag(s: String): String =
+      s.split('/').filter(_.nonEmpty).lastOption.getOrElse(s)
     if (force) (true, "forced: GRAFT_BENCH_FORCE_RECORD=1")
     else if (partial) (false, "GRAFT_ONLY probe run — a partial suite is never the record")
+    else if (confInjected)
+      (false, "GRAFT_BENCH_CONF-injected run — a conf-tweaked sample is a " +
+        "probe (the record must reproduce from its sha alone); stamped copy only")
     else if (!haveRecord) (true, "first record")
-    else if (prevSf.exists(_ != newSf))
-      (false, s"scale factor differs: record is ${prevSf.get}, this run is " +
-        s"$newSf — a different-SF sweep is a probe, not the record")
+    else if (prevSf.exists(tag(_) != tag(newSf))) {
+      if (tag(newSf) == gradingSfTag)
+        (true, s"grading-SF sweep displaces off-SF record: record was at " +
+          s"${prevSf.get}, this run is at $newSf (= grading SF $gradingSfTag)")
+      else
+        (false, s"scale factor differs: record is ${prevSf.get}, this run is " +
+          s"$newSf — a different-SF sweep is a probe, not the record")
+    }
     else if (noise > noiseMax)
       (false, f"noise $noise%.2f exceeds GRAFT_BENCH_NOISE_MAX=$noiseMax%.2f — loud-host sample")
     else if (prevSha.isEmpty || !prevSha.contains(newSha))
@@ -344,4 +376,5 @@ object Bench {
       (true, f"same sha, faster total: ${prevTotal.getOrElse(Double.NaN)}%.1f s -> $newTotal%.1f s (keep-best-of)")
     else
       (false, f"same sha, slower total: ${prevTotal.getOrElse(Double.NaN)}%.1f s -> $newTotal%.1f s — host weather, record kept")
+  }
 }

@@ -148,7 +148,7 @@ object Dedup {
     * the same-schema-different-path non-collision. */
   private[graft] def guardMemoInputKey(s0: DataFrame): String =
     s0.queryExecution.analyzed.canonicalized.toString +
-      s0.inputFiles.sorted.mkString(" ", " ", "")
+      s0.inputFiles.sorted.mkString("\u0000", "\u0000", "")
 
   private[graft] def verifyJoinGuard(spark: SparkSession, s0: DataFrame,
                                      threshold: Double): Unit = {

@@ -68,16 +68,27 @@ object StreamingQueries {
     * the join/window's task parallelism for the query's whole life, and
     * each partition is a RocksDB instance with fixed overhead — too few
     * starves a big cluster, too many drowns a small job in store
-    * maintenance. Default 8 fits the bench SFs (sf0.1: state per store
-    * ~MBs, overhead-dominated below that); `graft.stream.statePartitions`
-    * overrides for scale runs — at sf10 the 8-store default caps the
+    * maintenance. `graft.stream.statePartitions` pins it; UNSET, the
+    * default is derived from the runtime instead of asserted at bench
+    * scale: min(64, max(8, defaultParallelism)). The old fixed default
+    * (8) was exactly the silent scale cap the triangle-broadcast work
+    * exists to eliminate — a stateful query's first start pins its
+    * parallelism for life, and at sf10 the 8-store default capped the
     * interval join at 8 parallel tasks on a 32-core local-cluster
-    * (measured: q52 ~28 min; the round-15 probe raises it to the core
-    * count there). */
+    * (measured: q52 ~28 min vs 500 s at 32 stores). The floor (8) keeps
+    * tiny sessions out of store-maintenance overhead; the ceiling (64)
+    * bounds per-query RocksDB instances on very wide clusters — beyond
+    * it, more stores buy no parallelism the state size doesn't already
+    * justify, and a deployment with that much state pins the conf. The
+    * partition count never changes RESULTS (StatePartitionsSpec). */
+  private[graft] def statePartitionsAuto(parallelism: Int): Int =
+    math.min(64, math.max(8, parallelism))
+
   private def withStateParts[T](spark: SparkSession)(f: => T): T = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+      spark.conf.getOption("graft.stream.statePartitions").getOrElse(
+        statePartitionsAuto(spark.sparkContext.defaultParallelism).toString))
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

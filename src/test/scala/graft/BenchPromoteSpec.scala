@@ -72,6 +72,35 @@ class BenchPromoteSpec extends AnyFunSuite {
       Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1")._1)
   }
 
+  test("a grading-SF sweep displaces an off-SF record (anti-wedge rule)") {
+    // the round-15 ADVICE scenario: an sf0.001 smoke run became the
+    // first record; the SF-differs rule then blocked every legitimate
+    // grading-SF sweep forever. The grading SF must win the record back.
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.1, noiseMax = 0.30, Some(shaA), shaB, Some(148.26), 205.0,
+      prevSf = Some("/root/testdata/sf0.001"), newSf = "/root/testdata/sf0.1")
+    assert(promote, rule)
+    assert(rule.contains("grading-SF"))
+    // but an off-SF run still never displaces an off-SF record
+    assert(!Bench.promoteRule(true, force = false, partial = false,
+      0.1, 0.30, Some(shaA), shaB, Some(148.26), 205.0,
+      Some("/root/testdata/sf0.001"), "/root/testdata/sf1")._1)
+  }
+
+  test("a GRAFT_BENCH_CONF-injected run is a probe: stamped only, never the record") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.1, noiseMax = 0.30, Some(shaA), shaA, Some(214.0), 195.0,
+      prevSf = Some("/root/testdata/sf0.1"), newSf = "/root/testdata/sf0.1",
+      confInjected = true)
+    assert(!promote, rule)
+    assert(rule.contains("GRAFT_BENCH_CONF"))
+    // force still overrides, exactly like GRAFT_ONLY probes
+    assert(Bench.promoteRule(true, force = true, partial = false,
+      0.1, 0.30, Some(shaA), shaA, Some(214.0), 195.0,
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1",
+      confInjected = true)._1)
+  }
+
   test("recordSha/recordValue parse the artifact line") {
     val line = s"""{"queries":{"q01":0.5},"noise":0.18,"sha":"$shaA","metric":"total","value":195.88,"unit":"sec"}"""
     assert(Bench.recordSha(line).contains(shaA))

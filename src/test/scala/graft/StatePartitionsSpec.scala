@@ -28,6 +28,29 @@ class StatePartitionsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stream.statePartitions")
   }
 
+  test("unset knob auto-sizes from the runtime: >= cores, bounded [8, 64]") {
+    // the pure sizing rule (the session here is local[4]; the rule is
+    // what a 32-core or 1000-executor deployment resolves through)
+    assert(StreamingQueries.statePartitionsAuto(32) == 32,
+      "a 32-core session must get at least its core count in state stores")
+    assert(StreamingQueries.statePartitionsAuto(4) == 8,
+      "tiny sessions keep the overhead floor")
+    assert(StreamingQueries.statePartitionsAuto(1000) == 64,
+      "very wide clusters are bounded above; bigger state pins the conf")
+    // and the auto default changes nothing about RESULTS: the local[4]
+    // session resolves auto=8 (the old default), pinning 3 above already
+    // proved invariance across counts — here prove auto vs pinned-auto
+    // read identically, i.e. the unset path goes through the same rule
+    def rows() = StreamingQueries.q52StreamIntervalJoin(spark, sf())
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val auto = rows()
+    spark.conf.set("graft.stream.statePartitions",
+      StreamingQueries.statePartitionsAuto(
+        spark.sparkContext.defaultParallelism).toString)
+    try assert(rows() == auto)
+    finally spark.conf.unset("graft.stream.statePartitions")
+  }
+
   test("ScaleUp span mode extends history: disjoint per-copy time segments, linear density") {
     val dst = java.nio.file.Files.createTempDirectory("graft_span_spec").toString
     graft.tools.ScaleUp.run(spark, sf(), dst, 2, "span", Some(Set("events")))

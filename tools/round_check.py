@@ -50,17 +50,29 @@ def stamped_fallback(path, tail):
     on ~20 spuriously-'missing' queries (reproduced on BENCH_r14.json:
     the identical run's stamped copy passes). The bench writes a full
     stamped copy bench/bench_<sf>_NNN.json of every run, so recover THE
-    SAME RUN from there: match on the headline value (and sha when the
-    tail kept it), newest counter first. Returns the loaded stamped doc
-    or None."""
+    SAME RUN from there, newest counter first. Identity is matched on
+    every field the tail kept: headline value (+-0.005), sha, sf tag,
+    and trial count — a value-only match once risked certifying an
+    UNRELATED run (a different-SF probe with a coincidentally equal
+    total) as 'the same run'. When the tail has no sha and more than one
+    candidate matches the weaker key, REFUSE rather than borrow: an
+    ambiguous certification is worse than a truncation failure. Returns
+    the loaded stamped doc or None."""
     m = re.search(r'"value":([0-9.]+)', tail)
     if not m:
         return None
     value = float(m.group(1))
     msha = re.search(r'"sha":"([0-9a-f]{40})"', tail)
+    msf = re.search(r'"sf":"([^"]+)"', tail)
+    mtrials = re.search(r'"trials":(\d+)', tail)
+
+    def sf_tag(v):
+        return str(v).rstrip("/").split("/")[-1]
+
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(path)), "bench")
     candidates = sorted(glob.glob(os.path.join(bench_dir, "bench_*_*.json")),
                         reverse=True)
+    matches = []
     for cand in candidates:
         try:
             c = json.load(open(cand))
@@ -70,9 +82,27 @@ def stamped_fallback(path, tail):
             continue
         if msha and c.get("sha") and c["sha"] != msha.group(1):
             continue
+        if msf and "sf" in c and sf_tag(c["sf"]) != sf_tag(msf.group(1)):
+            continue
+        if mtrials and "trials" in c and c["trials"] != int(mtrials.group(1)):
+            continue
+        if msha and c.get("sha"):
+            # sha + value is a strong identity: certify immediately
+            print(f"note: {path} tail is front-truncated; certified via the "
+                  f"same run's stamped artifact {cand} "
+                  f"(value {value} + sha matched)")
+            return c
+        matches.append((cand, c))
+    if len(matches) == 1:
+        cand, c = matches[0]
         print(f"note: {path} tail is front-truncated; certified via the "
-              f"same run's stamped artifact {cand} (value {value} matched)")
+              f"same run's stamped artifact {cand} (value {value}, sf, "
+              f"trials matched; tail kept no sha)")
         return c
+    if len(matches) > 1:
+        print(f"note: {path} tail is front-truncated and {len(matches)} "
+              f"stamped copies match its weak identity (no sha in tail): "
+              f"{[m0 for m0, _ in matches]} — refusing to pick one.")
     return None
 
 
