@@ -1,0 +1,123 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fingerprint-keyed DERIVED tables on [[TableStore]] — the build-once
+  * pattern q115's adjacency proved out (cold start 137 s -> 37 s at
+  * sf10), factored so any expensive deterministic derivation can use
+  * it: read the committed version back when its fingerprint matches
+  * the CURRENT source files, rebuild + commit the next version when it
+  * does not (fixture regenerated, other fixture at the same dir). The
+  * pointer flip is atomic, so a reader never sees a half-written
+  * store; commits go through [[TableStore.commitIfParent]], so two
+  * sessions racing the same rebuild serialize and the loser reuses the
+  * winner's version instead of orphaning it.
+  *
+  * The FINGERPRINT is the identity of the derivation's input: every
+  * scan file's path, length, and modification time, resolved through
+  * the Hadoop FileSystem of each path's own scheme — NOT
+  * `java.io.File(new URI(...))`, which throws for bare paths and any
+  * non-file scheme (hdfs/s3), silently degrading every length to -1 so
+  * the fingerprint collapsed to paths-only and a fixture regenerated
+  * IN PLACE with same-named files would have served stale derived data
+  * with no error (round-15 ADVICE). Modification time is in the key
+  * for exactly that in-place-regeneration case: same path, same
+  * length, new content.
+  *
+  * At 100 TB this is the materialized-view discipline: a derivation
+  * whose cost is a fact-table self-join must be paid once per source
+  * version, not once per query run; the fingerprint is the staleness
+  * contract that makes reuse safe.
+  */
+object DerivedStore {
+
+  // committed data-file paths, memoized per (storeDir | fingerprint) so
+  // repeat calls within a session skip even the pointer read
+  private val memo = TrieMap.empty[String, Seq[String]]
+
+  /** Specs simulate a fresh JVM by dropping the memo — the STORE, not
+    * the memo, must then satisfy the next call. */
+  private[graft] def clearMemo(): Unit = memo.clear()
+  // run-scoped store roots for sessions that configure none
+  private val tempDirs = TrieMap.empty[String, String]
+
+  /** Identity of `df`'s physical inputs: sorted (path, length, mtime)
+    * digested MD5 (content identity, not crypto). Stat failures hash a
+    * marker INCLUDING the error class — two files that both fail to
+    * stat do not silently collide with each other across runs the way
+    * the old -1 sentinel did. */
+  def fingerprint(spark: SparkSession, df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    df.inputFiles.sorted.foreach { f =>
+      val stat =
+        try {
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+          s"${st.getLen}:${st.getModificationTime}"
+        } catch {
+          case t: Throwable => s"stat-failed:${t.getClass.getName}"
+        }
+      md.update(s"$f:$stat\n".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Resolve the store root for a derivation: `confKey`'s root scoped
+    * PER FIXTURE (a TableStore has one current-version pointer; two
+    * fixtures sharing a store would ping-pong it — e.g. the bench's
+    * sf0.001 warmup alternating with the measured SF — and no one
+    * would ever get a read-back hit), else a run-scoped temp dir that
+    * still amortizes the build across trials within one JVM. */
+  def storeDirFor(spark: SparkSession, confKey: String, name: String,
+                  sfDir: String): String =
+    spark.conf.getOption(confKey)
+      .map(root => s"$root/${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      .getOrElse(tempDirs.getOrElseUpdate(s"$name|$sfDir",
+        TempDirs.create(s"graft_derived_$name").toString))
+
+  /** Read-or-build: the committed data files for (`storeDir`, `fp`).
+    * `build(dataDir)` writes the derived parquet when no committed
+    * version carries `fp`; the commit is CAS-guarded, and a lost race
+    * re-reads the winner's version (same fingerprint = same content —
+    * the derivation is deterministic by contract). */
+  def filesFor(spark: SparkSession, storeDir: String, fp: String)
+              (build: String => Unit): Seq[String] =
+    memo.getOrElseUpdate(s"$storeDir|$fp", {
+      def committed(): Option[Seq[String]] =
+        TableStore.currentVersion(storeDir)
+          .map(v => TableStore.Snapshot(storeDir, v))
+          .filter(s => TableStore.meta(s).get("fingerprint").contains(fp))
+          .map(s => TableStore.filePaths(spark, s))
+      var result: Seq[String] = null
+      while (result == null) {
+        committed() match {
+          case Some(files) => result = files
+          case None =>
+            val parent = TableStore.currentVersion(storeDir)
+            val dataDir = s"$storeDir/files/v${parent.fold(0L)(_ + 1)}"
+            build(dataDir)
+            val files = Option(new java.io.File(dataDir).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map(_.getAbsolutePath).toSeq.sorted
+            import spark.implicits._
+            try {
+              TableStore.commitIfParent(spark, storeDir, files.toDF("path"),
+                Map("fingerprint" -> fp), parent)
+              result = files
+            } catch {
+              case _: TableStore.CommitConflictException =>
+                // a concurrent session committed first: loop — if it
+                // built the same fingerprint its version serves (same
+                // fp = same content, the derivation is deterministic),
+                // else rebuild against the new current. The lost
+                // build's files are unreferenced and vacuumable.
+                ()
+            }
+        }
+      }
+      result
+    })
+}

@@ -24,12 +24,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files and an unreferenced manifest — invisible to every reader, and
   * reclaimable by any vacuum that keeps referenced paths.
   *
-  * Single writer per store, like SnapshotCache: two concurrent
-  * committers could both claim version N+1. Real stores serialize this
-  * exact point with a conditional put / log-entry CAS; a multi-writer
-  * deployment must bring that lock.
+  * MULTI-WRITER: commits are serialized per store by a two-level lock
+  * — a JVM-wide monitor per dir (threads of one process; OS file locks
+  * within a JVM throw OverlappingFileLockException rather than queue)
+  * plus an OS advisory `FileChannel.lock` on `_commit_lock` (separate
+  * processes; released by the OS on process death, so a crashed
+  * committer can never wedge the store). [[commitIfParent]] is the
+  * optimistic-concurrency entry real stores expose (Delta/Iceberg's
+  * expected-version conditional put): the caller names the version it
+  * BUILT AGAINST, and the commit lands only if the pointer still names
+  * it — otherwise [[CommitConflictException]] names both versions and
+  * the caller rebuilds against current and retries. Without the check
+  * the loser of a two-writer race would flip the pointer over the
+  * winner's version, silently orphaning it. Plain [[commit]] keeps its
+  * last-writer-wins semantics (read current under the lock) for
+  * single-writer derived tables whose content is fingerprint-keyed
+  * anyway. The file lock covers one shared filesystem; an object-store
+  * deployment swaps this for the store's conditional put, exactly as
+  * Delta's LogStore does.
   */
 object TableStore {
+
+  /** The optimistic commit lost its race: the store moved past the
+    * parent this writer built against. Nothing was written — no
+    * version is lost or orphaned; rebuild against `actualCurrent` and
+    * retry (or surface the conflict — the caller's choice). */
+  final case class CommitConflictException(dir: String,
+      expectedParent: Option[Long], actualCurrent: Option[Long])
+    extends RuntimeException(
+      s"TableStore: commit conflict in $dir — built against version " +
+        s"${expectedParent.fold("<empty store>")(_.toString)} but the store is now at " +
+        s"${actualCurrent.fold("<empty store>")(_.toString)}: a concurrent writer " +
+        "committed first. Rebuild against the current version and retry; " +
+        "no version was lost or orphaned.")
+
+  // in-JVM half of the commit lock: one monitor per store dir
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[T](dir: String)(f: => T): T = {
+    val mon = jvmLocks.computeIfAbsent(dir, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, "_commit_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try f finally lk.release()
+      } finally ch.close()
+    }
+  }
 
   /** A pinned version: all planning for one query flows through this,
     * so the query's view cannot change mid-read. */
@@ -57,10 +103,37 @@ object TableStore {
     * metadata first (both named by the version, hence immutable), then
     * one atomic pointer flip. `meta` carries table-level properties that
     * must version WITH the file list — e.g. a column default declared
-    * when the schema evolved (`default.<col>` -> literal). */
+    * when the schema evolved (`default.<col>` -> literal). Serialized
+    * per store; last-writer-wins across concurrent callers (each builds
+    * on whatever is current when ITS turn comes — use
+    * [[commitIfParent]] when the manifest's content depends on the
+    * parent version it read). */
   def commit(spark: SparkSession, dir: String, manifest: DataFrame,
-             meta: Map[String, String] = Map.empty): Snapshot = {
-    val next = Snapshot(dir, currentVersion(dir).fold(0L)(_ + 1))
+             meta: Map[String, String] = Map.empty): Snapshot =
+    withCommitLock(dir) {
+      commitLocked(spark, dir, manifest, meta, currentVersion(dir))
+    }
+
+  /** Optimistic-concurrency commit: land as `expectedParent + 1` only
+    * if the store's current version is still `expectedParent` (None =
+    * "I expect to create the empty store's first version"). Throws
+    * [[CommitConflictException]] — before writing anything — when a
+    * concurrent writer got there first. This is the conditional-put
+    * shape every multi-writer table format serializes commits with. */
+  def commitIfParent(spark: SparkSession, dir: String, manifest: DataFrame,
+                     meta: Map[String, String],
+                     expectedParent: Option[Long]): Snapshot =
+    withCommitLock(dir) {
+      val cur = currentVersion(dir)
+      if (cur != expectedParent)
+        throw CommitConflictException(dir, expectedParent, cur)
+      commitLocked(spark, dir, manifest, meta, cur)
+    }
+
+  private def commitLocked(spark: SparkSession, dir: String,
+                           manifest: DataFrame, meta: Map[String, String],
+                           parent: Option[Long]): Snapshot = {
+    val next = Snapshot(dir, parent.fold(0L)(_ + 1))
     manifest.write.mode("overwrite").parquet(next.manifestPath)
     val metaText = meta.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("\n")

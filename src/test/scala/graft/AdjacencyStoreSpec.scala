@@ -1,15 +1,16 @@
 package graft
 
 import graft.queries.AnalyticsQueries
-import graft.sources.TableStore
+import graft.sources.{DerivedStore, TableStore}
 
-/** Pins q115's persisted-adjacency contract: the deterministic derived
-  * table is committed ONCE per fixture (TableStore version,
-  * fingerprinted by the lineitem file set) and read back by later
-  * calls — including fresh JVMs pointed at the same store — while a
-  * stale or foreign version at the store is rebuilt instead of served.
-  * This is the round-14 cold-start fix (first-trial sf10 multi-JVM was
-  * 1.7x steady state, all of it adjacency build). */
+/** Pins the persisted derived-table contract (DerivedStore): a
+  * deterministic derived table is committed ONCE per fixture
+  * fingerprint and read back by later calls — including fresh JVMs
+  * pointed at the same store — while a stale or foreign version at the
+  * store is rebuilt instead of served. This is the round-14 cold-start
+  * fix (q115's first sf10 trial was 1.7x steady state, all of it
+  * adjacency build), generalized in round 16 to the SHARED co-shipment
+  * pair store that q115/q116/q139 all project from. */
 class AdjacencyStoreSpec extends SparkSpec {
 
   test("adjacency store: build once, read back, fingerprint-guarded") {
@@ -25,7 +26,7 @@ class AdjacencyStoreSpec extends SparkSpec {
 
       // fresh JVM simulated: drop the in-process memo — the store, not
       // the memo, must satisfy the second call (no new version)
-      AnalyticsQueries.q115AdjMemo.clear()
+      DerivedStore.clearMemo()
       val second = AnalyticsQueries.q115AdjacencyFiles(spark, sf())
       assert(second == first)
       assert(TableStore.currentVersion(scoped).contains(0L),
@@ -38,14 +39,14 @@ class AdjacencyStoreSpec extends SparkSpec {
       TableStore.commit(spark, scoped, first.toDF("path"),
         Map("fingerprint" -> "stale"))
       assert(TableStore.currentVersion(scoped).contains(1L))
-      AnalyticsQueries.q115AdjMemo.clear()
+      DerivedStore.clearMemo()
       val third = AnalyticsQueries.q115AdjacencyFiles(spark, sf())
       assert(third.nonEmpty)
       assert(TableStore.currentVersion(scoped).contains(2L),
         "fingerprint mismatch must rebuild, not serve stale files")
 
       // two fixtures under one root coexist in disjoint scoped stores
-      AnalyticsQueries.q115AdjMemo.clear()
+      DerivedStore.clearMemo()
       val other = AnalyticsQueries.q115AdjacencyFiles(spark, sf("sf0.01"))
       assert(other.nonEmpty && other != first)
       assert(TableStore.currentVersion(scoped).contains(2L),
@@ -56,7 +57,44 @@ class AdjacencyStoreSpec extends SparkSpec {
       assert(AnalyticsQueries.q115PageRank(spark, sf("sf0.01")).count() > 0)
     } finally {
       spark.conf.unset("graft.q115.adjacencyDir")
-      AnalyticsQueries.q115AdjMemo.clear()
+      DerivedStore.clearMemo()
+    }
+  }
+
+  test("shared co-shipment pair store: q115/q116/q139 read ONE committed build") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pairs_spec").toString
+    spark.conf.set("graft.coship.pairsDir", root)
+    val scoped = s"$root/${sf().replaceAll("[^A-Za-z0-9._-]", "_")}"
+    try {
+      // first consumer builds version 0...
+      val files = AnalyticsQueries.coShipPairFiles(spark, sf())
+      assert(files.nonEmpty)
+      assert(TableStore.currentVersion(scoped).contains(0L))
+      // ...every later consumer — across simulated fresh JVMs — reads
+      // the SAME version: the self-join is paid once per fixture, not
+      // once per graph query
+      DerivedStore.clearMemo()
+      assert(AnalyticsQueries.q116MarketBasket(spark, sf()).count() > 0)
+      DerivedStore.clearMemo()
+      assert(AnalyticsQueries.q139TriangleCount(spark, sf()).count() > 0)
+      assert(TableStore.currentVersion(scoped).contains(0L),
+        "consumers must read the committed build, not re-derive")
+      // pair-store content sanity against a direct derivation: distinct
+      // unordered pairs with per-order co-occurrence counts
+      import org.apache.spark.sql.functions._
+      val li = graft.sources.Tables.lineitem(spark, sf())
+        .select("l_orderkey", "l_partkey").distinct()
+      val direct = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+      val stored = spark.read.parquet(files: _*)
+      assert(stored.count() == direct.count())
+      assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty)
+    } finally {
+      spark.conf.unset("graft.coship.pairsDir")
+      DerivedStore.clearMemo()
     }
   }
 }

@@ -353,6 +353,71 @@ class StorageOpsSpec extends SparkSpec {
     assert(TableStore.meta(s1) == Map("k" -> "v1", "added" -> "x"))
   }
 
+  test("TableStore: two interleaved committers — the loser detects the conflict, no version orphaned") {
+    import spark.implicits._
+    val dir = graft.sources.TempDirs.create("ts_cas").toString
+    // both writers read the same parent...
+    val s0 = TableStore.commitIfParent(spark, dir,
+      Seq("base").toDF("path"), Map("writer" -> "init"), None)
+    assert(s0.version == 0L)
+    val pinned = TableStore.snapshot(dir)
+    val parentBoth = TableStore.currentVersion(dir) // Some(0), read by A and B
+    // ...A lands first...
+    val a = TableStore.commitIfParent(spark, dir,
+      Seq("base", "a1").toDF("path"), Map("writer" -> "A"), parentBoth)
+    assert(a.version == 1L)
+    // ...and B, still building against parent 0, must FAIL LOUDLY —
+    // before the old blind flip would have orphaned A's version 1
+    val conflict = intercept[TableStore.CommitConflictException] {
+      TableStore.commitIfParent(spark, dir,
+        Seq("base", "b1").toDF("path"), Map("writer" -> "B"), parentBoth)
+    }
+    assert(conflict.expectedParent.contains(0L) &&
+      conflict.actualCurrent.contains(1L),
+      "the conflict must name both versions so the caller can rebuild")
+    // B's retry against the CURRENT version lands as v2; nothing lost
+    val b = TableStore.commitIfParent(spark, dir,
+      Seq("base", "a1", "b1").toDF("path"), Map("writer" -> "B"),
+      TableStore.currentVersion(dir))
+    assert(b.version == 2L)
+    // every committed version remains fully readable (none orphaned)
+    assert(TableStore.filePaths(spark, TableStore.Snapshot(dir, 1L))
+      .sorted == Seq("a1", "base"))
+    assert(TableStore.meta(TableStore.Snapshot(dir, 1L)) == Map("writer" -> "A"))
+    assert(TableStore.filePaths(spark, b).sorted == Seq("a1", "b1", "base"))
+    // the reader pinned before the race read the same store throughout
+    assert(TableStore.filePaths(spark, pinned) == Seq("base"))
+    // racing the EMPTY store: a second creator conflicts too
+    val dir2 = graft.sources.TempDirs.create("ts_cas_empty").toString
+    TableStore.commitIfParent(spark, dir2, Seq("x").toDF("path"), Map(), None)
+    val c2 = intercept[TableStore.CommitConflictException] {
+      TableStore.commitIfParent(spark, dir2, Seq("y").toDF("path"), Map(), None)
+    }
+    assert(c2.expectedParent.isEmpty && c2.actualCurrent.contains(0L))
+  }
+
+  test("TableStore: concurrent blind commits serialize — every writer lands, no version lost") {
+    import spark.implicits._
+    val dir = graft.sources.TempDirs.create("ts_lock").toString
+    val perWriter = 4
+    val threads = (1 to 2).map { w =>
+      new Thread(() =>
+        (1 to perWriter).foreach { i =>
+          TableStore.commit(spark, dir,
+            Seq(s"w${w}_$i").toDF("path"), Map("writer" -> s"w$w"))
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // 8 commits -> versions 0..7, each manifest readable and distinct:
+    // under the pre-lock protocol two racers could claim the same
+    // version and one manifest would be silently overwritten
+    assert(TableStore.currentVersion(dir).contains((2 * perWriter - 1).toLong))
+    val seen = (0L until 2L * perWriter).flatMap(v =>
+      TableStore.filePaths(spark, TableStore.Snapshot(dir, v)))
+    assert(seen.distinct.size == 2 * perWriter,
+      s"every writer's manifest must survive: $seen")
+  }
+
   test("q158 vacuum reclaims exactly the stranded rewrite generation") {
     val (dir, rw1Picked, droppedManifests, deletedFiles) =
       SourceQueries.q158VacuumedStore(spark, sf("sf0.01"))
