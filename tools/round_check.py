@@ -9,20 +9,32 @@ out to be host debris; the gate now reads the artifact's own evidence
 
 Usage:
   python3 tools/round_check.py <fresh_bench.json> [prev_bench.json]
+      [noop_ref.json] [--floors=<sf0.001_sweep.json>]
 
 Checks (exit 1 on any failure):
   1. fresh `failed` list is empty
   2. no query present in prev is missing from fresh
-  3. no query regressed more than HARD_X vs prev. A candidate regression
-     is EXONERATED (reported, non-fatal) when the artifact itself shows
-     the measurement, not the code, moved:
+  3. no query regressed more than HARD_X vs prev. Since round 16 the
+     comparison is FLOOR-ADJUSTED where a floor is known: 56% of the
+     sf0.1 total is scale-invariant harness cost (PERF_r15 §8), so raw
+     times both hide real regressions (a 2x plan regression on a 0.3 s
+     query is invisible inside a 3 s floor) and flag phantom ones (a
+     deliberate floor increase — e.g. more state stores — reads as a
+     regression when the data cost is unchanged). Where fresh and prev
+     both carry a floor for a query (the artifact's own `floors` map,
+     else the optional --floors sweep for both sides), the graded
+     quantity is data cost max(0, t - floor); elsewhere the raw rule
+     stands. A candidate regression is EXONERATED (reported, non-fatal)
+     when the artifact itself shows the measurement, not the code,
+     moved:
        - floor-exonerated: the fresh isolated-run floor for the query is
          within REGRESSION_X of prev (the code still runs at the old
          speed when measured alone);
        - spread-exonerated: the cross-trial spread for the query exceeds
          the regression delta (the trials disagree more than the rounds
          do, so the median carries no regression signal).
-     Queries under MIN_SEC are timing noise and skipped.
+     Queries under MIN_SEC (raw) / MIN_DATA_SEC (data cost) are timing
+     noise and skipped.
 """
 import glob
 import json
@@ -33,7 +45,10 @@ import sys
 
 REGRESSION_X = 1.3   # warn threshold vs previous round
 HARD_X = 3.0         # fail threshold vs previous round
-MIN_SEC = 1.0        # ignore sub-second timing noise
+MIN_SEC = 1.0        # ignore sub-second timing noise (raw comparison)
+MIN_DATA_SEC = 0.5   # ignore sub-half-second data-cost deltas (floor-
+                     # adjusted comparison: floors are measured once per
+                     # run, so their own jitter ~0.2-0.4 s lands here)
 NOISE_MAX = 0.30     # fallback certification bar for artifacts that
                      # predate the in-artifact "noise_max" field: refuse
                      # above this noise — the bench's own scalar (~0.1
@@ -154,8 +169,27 @@ def load(path):
 
 
 def main():
-    fresh = load(sys.argv[1])
-    prev = load(sys.argv[2]) if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--floors=")]
+    floors_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                        if a.startswith("--floors=")), None)
+    fresh = load(args[0])
+    prev = load(args[1]) if len(args) > 1 else None
+    # optional full-floor sweep (an sf0.001 run of the whole registry):
+    # its per-query times are the scale-invariant harness cost, used as
+    # the floor for BOTH sides wherever the artifacts carry none
+    floor_doc = {}
+    if floors_path:
+        try:
+            fd = load(floors_path)
+            tag = str(fd.get("sf", "")).rstrip("/").split("/")[-1]
+            if tag and tag not in ("sf0.001",):
+                print(f"note: --floors artifact {floors_path} is at '{tag}',"
+                      " not sf0.001 — ignored (a floor must be measured at"
+                      " a scale where data cost is ~0)")
+            else:
+                floor_doc = fd.get("queries", {})
+        except (OSError, ValueError) as e:
+            print(f"note: --floors artifact unreadable ({e}); ignored")
     ok = True
 
     if "_truncated" in fresh:
@@ -174,7 +208,7 @@ def main():
     # whenever the companion script and inputs are present (repo root =
     # the fresh artifact's directory), so a COVERAGE row naming a
     # nonexistent or red query fails the round loudly here.
-    root = os.path.dirname(os.path.abspath(sys.argv[1]))
+    root = os.path.dirname(os.path.abspath(args[0]))
     cov = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "coverage_check.py")
     if os.path.exists(cov) and os.path.exists(os.path.join(root, "COVERAGE.md")):
@@ -223,7 +257,7 @@ def main():
         changed = {q for q in fsinks if fsinks.get(q) != psinks.get(q)}
         changed |= {q for q in psinks if q not in fsinks}
         if changed:
-            ref_path = (sys.argv[3] if len(sys.argv) > 3
+            ref_path = (args[2] if len(args) > 2
                         else "bench/probe_r12_noop_audit_sf01.json")
             try:
                 ref_doc = load(ref_path)
@@ -270,10 +304,43 @@ def main():
         if missing:
             print(f"FAIL: queries present in prev but missing from fresh: {missing}")
             ok = False
+        prev_floors = prev.get("floors", {})
         hard, soft, exon = [], [], []
+        n_data_graded = 0
         for q, p in pq.items():
             f = fq.get(q)
-            if f is None or p < MIN_SEC or f < 0 or p < 0:
+            if f is None or f < 0 or p < 0:
+                continue
+            # floor-adjusted grading wherever BOTH sides have a known
+            # floor (a failed/absent floor is negative/None — never a
+            # floor). The graded quantity becomes the DATA COST
+            # max(0, t - floor): a deliberate floor move (e.g. more
+            # state stores) stops reading as a plan regression, and a
+            # real plan regression on a floor-dominated query stops
+            # hiding inside it.
+            fl_f = floors.get(q) or floor_doc.get(q)
+            fl_p = prev_floors.get(q) or floor_doc.get(q)
+            data_graded = (fl_f is not None and fl_p is not None
+                           and fl_f > 0 and fl_p > 0)
+            if data_graded:
+                n_data_graded += 1
+                df, dp = max(0.0, f - fl_f), max(0.0, p - fl_p)
+                if df <= dp * REGRESSION_X or df - dp < MIN_DATA_SEC:
+                    continue
+                desc = (f"data {dp:.2f}s -> {df:.2f}s "
+                        f"(raw {p:.2f}s -> {f:.2f}s, floors {fl_p:.2f}/{fl_f:.2f})")
+                sp = spread.get(q)
+                if sp is not None and sp > (df - dp):
+                    exon.append((q, dp, df,
+                                 f"spread {sp:.2f}s > data delta {df - dp:.2f}s; {desc}"))
+                elif df > dp * HARD_X and df - dp >= MIN_SEC:
+                    hard.append((q, dp, df))
+                    print(f"  ({q}: {desc})")
+                else:
+                    soft.append((q, dp, df))
+                    print(f"  ({q}: {desc})")
+                continue
+            if p < MIN_SEC:
                 continue
             if f <= p * REGRESSION_X:
                 continue
@@ -289,12 +356,18 @@ def main():
                 hard.append((q, p, f))
             else:
                 soft.append((q, p, f))
-        for q, p, f, why in sorted(exon, key=lambda t: t[2] / t[1], reverse=True):
-            print(f"exonerated: {q} {p:.2f}s -> {f:.2f}s ({f/p:.1f}x) [{why}]")
-        for q, p, f in sorted(soft, key=lambda t: t[2] / t[1], reverse=True):
-            print(f"warn: {q} {p:.2f}s -> {f:.2f}s ({f/p:.1f}x)")
-        for q, p, f in sorted(hard, key=lambda t: t[2] / t[1], reverse=True):
-            print(f"FAIL: {q} {p:.2f}s -> {f:.2f}s ({f/p:.1f}x > {HARD_X}x, "
+        if n_data_graded:
+            print(f"floor-adjusted grading on {n_data_graded} queries "
+                  "(data cost = time - floor); raw rule on the rest")
+        def ratio(p, f):
+            return f / p if p > 0 else float("inf")
+        for q, p, f, why in sorted(exon, key=lambda t: ratio(t[1], t[2]),
+                                   reverse=True):
+            print(f"exonerated: {q} {p:.2f}s -> {f:.2f}s ({ratio(p, f):.1f}x) [{why}]")
+        for q, p, f in sorted(soft, key=lambda t: ratio(t[1], t[2]), reverse=True):
+            print(f"warn: {q} {p:.2f}s -> {f:.2f}s ({ratio(p, f):.1f}x)")
+        for q, p, f in sorted(hard, key=lambda t: ratio(t[1], t[2]), reverse=True):
+            print(f"FAIL: {q} {p:.2f}s -> {f:.2f}s ({ratio(p, f):.1f}x > {HARD_X}x, "
                   "unexonerated by floor/spread)")
         if hard:
             ok = False
