@@ -117,6 +117,78 @@ object StreamingQueries {
     }
   }
 
+  /** Multi-batch staging (round 16's batch-count parity probe):
+    * `graft.stream.sourceSplits` = K restages the events table as K
+    * event-time-ascending parquet slices with strictly increasing
+    * modification times (the file source orders batches by mtime), so
+    * combined with `graft.stream.maxFilesPerTrigger` = 1 an
+    * AvailableNow run replays history as K ordered micro-batches — the
+    * backlog-drain shape a real deployment runs — instead of
+    * swallowing the whole fixture in one. UNSET, staging stays the
+    * zero-copy symlink and the reader adds no file cap: bench numbers
+    * are unchanged. Slices ascend in event time, so watermarks only
+    * advance between batches and nothing becomes late that was not
+    * already late in the fixture — results must therefore be
+    * batch-count-INVARIANT, which MultiBatchProbe measures at scale.
+    * Returns the reader schema: sliced staging writes through
+    * Tables.events (normalized), symlink mode keeps the fixture's raw
+    * schema; both land on normalizeTs downstream. */
+  private def stageEventsSource(spark: SparkSession,
+      srcDir: java.nio.file.Path, sfDir: String): StructType =
+    spark.conf.getOption("graft.stream.sourceSplits") match {
+      case None =>
+        stageEvents(srcDir, sfDir)
+        eventsStreamSchema(spark, sfDir)
+      case Some(k) =>
+        sliceStageInto(spark, Tables.events(spark, sfDir),
+          srcDir.toString, k.toInt)
+    }
+
+  /** Write `ev` into `src` as `k` parquet slices over equal event-time
+    * ranges, modification times strictly ascending so the file source
+    * streams them as k time-ordered micro-batches. A slice may be
+    * empty (skewed fixtures); the file source reads empty parquet
+    * fine. */
+  private def sliceStageInto(spark: SparkSession, ev: DataFrame,
+      src: String, k: Int): StructType = {
+    require(k >= 1, s"graft.stream.sourceSplits must be >= 1, got $k")
+    val mm = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / k + 1)
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val base = System.currentTimeMillis()
+    for (i <- 0 until k) {
+      val (from, until) = (lo + i * width, lo + (i + 1) * width)
+      // write each slice beside the source dir, then move its files in
+      // under a slice-ordinal name: the extra dir level keeps Spark's
+      // _SUCCESS/_committed markers out of the streamed directory
+      val sliceDir = s"$src/_slice_$i"
+      ev.filter(unix_micros(col("ts")) >= from &&
+          unix_micros(col("ts")) < until)
+        .coalesce(1).write.parquet(sliceDir)
+      new java.io.File(sliceDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val dst = java.nio.file.Paths.get(src, f"slice_$i%03d_${f.getName}")
+          Files.move(f.toPath, dst)
+          dst.toFile.setLastModified(base + i * 2000L)
+        }
+    }
+    ev.schema
+  }
+
+  /** readStream over a staged source dir, honoring
+    * `graft.stream.maxFilesPerTrigger` (unset = Spark's default: all
+    * available files land in one AvailableNow batch). */
+  private def stagedReader(spark: SparkSession, schema: StructType,
+      src: String): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(src)
+  }
+
   /** Progress snapshots of the most recent [[q30StreamTumbling]] run —
     * the per-batch `StreamingQueryProgress` records (input rows, state
     * rows, watermark-dropped rows, observed metrics) a deployed
@@ -146,11 +218,10 @@ object StreamingQueries {
     // sink would ingest its own output.
     val tmp = TempDirs.create("graft_q30")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val stream = Tables.normalizeTs(
-        spark.readStream.schema(eventsStreamSchema(spark, sfDir))
-          .parquet(srcDir.toString))
+        stagedReader(spark, srcSchema, srcDir.toString))
       .observe("q30_input", count(lit(1)).as("n_input_rows"),
         min(col("ts")).as("min_event_ts"), max(col("ts")).as("max_event_ts"))
       .withWatermark("ts", "1 hour")
@@ -302,31 +373,21 @@ object StreamingQueries {
     runSessionize(spark, src, s"$tmp/out", s"$tmp/ckpt", schema)
   }
 
-  /** Stage (user_id, ts, event_id) events as two parquet files split at
-    * the median event time, modification-times strictly ordered so the
-    * file source streams them as two time-ascending micro-batches —
-    * sessions genuinely span batches. Returns (srcDir, schema). */
+  /** Stage selected events columns as time-ascending parquet slices
+    * (modification-times strictly ordered, so the file source streams
+    * them as time-ascending micro-batches — sessions genuinely span
+    * batches). Default 2 slices split near the median event time;
+    * `graft.stream.sourceSplits` overrides the count for the
+    * multi-batch parity probe. Returns (srcDir, schema). */
   private def stageEventHalves(spark: SparkSession, sfDir: String,
       tmp: String,
       cols: Seq[String] = Seq("user_id", "ts", "event_id")): (String, StructType) = {
     val src = s"$tmp/src"
+    val k = spark.conf.getOption("graft.stream.sourceSplits")
+      .map(_.toInt).getOrElse(2)
     val ev = Tables.events(spark, sfDir)
       .select(cols.map(col): _*)
-    val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val mid = (Row2.getLong(0) + Row2.getLong(1)) / 2
-    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(src)
-    val firstFiles = new java.io.File(src).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
-    ev.filter(unix_micros(col("ts")) > mid).coalesce(1)
-      .write.mode("append").parquet(src)
-    // the file source orders batches by modification time (ms); bump the
-    // second half strictly later so the session walk sees time order
-    val t0 = new java.io.File(src).listFiles()
-      .filter(f => firstFiles.contains(f.getAbsolutePath)).map(_.lastModified).max
-    new java.io.File(src).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !firstFiles.contains(f.getAbsolutePath))
-      .foreach(_.setLastModified(t0 + 2000))
-    (src, ev.schema)
+    (src, sliceStageInto(spark, ev, src, k))
   }
 
   /** The stateful sessionize pipeline over an already-staged source
@@ -540,10 +601,10 @@ object StreamingQueries {
     // sink/checkpoint as siblings of the source dir, not inside it
     val tmp = TempDirs.create("graft_q52")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = Tables.normalizeTs(
-      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
+      stagedReader(spark, srcSchema, srcDir.toString))
     // the natural equi-key (ticker) has tiny cardinality, so state
     // lookups would scan the key's whole history per probe. Bucketing
     // time into the join key bounds each probe to two 2h windows: the
@@ -605,10 +666,10 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q60")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = Tables.normalizeTs(
-      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
+      stagedReader(spark, srcSchema, srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -672,10 +733,10 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q81")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = Tables.normalizeTs(
-      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
+      stagedReader(spark, srcSchema, srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -737,10 +798,10 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q90")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     def src = Tables.normalizeTs(
-      spark.readStream.schema(eventsStreamSchema(spark, sfDir)).parquet(srcDir.toString))
+      stagedReader(spark, srcSchema, srcDir.toString))
     val bucketMicros = 2L * 3600 * 1000000
     val l = src.filter(col("value") < 40)
       .select(col("event_id"), col("event_type").as("ticker"), col("ts"))
@@ -829,12 +890,11 @@ object StreamingQueries {
   def q71StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = TempDirs.create("graft_q71")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val dim = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = spark.readStream.schema(eventsStreamSchema(spark, sfDir))
-      .parquet(srcDir.toString)
+    val stream = stagedReader(spark, srcSchema, srcDir.toString)
       // customer scales with the corpus: the hint must not assert
       // broadcast at 100 TB (Tables.dimBroadcast declines it past the
       // stats ceiling and the per-batch join falls back to shuffle)
@@ -984,11 +1044,10 @@ object StreamingQueries {
     useRocksDbState(spark)
     val tmp = TempDirs.create("graft_q119")
     val srcDir = Files.createDirectories(tmp.resolve("src"))
-    stageEvents(srcDir, sfDir)
+    val srcSchema = stageEventsSource(spark, srcDir, sfDir)
     val ckpt = s"$tmp/ckpt"
     val q = Tables.normalizeTs(
-        spark.readStream.schema(eventsStreamSchema(spark, sfDir))
-          .parquet(srcDir.toString))
+        stagedReader(spark, srcSchema, srcDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

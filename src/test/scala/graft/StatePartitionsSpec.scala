@@ -51,6 +51,24 @@ class StatePartitionsSpec extends SparkSpec {
     finally spark.conf.unset("graft.stream.statePartitions")
   }
 
+  test("graft.stream.sourceSplits + maxFilesPerTrigger: batch count changes, answers don't") {
+    // the multi-batch parity contract at spec scale (MultiBatchProbe
+    // carries it to sf1): forcing the backlog through >= 3 time-ascending
+    // micro-batches must read the same answer as one swallow — slices
+    // ascend in event time, so watermarks only advance between batches
+    def rows() = StreamingQueries.q52StreamIntervalJoin(spark, sf())
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val single = rows()
+    spark.conf.set("graft.stream.sourceSplits", "3")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try assert(rows() == single,
+      "a backlog drained in 3 batches must equal the single-batch answer")
+    finally {
+      spark.conf.unset("graft.stream.sourceSplits")
+      spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    }
+  }
+
   test("ScaleUp span mode extends history: disjoint per-copy time segments, linear density") {
     val dst = java.nio.file.Files.createTempDirectory("graft_span_spec").toString
     graft.tools.ScaleUp.run(spark, sf(), dst, 2, "span", Some(Set("events")))
