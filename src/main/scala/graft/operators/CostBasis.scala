@@ -197,34 +197,52 @@ object CostBasis {
       .toDF("user_id", "ticker", "qty", "avg_cost", "realized")
   }
 
-  /** DuckDB mirror of [[fold]] as a `list_reduce` over the per-key sorted
-    * event list. The lambda applies bit-identical IEEE operations in the
-    * same order as the Scala fold, so results hash-match exactly.
-    * State is encoded as [qty, avg, realized, 0]; an event as
-    * [qty, price, fee, is_buy].
+  /** DuckDB mirror of [[fold]] as a recursive CTE over per-key event
+    * ranks: iteration i applies each key's i-th event (keys whose
+    * events are exhausted drop out of the working table; the final
+    * state is each key's max-i row), with the state as three scalar
+    * DOUBLE columns. The CASE arms apply bit-identical IEEE operations
+    * in the same order as the Scala fold, so results hash-match
+    * exactly. Recursion depth = max events per (user, ticker) key —
+    * single digits at every fixture scale.
+    *
+    * Deliberately lambda-free: DuckDB 1.0's `list_reduce` with a
+    * composite (list- or struct-typed) accumulator is arithmetically
+    * unreliable at volume — the previous list-encoded fold returned
+    * garbage state (qty ~1e135, denormal realized) for one key at
+    * sf0.1 and segfaulted outright at sf1's 5.9M keys, and a
+    * struct-encoded variant miscomputed a 5-event key even in
+    * isolation. The recursive form is plain relational SQL (window +
+    * join + CASE), validated bit-exact against an independent Python
+    * replica of the fold at sf0.01 / sf0.1 / sf1 (all 5,909,730 sf1
+    * keys; see tools/fold_oracle.py, retired to cross-validation).
     */
   val foldSql: String =
     """folded AS (
-      |  SELECT user_id, ticker,
-      |         st[1] AS qty, st[2] AS avg_cost, st[3] AS realized
-      |  FROM (
-      |    SELECT user_id, ticker,
-      |           list_reduce(
-      |             list_prepend(CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]), evs),
-      |             (acc, x) -> CASE
-      |               WHEN x[4] = 1 THEN CASE WHEN acc[1] + x[1] > 0
-      |                 THEN [acc[1] + x[1],
-      |                       (acc[1]*acc[2] + (x[1]*x[2] + x[3])) / (acc[1] + x[1]),
-      |                       acc[3], 0.0]
-      |                 ELSE [acc[1] + x[1], 0.0, acc[3], 0.0] END
-      |               WHEN acc[1] <= 0 THEN acc
-      |               ELSE [acc[1] - least(x[1], acc[1]), acc[2],
-      |                     acc[3] + (x[2] - acc[2]) * least(x[1], acc[1]), 0.0]
-      |             END) AS st
-      |    FROM (
-      |      SELECT user_id, ticker,
-      |             list(CAST([qty, price, fee,
-      |                        CASE WHEN side='BUY' THEN 1 ELSE 0 END] AS DOUBLE[])
-      |                  ORDER BY ts, id, side, qty, price, fee) AS evs
-      |      FROM trades GROUP BY user_id, ticker)))""".stripMargin
+      |  WITH RECURSIVE ev AS MATERIALIZED (
+      |    SELECT user_id, ticker, CAST(qty AS DOUBLE) AS qty,
+      |           CAST(price AS DOUBLE) AS price, CAST(fee AS DOUBLE) AS fee, side,
+      |           row_number() OVER (PARTITION BY user_id, ticker
+      |                              ORDER BY ts, id, side, qty, price, fee) AS rn
+      |    FROM trades),
+      |  st AS (
+      |    SELECT user_id, ticker, 0::BIGINT AS i,
+      |           0.0::DOUBLE AS q, 0.0::DOUBLE AS c, 0.0::DOUBLE AS r
+      |    FROM (SELECT DISTINCT user_id, ticker FROM ev)
+      |    UNION ALL
+      |    SELECT st.user_id, st.ticker, st.i + 1,
+      |           CASE WHEN ev.side = 'BUY' THEN st.q + ev.qty
+      |                WHEN st.q <= 0 THEN st.q
+      |                ELSE st.q - least(ev.qty, st.q) END,
+      |           CASE WHEN ev.side = 'BUY' THEN CASE WHEN st.q + ev.qty > 0
+      |                  THEN (st.q*st.c + (ev.qty*ev.price + ev.fee)) / (st.q + ev.qty)
+      |                  ELSE 0.0 END
+      |                ELSE st.c END,
+      |           CASE WHEN ev.side = 'BUY' OR st.q <= 0 THEN st.r
+      |                ELSE st.r + (ev.price - st.c) * least(ev.qty, st.q) END
+      |    FROM st JOIN ev ON ev.user_id = st.user_id AND ev.ticker = st.ticker
+      |                   AND ev.rn = st.i + 1)
+      |  SELECT user_id, ticker, q AS qty, c AS avg_cost, r AS realized
+      |  FROM st
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ticker ORDER BY i DESC) = 1)""".stripMargin
 }

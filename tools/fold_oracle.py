@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
-"""Companion oracle for the three cost-basis fold queries (q05 avg
-cost, q06 realized PnL, q07 overview) at probe scales where DuckDB's
-list_reduce segfaults (rc=-11 at the ~5.9M-group sf1 volume, under any
-memory/thread settings). The per-(user, ticker) fold runs here in a
-plain Python loop — same event order, same state machine as the SQL
-lambda — and each query's remaining relational shell stays in DuckDB
-over the injected `folded` table. Canonicalization matches
-tools/compare.py exactly.
+"""Independent CROSS-VALIDATION oracle for the cost-basis fold family
+(q05 avg cost, q06 realized PnL, q07 overview, q15 totals). Since
+round 16 the primary oracle (CostBasis.foldSql) is a lambda-free
+recursive CTE that runs direct in DuckDB at every probe scale, so this
+replica is no longer on the verification path — it remains as a second
+implementation in a different language/engine to cross-check the SQL
+against (it validated the recursive form bit-exact over all 5,909,730
+sf1 keys). History: the original list_reduce oracle segfaulted at sf1
+volume (rc=-11) AND silently corrupted one key's state at sf0.1;
+a struct-accumulator variant miscomputed a 5-event key in isolation —
+DuckDB 1.0 composite-accumulator lambdas are unreliable, hence the
+plain-relational rewrite. The per-(user, ticker) fold runs here in a
+plain Python loop — same event order, same state machine — and each
+query's remaining relational shell stays in DuckDB over the injected
+`folded` table. Canonicalization matches tools/compare.py exactly.
 
 Usage: python3 tools/fold_oracle.py <verify_out_dir> <sf_dir>
 """
