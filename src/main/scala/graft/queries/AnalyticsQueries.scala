@@ -810,28 +810,49 @@ object AnalyticsQueries {
       spark.conf.getOption("graft.triangles.broadcast").map(_.toBoolean)
         .getOrElse(triangleBroadcastAuto(spark, sfDir)))
 
-  /** The automatic broadcast decision: input-scan bytes (statistics
-    * only) under the configured ceiling. Exposed for the spec.
+  /** The automatic broadcast decision: the COMMITTED pair-store bytes
+    * (the table the broadcast relations actually derive from), scaled
+    * by the parquet→HashedRelation expansion factor, under the
+    * configured ceiling. Exposed for the spec.
     *
-    * The DEFAULT ceiling is heap-aware — min(8 GiB, maxMemory/4) — not
-    * a fixed constant: the 8 GiB bound was sized for the 48-64 g heaps
-    * the sf10 probes ran on, and on an 8 g driver it green-lit a
-    * broadcast the JVM could not host (q139 at sf10 died in the
-    * broadcast build, round 14). The derived adjacency must fit the
-    * memory the query actually RUNS in, which the ceiling can only
-    * know by asking the runtime — a fixed threshold is the same
-    * "fits at bench scale" assertion the stats-bounded broadcast work
-    * exists to eliminate. Runtime.maxMemory is the DRIVER's heap; a
-    * broadcast must also fit every EXECUTOR heap, which in
-    * local-cluster mode is smaller (6 GiB executors under a 48 g
-    * driver in this repo's own probes) — so the bound also reads
-    * spark.executor.memory when set. Pinning
-    * graft.triangles.broadcastMaxInputBytes still overrides all terms. */
+    * Two lessons are baked in, both from q139-at-sf10 incidents:
+    *
+    *  - The DEFAULT ceiling is heap-aware — min(8 GiB, maxMemory/4) —
+    *    not a fixed constant: a fixed 8 GiB green-lit a broadcast an
+    *    8 g driver could not host (round 14). Runtime.maxMemory is the
+    *    DRIVER's heap; a broadcast must also fit every EXECUTOR heap,
+    *    which in local-cluster mode is smaller (6 GiB executors under
+    *    a 48 g driver in this repo's probes) — so the bound also reads
+    *    spark.executor.memory when set.
+    *  - The MEASURED side must be the real broadcast input, not a scan
+    *    proxy. The previous implementation read the lineitem scan
+    *    statistic as "a conservative proxy (the pair table is strictly
+    *    smaller)" — true in bytes, wrong in kind: 815 MB of committed
+    *    snappy pair parquet at sf10 deserializes to a multi-GiB
+    *    LongHashedRelation (UnsafeRow rows + neighbor arrays + the
+    *    map's long[] index), and 6144 MiB executors OOM'd receiving it
+    *    while the column-pruned lineitem estimate sat comfortably
+    *    under the ceiling (3/3 fresh JVMs; the forced-shuffle run
+    *    passed in 245 s — bench/probe_r16_q139_coldstart_sf10.json).
+    *    The pair store is committed before any triangle join runs, so
+    *    its exact on-disk bytes are free to read; BroadcastExpansion
+    *    (8×) is the measured-at-sf10 snappy→in-memory round-up.
+    *
+    * Pinning graft.triangles.broadcastMaxInputBytes still overrides
+    * the derived ceiling, and graft.triangles.broadcast overrides the
+    * whole decision. */
+  private val BroadcastExpansion = 8L
+
   private[graft] def triangleBroadcastAuto(spark: SparkSession,
                                            sfDir: String): Boolean = {
-    val bytes = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_partkey")
-      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val pairBytes = coShipPairFiles(spark, sfDir).map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+      } catch { case _: Throwable => Long.MaxValue / 1024 } // unstatable ⇒ assume huge
+    }.sum
+    val bytes = BigInt(pairBytes) * BroadcastExpansion
     // parse with Spark's OWN interpretation of spark.executor.memory:
     // a unitless value means MiB there (byteStringAsMb upstream), so
     // byteStringAsBytes would read '6144' as 6144 BYTES and silently
@@ -857,9 +878,10 @@ object AnalyticsQueries {
     // the edge list comes from the SHARED persisted pair store (distinct
     // by construction) — the lineitem self-join is paid once per fixture
     // across q115/q116/q139, not once per triangle count. The broadcast
-    // auto-decision still reads the LINEITEM scan stats: a conservative
-    // proxy (the pair table is strictly smaller), so the shuffle
-    // fallback can only trip early, never late.
+    // auto-decision reads the committed pair parquet's exact bytes
+    // (×expansion) against the heap-aware ceiling — see
+    // triangleBroadcastAuto for the sf10 OOM that retired the scan-stat
+    // proxy.
     val e = coShipPairs(spark, sfDir).select("u", "v")
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))

@@ -245,15 +245,20 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
-  test("q139 broadcast decision auto-degrades by input-size statistics") {
+  test("q139 broadcast decision auto-degrades by committed pair-store bytes") {
     // default ceiling (min(8 GiB, maxMemory/4) — heap-aware since the
     // sf10 run on an 8 g driver proved a fixed 8 GiB can green-light a
-    // broadcast the JVM cannot host) >> the fixture: broadcast
+    // broadcast the JVM cannot host) >> the fixture: broadcast. The
+    // measured side is the committed pair parquet's exact bytes ×
+    // expansion — NOT a scan-statistic proxy: at sf10 the pruned
+    // lineitem estimate passed the ceiling while the real broadcast
+    // (815 MB pair parquet → multi-GiB HashedRelation) OOM'd 6144 MiB
+    // executors 3/3 (probe_r16_q139_coldstart_sf10.json). First call
+    // may build the store (q139 pays that build regardless).
     assert(AnalyticsQueries.triangleBroadcastAuto(spark, sf()))
     // a 100 TB-shaped input is simulated by shrinking the ceiling under
-    // the fixture's scan bytes: the decision must flip to shuffle
-    // WITHOUT any pinned conf — and it reads statistics only (metadata),
-    // so asserting it runs no job is implicit in its signature
+    // the fixture's pair bytes: the decision must flip to shuffle
+    // WITHOUT any pinned conf
     val key = "graft.triangles.broadcastMaxInputBytes"
     spark.conf.set(key, "1")
     try assert(!AnalyticsQueries.triangleBroadcastAuto(spark, sf()))
