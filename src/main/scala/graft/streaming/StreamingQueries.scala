@@ -69,26 +69,56 @@ object StreamingQueries {
     * each partition is a RocksDB instance with fixed overhead — too few
     * starves a big cluster, too many drowns a small job in store
     * maintenance. `graft.stream.statePartitions` pins it; UNSET, the
-    * default is derived from the runtime instead of asserted at bench
-    * scale: min(64, max(8, defaultParallelism)). The old fixed default
-    * (8) was exactly the silent scale cap the triangle-broadcast work
-    * exists to eliminate — a stateful query's first start pins its
-    * parallelism for life, and at sf10 the 8-store default capped the
-    * interval join at 8 parallel tasks on a 32-core local-cluster
-    * (measured: q52 ~28 min vs 500 s at 32 stores). The floor (8) keeps
-    * tiny sessions out of store-maintenance overhead; the ceiling (64)
-    * bounds per-query RocksDB instances on very wide clusters — beyond
-    * it, more stores buy no parallelism the state size doesn't already
-    * justify, and a deployment with that much state pins the conf. The
-    * partition count never changes RESULTS (StatePartitionsSpec). */
-  private[graft] def statePartitionsAuto(parallelism: Int): Int =
-    math.min(64, math.max(8, parallelism))
+    * default is derived from the runtime AND the visible backlog
+    * instead of asserted at bench scale:
+    * min(64, max(8, min(defaultParallelism, backlogBytes/4MiB))).
+    * Both terms were bought with a measured incident each. The old
+    * fixed default (8) was a silent scale cap — a stateful query's
+    * first start pins its parallelism for life, and at sf10 it capped
+    * the interval join at 8 parallel tasks on a 32-core local-cluster
+    * (q52 ~28 min vs 500 s at 32 stores). The cores-ONLY rule that
+    * replaced it was the same mistake inverted: 32 RocksDB stores on a
+    * 2 MB bench backlog put ~9 s of store setup under a 0.15 s data
+    * cost and inflated the whole sf0.1 sweep 206 → 262 s (round 16).
+    * The floor (8) keeps tiny sessions out of store-maintenance
+    * overhead; the ceiling (64) bounds per-query RocksDB instances on
+    * very wide clusters — beyond it, more stores buy no parallelism
+    * the state size doesn't already justify, and a deployment with
+    * that much state (or whose steady-state volume exceeds its staged
+    * first backlog) pins the conf. The partition count never changes
+    * RESULTS (StatePartitionsSpec). */
+  private[graft] def statePartitionsAuto(parallelism: Int,
+                                         backlogBytes: Long): Int = {
+    // one store per 4 MiB of visible backlog, capped by cores: a
+    // RocksDB instance has fixed startup + maintenance cost, so a
+    // cores-only rule over-provisions tiny jobs — measured round 16,
+    // 32 stores on a 2 MB bench backlog put ~9 s of pure store setup
+    // under a 0.15 s data cost (the sf0.1 sweep inflated 206 → 262 s)
+    // while the sf10 probe (163 MB backlog) genuinely used all 32.
+    // 4 MiB/store reaches full-core parallelism by ~128 MiB on 32
+    // cores and keeps each store fat enough to amortize its overhead.
+    val byData = math.min(backlogBytes >> 22, 64L).toInt // clamp pre-cast
+    math.min(64, math.max(8, math.min(parallelism, byData)))
+  }
 
-  private def withStateParts[T](spark: SparkSession)(f: => T): T = {
+  /** Total bytes of the events backlog for `sfDir` (file or Spark
+    * directory layout) — the one table every streaming query here
+    * sources. Stat failures return Long.MaxValue so sizing degrades to
+    * the cores rule, never to the floor on data it could not see. */
+  private def eventsBytes(spark: SparkSession, sfDir: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue }
+
+  private def withStateParts[T](spark: SparkSession, sfDir: String)
+                               (f: => T): T = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("graft.stream.statePartitions").getOrElse(
-        statePartitionsAuto(spark.sparkContext.defaultParallelism).toString))
+        statePartitionsAuto(spark.sparkContext.defaultParallelism,
+          eventsBytes(spark, sfDir)).toString))
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -557,7 +587,7 @@ object StreamingQueries {
   def q94ChainedWindows(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     useRocksDbState(spark)
-    withStateParts(spark) {
+    withStateParts(spark, sfDir) {
       val tmp = TempDirs.create("graft_q94").toFile.getAbsolutePath
       val (src, schema) = stageEventHalves(spark, sfDir, tmp,
         Seq("event_type", "ts"))
@@ -592,7 +622,7 @@ object StreamingQueries {
     * forever at 100 TB. Inner join; all matching pairs are emitted
     * (unlike the as-of join's latest-only pick). */
   def q52StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    withStateParts(spark)(
+    withStateParts(spark, sfDir)(
       q52Inner(spark, sfDir))
   }
 
@@ -658,7 +688,7 @@ object StreamingQueries {
     * one null per event, not one per bucket) — plain post-filtering,
     * proportional to the (sparse) null stream. */
   def q60StreamOuterIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    withStateParts(spark)(
+    withStateParts(spark, sfDir)(
       q60Inner(spark, sfDir))
   }
 
@@ -725,7 +755,7 @@ object StreamingQueries {
     * always emit (the unmatched, which semi silently drops, are exactly
     * what the EXISTS oracle drops too). */
   def q81StreamSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    withStateParts(spark)(
+    withStateParts(spark, sfDir)(
       q81Inner(spark, sfDir))
   }
 
@@ -790,7 +820,7 @@ object StreamingQueries {
     * unmatched right emits exactly once — no dedup or cutoff logic
     * needed on that side. */
   def q90StreamFullOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    withStateParts(spark)(
+    withStateParts(spark, sfDir)(
       q90Inner(spark, sfDir))
   }
 

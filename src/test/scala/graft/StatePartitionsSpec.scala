@@ -28,25 +28,33 @@ class StatePartitionsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stream.statePartitions")
   }
 
-  test("unset knob auto-sizes from the runtime: >= cores, bounded [8, 64]") {
+  test("unset knob auto-sizes from cores AND backlog, bounded [8, 64]") {
     // the pure sizing rule (the session here is local[4]; the rule is
-    // what a 32-core or 1000-executor deployment resolves through)
-    assert(StreamingQueries.statePartitionsAuto(32) == 32,
-      "a 32-core session must get at least its core count in state stores")
-    assert(StreamingQueries.statePartitionsAuto(4) == 8,
+    // what a 32-core or 1000-executor deployment resolves through).
+    // Both terms carry a measured incident: cores-only at 8 capped a
+    // 32-core sf10 interval join at 8 tasks; cores-only at 32 put ~9 s
+    // of RocksDB store setup under a 0.15 s bench data cost.
+    val MiB = 1L << 20
+    assert(StreamingQueries.statePartitionsAuto(32, 163 * MiB) == 32,
+      "a 32-core session with a real backlog gets its core count")
+    assert(StreamingQueries.statePartitionsAuto(32, 2 * MiB) == 8,
+      "a tiny backlog keeps the overhead floor even on many cores")
+    assert(StreamingQueries.statePartitionsAuto(4, 163 * MiB) == 8,
       "tiny sessions keep the overhead floor")
-    assert(StreamingQueries.statePartitionsAuto(1000) == 64,
+    assert(StreamingQueries.statePartitionsAuto(1000, Long.MaxValue) == 64,
       "very wide clusters are bounded above; bigger state pins the conf")
-    // and the auto default changes nothing about RESULTS: the local[4]
-    // session resolves auto=8 (the old default), pinning 3 above already
-    // proved invariance across counts — here prove auto vs pinned-auto
-    // read identically, i.e. the unset path goes through the same rule
+    assert(StreamingQueries.statePartitionsAuto(1000, 40 * MiB) == 10,
+      "a small backlog on a wide cluster sizes to the data")
+    // and the auto default changes nothing about RESULTS: pinning 3
+    // above already proved invariance across counts — here prove auto
+    // vs pinned-auto read identically, i.e. the unset path goes
+    // through the same rule
     def rows() = StreamingQueries.q52StreamIntervalJoin(spark, sf())
       .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
     val auto = rows()
     spark.conf.set("graft.stream.statePartitions",
       StreamingQueries.statePartitionsAuto(
-        spark.sparkContext.defaultParallelism).toString)
+        spark.sparkContext.defaultParallelism, 2 * MiB).toString)
     try assert(rows() == auto)
     finally spark.conf.unset("graft.stream.statePartitions")
   }
