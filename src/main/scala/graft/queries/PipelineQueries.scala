@@ -58,17 +58,50 @@ object PipelineQueries {
     * uncapped q21 is scale-safe too, so the cap is no longer a
     * survival requirement). */
   def q39NgramJaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
-        threshold = 0.8, maxDocFreq = 5)
-      .orderBy("ia", "ib")
+    dupPairs(spark, sfDir).orderBy("ia", "ib")
+
+  /** The df-capped exact Jaccard pair table (threshold 0.8, df <= 5)
+    * that q39, q48, q59 AND q51 all consume, committed ONCE per
+    * documents fingerprint through [[graft.sources.DerivedStore]]
+    * (conf root `graft.dedup.pairsDir`) and read back by every later
+    * consumer — the same materialized-view discipline as the
+    * co-shipment pair store (AnalyticsQueries.coShipPairFiles). The
+    * prefix-filtered verify join is the most expensive step of the
+    * dedup family; a 100 TB curation pipeline pays it once per corpus
+    * version and serves clustering, reporting, and curation from the
+    * committed pairs — re-deriving it per downstream query is the
+    * bench-scale habit, not the deployment shape. The derivation tag
+    * versions the LOGIC (threshold/df/shingle parameters) alongside
+    * the input so a parameter change can never serve stale pairs. */
+  private[graft] def dupPairFiles(spark: SparkSession, sfDir: String): Seq[String] = {
+    import graft.sources.DerivedStore
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val storeDir = DerivedStore.storeDirFor(spark, "graft.dedup.pairsDir",
+      "dup_pairs", sfDir)
+    val fp = DerivedStore.fingerprint(spark, docs) + ":jaccard_capped_t0.80_df5_v1"
+    DerivedStore.filesFor(spark, storeDir, fp) { dataDir =>
+      Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
+          "text", threshold = 0.8, maxDocFreq = 5)
+        .write.mode("overwrite").parquet(dataDir)
+    }
+  }
+
+  private[graft] def dupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val files = dupPairFiles(spark, sfDir)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else // a corpus with zero near-dup pairs commits an empty version;
+         // serve the schema-stable empty frame, not a read error
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
+          "text", threshold = 0.8, maxDocFreq = 5).schema)
+  }
 
   /** Near-dup pairs → dedup clusters: connected components over the
-    * df-capped n-gram pairs, labelling every member doc with the
-    * minimum doc id of its component (the canonical survivor). */
+    * df-capped n-gram pairs (read from the committed pair store),
+    * labelling every member doc with the minimum doc id of its
+    * component (the canonical survivor). */
   def q48DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.connectedComponents(
-        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
-          threshold = 0.8, maxDocFreq = 5))
+    Dedup.connectedComponents(dupPairs(spark, sfDir))
       .orderBy("doc")
 
   /** q59: the same clustering through the O(log n)-round
@@ -76,9 +109,7 @@ object PipelineQueries {
     * — identical output to q48 by construction (components labelled with
     * their minimum), checked against the same recursive-CTE oracle. */
   def q59DedupClustersStar(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.connectedComponentsStar(
-        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id", "text",
-          threshold = 0.8, maxDocFreq = 5))
+    Dedup.connectedComponentsStar(dupPairs(spark, sfDir))
       .orderBy("doc")
 
   /** One persisted old-corpus signature index per (JVM, sfDir) — the
@@ -293,9 +324,7 @@ object PipelineQueries {
     // subtrees, and a shared observe node would be collected twice
     val scored = TextAnalysis.languageId(TextAnalysis.textStats(docs, "text"), "text")
       .observe("q51_input", count(lit(1)).as("n_docs"))
-    val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
-          threshold = 0.8, maxDocFreq = 5))
+    val clusters = Dedup.connectedComponents(dupPairs(spark, sfDir))
       .withColumnRenamed("doc", "doc_id")
     val canonical = scored.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))

@@ -96,7 +96,19 @@ object DerivedStore {
           case Some(files) => result = files
           case None =>
             val parent = TableStore.currentVersion(storeDir)
-            val dataDir = s"$storeDir/files/v${parent.fold(0L)(_ + 1)}"
+            // Stage each ATTEMPT into its own directory. Two sessions
+            // racing the same rebuild both read the same parent and
+            // would otherwise build into the same files/v{N} path —
+            // and `build` writes mode("overwrite"), so the CAS LOSER's
+            // in-flight write would first DELETE the winner's
+            // already-committed part files and then re-create them
+            // under different names (parquet part names carry a
+            // per-write UUID), leaving the winner's manifest pointing
+            // at paths that no longer exist. Data files must be
+            // immutable once a manifest names them; uniqueness per
+            // attempt is what makes that hold under racing writers.
+            val dataDir = s"$storeDir/files/v${parent.fold(0L)(_ + 1)}_" +
+              java.util.UUID.randomUUID().toString.take(8)
             build(dataDir)
             val files = Option(new java.io.File(dataDir).listFiles())
               .getOrElse(Array.empty)

@@ -61,6 +61,69 @@ class AdjacencyStoreSpec extends SparkSpec {
     }
   }
 
+  test("derived store: a CAS-losing rebuild cannot clobber the winner's committed files") {
+    // Two sessions race the SAME rebuild (same parent, same
+    // fingerprint). The loser's build is still in flight when the
+    // winner commits — and a parquet write in mode("overwrite") first
+    // DELETES its target directory, then re-creates the part files
+    // under fresh names (part names carry a per-write UUID). If both
+    // attempts staged into the shared files/v0 path, the loser's
+    // overwrite would delete the winner's already-committed files and
+    // replace them under names the committed manifest does not know —
+    // the store would serve a manifest of vanished paths with no
+    // error. Each attempt must therefore stage into its OWN directory.
+    val store = java.nio.file.Files.createTempDirectory("graft_ds_race")
+      .resolve("store").toString
+    val fp = "race-fp-v1"
+    def writePart(dir: String, name: String): Unit = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(name), "x".getBytes("UTF-8"))
+      ()
+    }
+    def overwriteInto(dir: String, name: String): Unit = {
+      // mode("overwrite") semantics: clear the target, then write
+      val d = new java.io.File(dir)
+      if (d.isDirectory) d.listFiles().foreach(_.delete())
+      writePart(dir, name)
+    }
+    val loserEntered = new java.util.concurrent.CountDownLatch(1)
+    val winnerDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var loserFiles: Seq[String] = null
+    @volatile var loserErr: Throwable = null
+    DerivedStore.clearMemo()
+    val loser = new Thread(() =>
+      try {
+        loserFiles = DerivedStore.filesFor(spark, store, fp) { dataDir =>
+          loserEntered.countDown()
+          // keep building until AFTER the winner has committed
+          winnerDone.await()
+          overwriteInto(dataDir, "part-loser.parquet")
+        }
+      } catch { case t: Throwable => loserErr = t })
+    loser.start()
+    loserEntered.await()
+    // the winner builds and commits version 0 while the loser is mid-build
+    val winnerFiles = DerivedStore.filesFor(spark, store, fp) { dataDir =>
+      writePart(dataDir, "part-winner.parquet")
+    }
+    winnerDone.countDown()
+    loser.join(60000)
+    assert(loserErr == null, s"loser thread failed: $loserErr")
+    assert(winnerFiles.nonEmpty)
+    // the loser's CAS commit conflicts, and its retry reads the
+    // winner's committed version (same fingerprint = same derivation)
+    assert(loserFiles == winnerFiles,
+      "the racing rebuild must converge on the committed version")
+    // the decisive check: the committed files still EXIST — the
+    // loser's in-flight overwrite must not have deleted them
+    winnerFiles.foreach(p => assert(new java.io.File(p).exists(),
+      s"committed data file clobbered by the losing rebuild: $p"))
+    assert(TableStore.currentVersion(store).contains(0L),
+      "exactly one version commits for one fingerprint")
+    DerivedStore.clearMemo()
+  }
+
   test("shared co-shipment pair store: q115/q116/q139 read ONE committed build") {
     val root = java.nio.file.Files.createTempDirectory("graft_pairs_spec").toString
     spark.conf.set("graft.coship.pairsDir", root)
@@ -94,6 +157,38 @@ class AdjacencyStoreSpec extends SparkSpec {
       assert(stored.exceptAll(direct).isEmpty && direct.exceptAll(stored).isEmpty)
     } finally {
       spark.conf.unset("graft.coship.pairsDir")
+      DerivedStore.clearMemo()
+    }
+  }
+
+  test("shared dup-pair store: q39/q48/q59/q51 read ONE committed build") {
+    import graft.queries.PipelineQueries
+    val root = java.nio.file.Files.createTempDirectory("graft_dup_spec").toString
+    spark.conf.set("graft.dedup.pairsDir", root)
+    val scoped = s"$root/${sf().replaceAll("[^A-Za-z0-9._-]", "_")}"
+    try {
+      // the first consumer pays the prefix-filtered verify join once...
+      val q39 = PipelineQueries.q39NgramJaccardCapped(spark, sf()).collect()
+      assert(TableStore.currentVersion(scoped).contains(0L))
+      // ...and clustering (both algorithms) + curation — across
+      // simulated fresh JVMs — read the SAME committed version
+      DerivedStore.clearMemo()
+      val q48 = PipelineQueries.q48DedupClusters(spark, sf()).count()
+      DerivedStore.clearMemo()
+      val q59 = PipelineQueries.q59DedupClustersStar(spark, sf()).count()
+      assert(q48 == q59, "both clustering algorithms see the same pairs")
+      DerivedStore.clearMemo()
+      assert(PipelineQueries.q51CorpusCuration(spark, sf()).count() > 0)
+      assert(TableStore.currentVersion(scoped).contains(0L),
+        "consumers must read the committed pairs, not re-derive them")
+      // content identity vs the direct derivation — the store changes
+      // WHERE the pairs come from, never what they are
+      val direct = graft.operators.Dedup.ngramJaccardPairsCapped(
+        graft.sources.Tables.documents(spark, sf()), "doc_id", "text",
+        threshold = 0.8, maxDocFreq = 5).collect()
+      assert(q39.map(_.toSeq).toSet == direct.map(_.toSeq).toSet)
+    } finally {
+      spark.conf.unset("graft.dedup.pairsDir")
       DerivedStore.clearMemo()
     }
   }

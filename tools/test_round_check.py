@@ -89,6 +89,45 @@ def test_intact_wrapper_still_parses_by_regex():
         assert "ROUND CHECK PASS" in r.stdout
 
 
+def test_floor_adjusted_flags_hidden_data_cost_regression():
+    # raw times 3.2s -> 4.7s (1.47x) would read as a soft warn at most —
+    # but both sides carry a 2.7s floor, so the DATA cost went
+    # 0.5s -> 2.0s (4x): a real plan regression the floor was hiding.
+    # The floor-adjusted rule must HARD-fail it.
+    with tempfile.TemporaryDirectory() as d:
+        prev = dict(FULL_LINE, queries={"q01": 3.2}, value=3.2,
+                    floors={"q01": 2.7}, spread={"q01": 0.1})
+        fresh = dict(FULL_LINE, queries={"q01": 4.7}, value=4.7,
+                     floors={"q01": 2.7}, spread={"q01": 0.1})
+        with open(f"{d}/prev.json", "w") as f:
+            json.dump(prev, f)
+        with open(f"{d}/fresh.json", "w") as f:
+            json.dump(fresh, f)
+        r = run("round_check.py", f"{d}/fresh.json", f"{d}/prev.json")
+        assert r.returncode == 1, r.stdout + r.stderr
+        assert "floor-adjusted grading on 1 queries" in r.stdout, r.stdout
+        assert "FAIL: q01" in r.stdout and "data 0.50s -> 2.00s" in r.stdout, r.stdout
+
+
+def test_floor_move_alone_is_not_a_regression():
+    # raw times 1.2s -> 4.3s (3.6x) would HARD-fail the raw rule — but
+    # the floor moved with it (0.5s -> 3.6s: a deliberate harness-cost
+    # change, e.g. more state stores) and the data cost is unchanged
+    # (0.7s -> 0.7s). The floor-adjusted rule must pass the round.
+    with tempfile.TemporaryDirectory() as d:
+        prev = dict(FULL_LINE, queries={"q01": 1.2}, value=1.2,
+                    floors={"q01": 0.5}, spread={"q01": 0.1})
+        fresh = dict(FULL_LINE, queries={"q01": 4.3}, value=4.3,
+                     floors={"q01": 3.6}, spread={"q01": 0.1})
+        with open(f"{d}/prev.json", "w") as f:
+            json.dump(prev, f)
+        with open(f"{d}/fresh.json", "w") as f:
+            json.dump(fresh, f)
+        r = run("round_check.py", f"{d}/fresh.json", f"{d}/prev.json")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "ROUND CHECK PASS" in r.stdout, r.stdout
+
+
 def synth_repo(d, carrier_cell, correctness):
     os.makedirs(f"{d}/src/main/scala/graft", exist_ok=True)
     with open(f"{d}/src/main/scala/graft/SparkEntry.scala", "w") as f:
