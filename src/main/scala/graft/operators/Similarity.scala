@@ -22,24 +22,84 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Nearest-centroid assignment as a map-side-combinable aggregation:
-    * score the broadcast centroid set per vector, then take
-    * `max_by(struct(cid, embedding), struct(csim, -cid))` per vec_id.
-    * Partial aggregation folds the ×k centroid expansion back to one
-    * row per vector BEFORE any exchange, so the shuffle carries n rows,
-    * not n×k (a window-rank formulation would shuffle the expanded
-    * corpus just to rank it). Tiebreak at equal similarity: lowest
-    * centroid id, via the negated cid in the ordering struct — the same
-    * total order as (csim desc, cid asc). Expects `c` as (cid, cv);
-    * returns (vec_id, embedding, cid). */
-  private def assignToNearest(corpus: DataFrame, c: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(c))
-      .withColumn("csim", cosine(col("cv"), col("embedding")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("csim"), negate(col("cid")))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+  /** Nearest-centroid assignment. Two physical shapes, one semantics
+    * (cosine argmax per vector, lowest-cid tiebreak):
+    *
+    *  - SMALL k (<= [[BulkAssignThreshold]]): a map-side-combinable
+    *    aggregation — score the broadcast centroid set per vector via
+    *    crossJoin, then `max_by(struct(cid, embedding), struct(csim,
+    *    -cid))` per vec_id. Partial aggregation folds the ×k expansion
+    *    back to one row per vector BEFORE any exchange, and the whole
+    *    thing runs inside whole-stage codegen — the right plan at the
+    *    oracle queries' k=8, and the plan those queries keep.
+    *  - LARGE k: the crossJoin shape materializes one Tungsten row per
+    *    (vector, centroid) pair just to argmax-reduce them, and at
+    *    index-build scale that row machinery IS the cost (measured:
+    *    200k vectors x 447 centroids = 746 s; 2M x 1414 extrapolates
+    *    to hours for ~3e11 raw multiplies that are seconds of FLOPs).
+    *    The bulk path runs the k-length argmax as a partition-local
+    *    loop over a broadcast centroid matrix — the shape Spark
+    *    MLlib's own KMeans uses (per-partition scan over broadcast
+    *    centers) — so the job stays one pass over n rows with zero
+    *    expansion. Dot products accumulate index-ascending in double
+    *    (FloatVecDot's order), centroids scan cid-ascending with a
+    *    strict `>`, so the argmax and tiebreak match the aggregation
+    *    bit-for-bit.
+    *
+    * Expects `c` as (cid, cv); returns (vec_id, embedding, cid). */
+  private val BulkAssignThreshold = 64L
+
+  private def assignToNearest(corpus: DataFrame, c: DataFrame): DataFrame = {
+    val k = c.count() // centroid table is k rows by contract — a tiny job
+    if (k <= BulkAssignThreshold)
+      corpus.crossJoin(broadcast(c))
+        .withColumn("csim", cosine(col("cv"), col("embedding")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("embedding")),
+          struct(col("csim"), negate(col("cid")))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cid").as("cid"))
+    else assignToNearestBulk(corpus, c)
+  }
+
+  /** Index-ascending double-accumulated dot — the exact arithmetic of
+    * [[graft.functions.FloatVecDot]], for the bulk path's executor loop. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def assignToNearestBulk(corpus: DataFrame, c: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // cid-ascending so a strict > keeps the lowest cid on ties — the
+    // same total order as the aggregation's (csim desc, cid asc)
+    val cents = c.select(col("cid").cast("long"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val norms = cents.map { case (_, cv) => math.sqrt(dotD(cv, cv)) }
+    val bc = spark.sparkContext.broadcast((cents, norms))
+    corpus.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, ns) = bc.value
+        it.map { case (id, emb) =>
+          val en = math.sqrt(dotD(emb, emb))
+          var bestSim = Double.NegativeInfinity
+          var bestCid = Long.MinValue
+          var j = 0
+          while (j < cs.length) {
+            val sim = dotD(cs(j)._2, emb) / (ns(j) * en)
+            if (sim > bestSim) { bestSim = sim; bestCid = cs(j)._1 }
+            j += 1
+          }
+          (id, emb, bestCid)
+        }
+      }
+      .toDF("vec_id", "embedding", "cid")
+  }
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Norms are computed once per side, so the per-pair work is a single

@@ -41,4 +41,27 @@ class IvfIndexSpec extends SparkSpec {
     // and the pruned scan still answers correctly
     assert(frame.count() == 5)
   }
+
+  test("bulk assignment (large k) equals the aggregation path") {
+    // above the bulk threshold the assignment runs as a partition-local
+    // loop over broadcast centroids instead of a crossJoin aggregation
+    // (the n x k row materialization is the index-build bottleneck at
+    // scale — see Similarity.assignToNearest). Same argmax, same
+    // lowest-cid tiebreak, same dot-product arithmetic: the two paths
+    // must agree on every vector's bucket.
+    val emb = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val cents = emb.orderBy("vec_id").limit(100) // k=100 > threshold 64
+    val got = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the small-k aggregation formulation, written inline
+    val expected = emb.crossJoin(broadcast(
+        cents.select(col("vec_id").as("cid"), col("embedding").as("cv"))))
+      .withColumn("csim", Similarity.cosine(col("cv"), col("embedding")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.size == emb.count())
+  }
 }
