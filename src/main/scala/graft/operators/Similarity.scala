@@ -49,8 +49,16 @@ object Similarity {
     * Expects `c` as (cid, cv); returns (vec_id, embedding, cid). */
   private val BulkAssignThreshold = 64L
 
-  private def assignToNearest(corpus: DataFrame, c: DataFrame): DataFrame = {
-    val k = c.count() // centroid table is k rows by contract — a tiny job
+  /** `kHint`: callers that know the centroid count (trainCentroids)
+    * pass it so path selection runs NO job; unknown-k callers pay one
+    * BOUNDED count (limit threshold+1 — a local-limit scan that stops
+    * early, never a full pass over a corpus-derived centroid frame).
+    * Corpus vec_ids must be unique (every caller's table contract):
+    * the aggregation path would collapse duplicates per key, the bulk
+    * path emits one row per input row. */
+  private def assignToNearest(corpus: DataFrame, c: DataFrame,
+                              kHint: Option[Long] = None): DataFrame = {
+    val k = kHint.getOrElse(c.limit(BulkAssignThreshold.toInt + 1).count())
     if (k <= BulkAssignThreshold)
       corpus.crossJoin(broadcast(c))
         .withColumn("csim", cosine(col("cv"), col("embedding")))
@@ -87,12 +95,20 @@ object Similarity {
         val (cs, ns) = bc.value
         it.map { case (id, emb) =>
           val en = math.sqrt(dotD(emb, emb))
-          var bestSim = Double.NegativeInfinity
-          var bestCid = Long.MinValue
+          var bestSim = 0.0
+          var bestCid = 0L
           var j = 0
           while (j < cs.length) {
             val sim = dotD(cs(j)._2, emb) / (ns(j) * en)
-            if (sim > bestSim) { bestSim = sim; bestCid = cs(j)._1 }
+            // Double.compare orders NaN ABOVE every number — the same
+            // total order Spark's struct ordering gives the
+            // aggregation path's (csim desc, cid asc) max_by, so a
+            // zero-norm vector or centroid (NaN cosine) picks the
+            // identical bucket on both paths: lowest cid among the
+            // NaN-scored centroids, never a sentinel no centroid owns
+            if (j == 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+              bestSim = sim; bestCid = cs(j)._1
+            }
             j += 1
           }
           (id, emb, bestCid)
@@ -135,7 +151,8 @@ object Similarity {
       .persist()
     cents.count()
     for (_ <- 1 to iters) {
-      val assigned = assignToNearest(corpus, cents.select(col("cid"), col("cv")))
+      val assigned = assignToNearest(corpus, cents.select(col("cid"), col("cv")),
+          kHint = Some(k.toLong)) // known k: no per-iteration count job
         .select(col("cid"), col("embedding"))
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))

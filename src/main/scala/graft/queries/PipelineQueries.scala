@@ -73,16 +73,27 @@ object PipelineQueries {
     * bench-scale habit, not the deployment shape. The derivation tag
     * versions the LOGIC (threshold/df/shingle parameters) alongside
     * the input so a parameter change can never serve stale pairs. */
+  // the ONE definition of the dup-pair derivation's parameters: the
+  // build call, the schema fallback, and the store fingerprint tag all
+  // derive from these, so editing a parameter structurally rebuilds
+  // the store (a hand-maintained tag literal could silently serve the
+  // OLD parameters' committed pairs)
+  private val DupPairThreshold = 0.8
+  private val DupPairMaxDf = 5
+
+  private def dupPairsDerivation(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
+      "text", threshold = DupPairThreshold, maxDocFreq = DupPairMaxDf)
+
   private[graft] def dupPairFiles(spark: SparkSession, sfDir: String): Seq[String] = {
     import graft.sources.DerivedStore
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val storeDir = DerivedStore.storeDirFor(spark, "graft.dedup.pairsDir",
       "dup_pairs", sfDir)
-    val fp = DerivedStore.fingerprint(spark, docs) + ":jaccard_capped_t0.80_df5_v1"
+    val fp = DerivedStore.fingerprint(spark, docs) +
+      f":jaccard_capped_t$DupPairThreshold%.2f_df${DupPairMaxDf}_v1"
     DerivedStore.filesFor(spark, storeDir, fp) { dataDir =>
-      Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
-          "text", threshold = 0.8, maxDocFreq = 5)
-        .write.mode("overwrite").parquet(dataDir)
+      dupPairsDerivation(spark, sfDir).write.mode("overwrite").parquet(dataDir)
     }
   }
 
@@ -92,8 +103,7 @@ object PipelineQueries {
     else // a corpus with zero near-dup pairs commits an empty version;
          // serve the schema-stable empty frame, not a read error
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
-          "text", threshold = 0.8, maxDocFreq = 5).schema)
+        dupPairsDerivation(spark, sfDir).schema)
   }
 
   /** Near-dup pairs → dedup clusters: connected components over the

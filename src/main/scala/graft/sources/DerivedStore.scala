@@ -124,12 +124,29 @@ object DerivedStore {
                 // a concurrent session committed first: loop — if it
                 // built the same fingerprint its version serves (same
                 // fp = same content, the derivation is deterministic),
-                // else rebuild against the new current. The lost
-                // build's files are unreferenced and vacuumable.
+                // else rebuild against the new current. Reclaim THIS
+                // attempt's staging dir before looping: it is ours
+                // alone (unique per attempt) and no manifest ever
+                // named it — without this, every lost race leaks a
+                // full-size parquet tree under files/ that nothing
+                // else reclaims (TableStore.vacuum would, but the
+                // derived-store lifecycle never calls it: a
+                // retention vacuum cannot tell a crashed attempt
+                // from one still building). A crash mid-build can
+                // still orphan one staging dir; that one IS
+                // TableStore.vacuum's job, run with retention longer
+                // than any build.
+                deleteDir(new java.io.File(dataDir))
                 ()
             }
         }
       }
       result
     })
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)
+    f.delete()
+    ()
+  }
 }

@@ -121,6 +121,13 @@ class AdjacencyStoreSpec extends SparkSpec {
       s"committed data file clobbered by the losing rebuild: $p"))
     assert(TableStore.currentVersion(store).contains(0L),
       "exactly one version commits for one fingerprint")
+    // and the loser reclaimed its own staging dir on the way out — a
+    // lost race must not leak a full-size orphaned tree under files/
+    val staged = Option(new java.io.File(s"$store/files").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSeq
+    assert(staged.size == 1 &&
+      winnerFiles.head.contains(staged.head),
+      s"lost attempt's staging dir leaked: $staged")
     DerivedStore.clearMemo()
   }
 
