@@ -18,9 +18,23 @@ import graft.functions.FloatVecDot.dot
 object Similarity {
 
   /** Cosine similarity of two float-array columns: codegen'd dot
-    * product (FloatVecDot) accumulated sequentially in double. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    * product (FloatVecDot) accumulated sequentially in double.
+    *
+    * TOTAL on zero-norm inputs: a zero vector's cosine is NaN — the
+    * IEEE answer the bulk assignment path's JVM arithmetic (0.0/0.0)
+    * produces, and the value Spark's orderings put ABOVE every number,
+    * so downstream argmax/rank semantics are identical on both
+    * physical paths. Without the guard the raw division is 0/0, which
+    * under Spark 4's default ANSI mode is not NaN but a runtime
+    * DIVIDE_BY_ZERO error (and silently NULL with ANSI off — a THIRD
+    * semantics): one zero-norm embedding in a 100 TB corpus would
+    * kill the whole assignment job. Caught by IvfIndexSpec's
+    * hand-built tie/NaN parity case; the `when` short-circuits, so the
+    * division never executes with a zero divisor. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(d === 0.0d, lit(Double.NaN)).otherwise(dot(a, b) / d)
+  }
 
   /** Nearest-centroid assignment. Two physical shapes, one semantics
     * (cosine argmax per vector, lowest-cid tiebreak):
@@ -102,8 +116,10 @@ object Similarity {
             val sim = dotD(cs(j)._2, emb) / (ns(j) * en)
             // Double.compare orders NaN ABOVE every number — the same
             // total order Spark's struct ordering gives the
-            // aggregation path's (csim desc, cid asc) max_by, so a
-            // zero-norm vector or centroid (NaN cosine) picks the
+            // aggregation path's (csim desc, cid asc) max_by, NOW THAT
+            // [[cosine]] is NaN-guarded (the raw SQL division would
+            // error under ANSI / NULL without it — see cosine's doc),
+            // so a zero-norm vector or centroid (NaN cosine) picks the
             // identical bucket on both paths: lowest cid among the
             // NaN-scored centroids, never a sentinel no centroid owns
             if (j == 0 || java.lang.Double.compare(sim, bestSim) > 0) {
@@ -176,10 +192,21 @@ object Similarity {
     * by `cid` (with the centroid table beside it), this IS the stored
     * index — the build-once half of build-once/query-many; the query
     * half ([[ivfTopKAssigned]]) then never recomputes assignments and
-    * reads only probed buckets. Returns (vec_id, embedding, cid). */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    * reads only probed buckets. Returns (vec_id, embedding, cid).
+    *
+    * `kHint`: the centroid count (an upper bound suffices — it only
+    * selects the aggregation-vs-bulk physical path). Callers that know
+    * it (an index build that chose k) should pass it: without the hint
+    * path selection pays one bounded count job AND evaluates the
+    * centroid frame a second time (selection and assignment each read
+    * it) — safe only because centroid frames are deterministic or
+    * persisted, which is therefore part of this method's contract for
+    * hint-less calls. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                kHint: Option[Long] = None): DataFrame =
     assignToNearest(corpus,
-      centroids.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      centroids.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      kHint)
 
   /** IVF query path over an ALREADY-ASSIGNED corpus (freshly computed
     * or read back from a stored index): probe the `nprobe` closest
@@ -211,10 +238,109 @@ object Similarity {
 
   /** IVF top-k: assign every vector to its nearest centroid (argmax
     * cosine, centroid-id tiebreak), probe the `nprobe` closest buckets
-    * per query, rank within the probed candidates only. */
+    * per query, rank within the probed candidates only. `kHint` as in
+    * [[ivfAssign]]: pass the centroid count when known to skip the
+    * bounded path-selection count job. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              k: Int, nprobe: Int): DataFrame =
-    ivfTopKAssigned(ivfAssign(corpus, centroids), queries, centroids, k, nprobe)
+              k: Int, nprobe: Int, kHint: Option[Long] = None): DataFrame =
+    ivfTopKAssigned(ivfAssign(corpus, centroids, kHint), queries, centroids,
+      k, nprobe)
+
+  /** Result of [[calibrateNprobe]]: the chosen operating point plus the
+    * whole measured recall curve, so a caller (or probe artifact) can
+    * see HOW achievable the target was, not just whether.
+    *
+    *  - `nprobe`: smallest probe depth whose estimated recall@k meets
+    *    the target, or the sweep's max when none does;
+    *  - `estRecall`: the estimate AT `nprobe`;
+    *  - `achievable`: false means the corpus is unclusterable at this
+    *    index — even probing `maxNprobe` buckets misses the target, so
+    *    IVF at this centroid count cannot serve the workload; use
+    *    brute force or a rerank cascade (measured, not asserted:
+    *    probe_r16_ann_decade.json, recall 0.36–0.57 on structure-free
+    *    vectors at any constant nprobe);
+    *  - `curve`: (nprobe → estimated recall@k), every swept depth. */
+  final case class NprobeCalibration(nprobe: Int, estRecall: Double,
+      achievable: Boolean, curve: Seq[(Int, Double)]) {
+    /** Loud one-line verdict for logs/probe artifacts. */
+    def describe(targetRecall: Double): String =
+      if (achievable)
+        f"calibrated nprobe=$nprobe (estimated recall@k $estRecall%.3f >= " +
+          f"target $targetRecall%.2f)"
+      else
+        f"corpus unclusterable at this index: estimated recall@k " +
+          f"$estRecall%.3f at nprobe=$nprobe < target $targetRecall%.2f — " +
+          "use brute force or a rerank cascade"
+  }
+
+  /** Recall-targeted nprobe calibration — the executable form of the
+    * deployment rule the round-16 decade probe left as prose ("measure
+    * your corpus's clusterability before sizing nprobe"): given a
+    * built index (`assigned` = (vec_id, embedding, cid) and its
+    * `centroids`), a SAMPLE of query vectors, and a recall target,
+    * return the smallest nprobe whose estimated recall@k meets the
+    * target — or a loud refusal carrying the best estimate when none
+    * up to `maxNprobe` does.
+    *
+    * Cost: ONE brute-force pass of the sample over the corpus (the
+    * ground truth — |sample| bounded by the caller; 100 queries × n is
+    * one scan) plus a sample×centroids probe-ranking. The whole
+    * recall-vs-nprobe CURVE then falls out of a single join, with no
+    * per-nprobe re-query, because recall at depth p is decided by
+    * bucket ranks alone: a true top-k neighbor is recovered at depth p
+    * IFF its bucket ranks <= p in the query's centroid ordering — once
+    * its bucket is probed nothing can displace it (only candidates
+    * with strictly higher similarity could, and the global top-k
+    * outrank every other candidate in ANY probed subset; ties break on
+    * vec_id identically in [[bruteForceTopK]] and [[ivfTopKAssigned]],
+    * so the tie the brute ranking kept also wins inside the probed
+    * subset, where the tied loser either is absent or loses the same
+    * comparison). The curve is therefore EXACTLY what running
+    * [[ivfTopKAssigned]] at each depth would measure on the sample —
+    * checked by IvfIndexSpec against the direct measurement.
+    *
+    * The driver materializes one row per (query, true neighbor) —
+    * |sample|·k, bounded by the caller's sample size. */
+  def calibrateNprobe(assigned: DataFrame, centroids: DataFrame,
+                      sampleQueries: DataFrame, k: Int, targetRecall: Double,
+                      maxNprobe: Int): NprobeCalibration = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxNprobe >= 1, s"maxNprobe=$maxNprobe must be >= 1")
+    val corpus = assigned.select(col("vec_id"), col("embedding"))
+    // ground truth: brute-force top-k of the SAMPLE only — one corpus
+    // scan, the price of measuring instead of guessing
+    val truth = bruteForceTopK(corpus, sampleQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    // each query's centroid ordering, exactly ivfTopKAssigned's probe
+    // ranking (cosine desc, cid asc) — sample × centroids only
+    val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val q = sampleQueries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qsim").desc, col("cid").asc)
+    val probeRank = q.crossJoin(broadcast(c))
+      .withColumn("qsim", cosine(col("cv"), col("qv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .select(col("query_id"), col("cid"), col("prn"))
+    // every true neighbor's minimal recovering depth: the probe rank of
+    // its bucket under its query
+    val depths = truth
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cid")),
+        Seq("neighbor_id"))
+      .join(probeRank, Seq("query_id", "cid"))
+      .select(col("prn")).collect().map(_.getInt(0))
+    val nTruth = truth.count().toDouble
+    // recall@k at depth p = |{truth pairs: bucket rank <= p}| / |truth|
+    val sweep = (1 to maxNprobe).map { p =>
+      p -> (if (nTruth == 0) 1.0 else depths.count(_ <= p) / nTruth)
+    }
+    sweep.find { case (_, r) => r >= targetRecall } match {
+      case Some((p, r)) => NprobeCalibration(p, r, achievable = true, sweep)
+      case None =>
+        val (p, r) = sweep.last
+        NprobeCalibration(p, r, achievable = false, sweep)
+    }
+  }
 
   /** All m subvectors of every vector as one exploded frame
     * (vec_id, sub, sv) — the layout that lets PQ train, encode, and
@@ -327,9 +453,10 @@ object Similarity {
     * via the IVF buckets (pairs in the same bucket only — the scalable
     * near-dup shape; recall is bounded by bucketing like any LSH). */
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         kHint: Option[Long] = None): DataFrame = {
     val c = centroids.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val assigned = assignToNearest(corpus, c)
+    val assigned = assignToNearest(corpus, c, kHint)
     assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))

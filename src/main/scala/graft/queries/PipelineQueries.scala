@@ -80,6 +80,15 @@ object PipelineQueries {
   // OLD parameters' committed pairs)
   private val DupPairThreshold = 0.8
   private val DupPairMaxDf = 5
+  // the derivation logic the threshold/df knobs do NOT capture: the
+  // shingle shape (word 3-grams — Dedup.shingles) and the shingle
+  // identity hash (xxhash64 — Dedup.ngramJaccardPairs). These are
+  // fixed inside Dedup, so they cannot be threaded from a constant the
+  // way threshold/df are; this id stands in for them in the store tag.
+  // CONTRACT: a change to Dedup's shingling or shingle hashing MUST
+  // bump this string, or committed pair stores built under the old
+  // logic would keep serving (the fingerprint would still match).
+  private val DupPairLogicId = "sh3w_xxh64"
 
   private def dupPairsDerivation(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",
@@ -91,7 +100,7 @@ object PipelineQueries {
     val storeDir = DerivedStore.storeDirFor(spark, "graft.dedup.pairsDir",
       "dup_pairs", sfDir)
     val fp = DerivedStore.fingerprint(spark, docs) +
-      f":jaccard_capped_t$DupPairThreshold%.2f_df${DupPairMaxDf}_v1"
+      f":jaccard_capped_t$DupPairThreshold%.2f_df${DupPairMaxDf}_${DupPairLogicId}_v1"
     DerivedStore.filesFor(spark, storeDir, fp) { dataDir =>
       dupPairsDerivation(spark, sfDir).write.mode("overwrite").parquet(dataDir)
     }
@@ -194,7 +203,8 @@ object PipelineQueries {
   def q25AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 97 === 0),
-        emb.filter(col("vec_id") < 8), k = 5, nprobe = 2)
+        emb.filter(col("vec_id") < 8), k = 5, nprobe = 2,
+        kHint = Some(8L)) // centroid frame is the vec_id<8 filter: <=8 rows
       .orderBy("query_id", "rank")
   }
 
@@ -233,7 +243,8 @@ object PipelineQueries {
     val emb = spark.read.parquet(ClusteredEmbFixture)
     val queries = emb.filter(col("vec_id") % 31 === 0)
     val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
-    Similarity.ivfTopK(emb, queries, trained, k = 5, nprobe = 2)
+    Similarity.ivfTopK(emb, queries, trained, k = 5, nprobe = 2,
+      kHint = Some(8L)) // the k this call trained with
       .orderBy("query_id", "rank")
   }
 
@@ -255,7 +266,7 @@ object PipelineQueries {
     // index BUILD (once per corpus version)
     val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
     trained.write.mode("overwrite").parquet(s"$dir/centroids")
-    Similarity.ivfAssign(emb, trained)
+    Similarity.ivfAssign(emb, trained, kHint = Some(8L)) // trained k
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/buckets")
     // QUERY path: the stored index only — no training, no assignment
     val centroids = spark.read.parquet(s"$dir/centroids")
@@ -272,7 +283,8 @@ object PipelineQueries {
     * the float-vs-double engines agree on the pair set. */
   def q46EmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    Similarity.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.4)
+    Similarity.cosineNearDupPairs(emb, emb.filter(col("vec_id") < 8), 0.4,
+        kHint = Some(8L)) // centroid frame is the vec_id<8 filter: <=8 rows
       .orderBy("ia", "ib")
   }
 

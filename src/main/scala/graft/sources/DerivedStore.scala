@@ -129,13 +129,10 @@ object DerivedStore {
                 // alone (unique per attempt) and no manifest ever
                 // named it — without this, every lost race leaks a
                 // full-size parquet tree under files/ that nothing
-                // else reclaims (TableStore.vacuum would, but the
-                // derived-store lifecycle never calls it: a
-                // retention vacuum cannot tell a crashed attempt
-                // from one still building). A crash mid-build can
-                // still orphan one staging dir; that one IS
-                // TableStore.vacuum's job, run with retention longer
-                // than any build.
+                // else reclaims until an aged sweep. A crash mid-build
+                // can still orphan one staging dir; that one is
+                // [[DerivedStore.vacuum]]'s job, run with an age
+                // horizon longer than any build.
                 deleteDir(new java.io.File(dataDir))
                 ()
             }
@@ -143,6 +140,60 @@ object DerivedStore {
       }
       result
     })
+
+  /** Reclaim crash-orphaned ATTEMPT directories: a build that CRASHES
+    * between staging and commit leaves its full-size `files/v{N}_<id>`
+    * parquet tree with no manifest referencing it, and nothing else
+    * reclaims it — [[TableStore.vacuum]]'s retention logic drops old
+    * MANIFESTS and the files they referenced; it cannot tell a crashed
+    * attempt from one still building, because both are simply
+    * unreferenced. The age horizon is what makes that call: an attempt
+    * dir is deleted only when (a) NO retained manifest references any
+    * file inside it — same manifests-first safety argument as
+    * TableStore.vacuum: committed versions stay fully readable because
+    * their files are referenced and therefore untouched — and (b) its
+    * newest mtime (the dir and every file under it — parquet writers
+    * create the dir long before the last part lands) is older than
+    * `olderThanMs`, so an in-flight build is never swept as long as the
+    * horizon exceeds the longest build, the exact retention contract
+    * TableStore.vacuum documents for readers. On a 100 TB pipeline each
+    * orphan is a corpus-sized parquet tree; run this with the same
+    * cadence as retention vacuum. Returns the reclaimed dirs. */
+  def vacuum(spark: SparkSession, storeDir: String,
+             olderThanMs: Long): Seq[String] = {
+    val filesRoot = new java.io.File(storeDir, "files")
+    if (!filesRoot.isDirectory) return Seq.empty
+    // referenced = every path named by ANY existing manifest (a
+    // derived store never drops manifests itself; if TableStore.vacuum
+    // ran, the dropped manifests' attempt dirs became orphans — aged
+    // out here like any other)
+    def norm(s: String): String =
+      if (s.startsWith("file:")) new java.net.URI(s).getPath else s
+    val manifestsDir = new java.io.File(storeDir, "manifests")
+    val versions = Option(manifestsDir.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("m") && !n.contains(".") &&
+        n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+    val referenced = versions.flatMap(v =>
+      TableStore.filePaths(spark, TableStore.Snapshot(storeDir, v)))
+      .map(norm).toSet
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      if (!f.isDirectory) own
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+    }
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def referencesAny(f: java.io.File): Boolean =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).exists(referencesAny)
+      else referenced.contains(f.getAbsolutePath)
+    Option(filesRoot.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .filter(d => !referencesAny(d))
+      .filter(d => newestMtime(d) < cutoff)
+      .map { d => deleteDir(d); d.getAbsolutePath }
+  }
 
   private def deleteDir(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteDir)

@@ -44,6 +44,11 @@ import graft.sources.Tables
   */
 object AnnProbe {
 
+  /** JSON string escape for interpolated paths — a dir containing a
+    * quote or backslash must not produce an invalid artifact. */
+  private def jesc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: AnnProbe <outJson> <fixtureDir>...")
     val outPath = args(0)
@@ -86,7 +91,7 @@ object AnnProbe {
       val (_, buildSec) = secs {
         val cents = Similarity.trainCentroids(emb, k, iters = 1)
         cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
-        Similarity.ivfAssign(emb, cents)
+        Similarity.ivfAssign(emb, cents, kHint = Some(k.toLong))
           .write.mode("overwrite").partitionBy("cid").parquet(s"$idxDir/buckets")
       }
       // QUERY paths: identical 100-query batch, top-5, results collected
@@ -105,12 +110,23 @@ object AnnProbe {
       val truth = pairs(brute)
       val recall = if (truth.isEmpty) 1.0
         else pairs(ivf).intersect(truth).size.toDouble / truth.size
+      // CALIBRATED operating point: what Similarity.calibrateNprobe
+      // (the executable form of the round-16 deployment rule) picks for
+      // a 0.9 recall target on this corpus — rides next to the fixed
+      // nprobe=8 measurement so the artifact shows both the constant-
+      // probe decade trend AND what the library would actually deploy
+      val (cal, calSec) = secs {
+        Similarity.calibrateNprobe(buckets, centroids, queries,
+          k = 5, targetRecall = 0.9, maxNprobe = math.max(1, k / 2))
+      }
       emb.unpersist(); queries.unpersist()
       val line =
-        s"""{"dir":"$dir","n":$n,"n_queries":$nq,"k_centroids":$k,""" +
+        s"""{"dir":"${jesc(dir)}","n":$n,"n_queries":$nq,"k_centroids":$k,""" +
           s""""nprobe":$nprobe,"build_sec":${f"$buildSec%.2f"},""" +
           s""""brute_sec":${f"$bruteSec%.2f"},"ivf_sec":${f"$ivfSec%.2f"},""" +
-          s""""recall_at5":${f"$recall%.4f"}}"""
+          s""""recall_at5":${f"$recall%.4f"},""" +
+          s""""cal_nprobe":${cal.nprobe},"cal_recall":${f"${cal.estRecall}%.4f"},""" +
+          s""""cal_achievable":${cal.achievable},"cal_sec":${f"$calSec%.2f"}}"""
       System.err.println(s"ann-probe: $line")
       line
     }

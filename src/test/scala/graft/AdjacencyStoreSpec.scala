@@ -131,6 +131,52 @@ class AdjacencyStoreSpec extends SparkSpec {
     DerivedStore.clearMemo()
   }
 
+  test("derived-store vacuum reclaims aged crash-orphans, spares in-flight and committed") {
+    // A build that CRASHES between staging and commit leaves a
+    // full-size files/v{N}_<id> tree no manifest references — on a
+    // 100 TB pipeline, a corpus-sized leak per crash. vacuum's contract:
+    // reclaim exactly the unreferenced-AND-aged attempt dirs; an
+    // in-flight attempt (fresh mtime) and every committed file survive,
+    // and a reader pinned to any retained version stays green.
+    val store = java.nio.file.Files.createTempDirectory("graft_ds_vac")
+      .resolve("store").toString
+    def writePart(dir: String, name: String): java.io.File = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(name), "x".getBytes("UTF-8"))
+      d.resolve(name).toFile
+    }
+    DerivedStore.clearMemo()
+    // one committed version (the normal path)
+    val committed = DerivedStore.filesFor(spark, store, "vac-fp") { dataDir =>
+      writePart(dataDir, "part-committed.parquet"); ()
+    }
+    assert(committed.nonEmpty)
+    val pinned = TableStore.snapshot(store) // a reader pinned to v0
+    // a crashed attempt: staged tree, never committed, OLD mtime
+    val orphan = writePart(s"$store/files/v1_deadbeef", "part-orphan.parquet")
+    val old = System.currentTimeMillis() - 7 * 24 * 3600 * 1000L
+    assert(orphan.setLastModified(old) &&
+      orphan.getParentFile.setLastModified(old))
+    // an in-flight attempt: staged tree, never committed, FRESH mtime
+    val inflight = writePart(s"$store/files/v1_cafebabe", "part-inflight.parquet")
+    val reclaimed = DerivedStore.vacuum(spark, store,
+      olderThanMs = 24 * 3600 * 1000L)
+    assert(reclaimed.size == 1 && reclaimed.head.contains("v1_deadbeef"),
+      s"exactly the aged orphan must go: $reclaimed")
+    assert(!orphan.exists() && !orphan.getParentFile.exists(),
+      "the aged orphan tree must be deleted")
+    assert(inflight.exists(),
+      "a fresh attempt dir may be a build still in flight — never swept")
+    committed.foreach(p => assert(new java.io.File(p).exists(),
+      s"committed data file swept by vacuum: $p"))
+    // the pinned reader still resolves its manifest to readable files
+    assert(TableStore.filePaths(spark, pinned) == committed)
+    // idempotent: nothing left to reclaim
+    assert(DerivedStore.vacuum(spark, store, 24 * 3600 * 1000L).isEmpty)
+    DerivedStore.clearMemo()
+  }
+
   test("shared co-shipment pair store: q115/q116/q139 read ONE committed build") {
     val root = java.nio.file.Files.createTempDirectory("graft_pairs_spec").toString
     spark.conf.set("graft.coship.pairsDir", root)

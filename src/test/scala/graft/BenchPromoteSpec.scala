@@ -101,6 +101,56 @@ class BenchPromoteSpec extends AnyFunSuite {
       confInjected = true)._1)
   }
 
+  test("a doc-only commit (new sha, same src digest) keeps the record") {
+    // the round-16 ambiguity: 181.65 s at ca7 reset to 195.75 s at 08d
+    // because two artifact/doc commits changed the sha without touching
+    // src/main. With both sides carrying a source digest, identity keys
+    // on the ENGINE content: same digest + slower total = host weather.
+    val dig = "d" * 32
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.18, noiseMax = 0.30, Some(shaA), shaB, Some(181.65), 195.75,
+      prevSf = Some("/root/testdata/sf0.1"), newSf = "/root/testdata/sf0.1",
+      prevSrc = Some(dig), newSrc = dig)
+    assert(!promote, rule)
+    assert(rule.contains("host weather"))
+    // ...and a FASTER same-digest doc-only run still keeps-best-of
+    assert(Bench.promoteRule(true, force = false, partial = false,
+      0.18, 0.30, Some(shaA), shaB, Some(195.75), 181.65,
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1",
+      prevSrc = Some(dig), newSrc = dig)._1)
+  }
+
+  test("a source edit (different src digest) resets the record even when slower") {
+    val (promote, rule) = Bench.promoteRule(true, force = false, partial = false,
+      noise = 0.18, noiseMax = 0.30, Some(shaA), shaB, Some(181.65), 210.0,
+      prevSf = Some("/root/testdata/sf0.1"), newSf = "/root/testdata/sf0.1",
+      prevSrc = Some("d" * 32), newSrc = "e" * 32)
+    assert(promote, rule)
+    assert(rule.contains("code changed") && rule.contains("src digest"))
+  }
+
+  test("a pre-src record or unreadable tree falls back to the sha rule") {
+    // record has no src field: sha decides (same sha, slower → kept)
+    assert(!Bench.promoteRule(true, force = false, partial = false,
+      0.18, 0.30, Some(shaA), shaA, Some(195.0), 214.0,
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1",
+      prevSrc = None, newSrc = "d" * 32)._1)
+    // fresh run's digest unreadable: sha decides (different sha → promotes)
+    assert(Bench.promoteRule(true, force = false, partial = false,
+      0.18, 0.30, Some(shaA), shaB, Some(195.0), 214.0,
+      Some("/root/testdata/sf0.1"), "/root/testdata/sf0.1",
+      prevSrc = Some("d" * 32), newSrc = "unknown")._1)
+  }
+
+  test("srcDigest is stable within a tree and recordSrc parses it back") {
+    val d1 = Bench.srcDigest()
+    assert(d1.matches("[0-9a-f]{32}"), s"digest should be md5-hex: $d1")
+    assert(Bench.srcDigest() == d1, "same tree, same digest")
+    val line = s"""{"queries":{"q01":0.5},"src":"$d1","sha":"$shaA","value":195.88}"""
+    assert(Bench.recordSrc(line).contains(d1))
+    assert(Bench.recordSrc("""{"value":1.0}""").isEmpty)
+  }
+
   test("recordSha/recordValue parse the artifact line") {
     val line = s"""{"queries":{"q01":0.5},"noise":0.18,"sha":"$shaA","metric":"total","value":195.88,"unit":"sec"}"""
     assert(Bench.recordSha(line).contains(shaA))

@@ -64,4 +64,112 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == expected)
     assert(got.size == emb.count())
   }
+
+  test("bulk path matches aggregation on exact ties and NaN (zero-norm) scores") {
+    // the clustered fixture never produces an exact similarity tie or a
+    // zero-norm vector, so the parity test above can't exercise the
+    // tiebreak and NaN-ordering claims in assignToNearestBulk's
+    // comments — this frame forces both:
+    //  - centroids cid=0 and cid=1 share ONE vector, so any corpus
+    //    vector similar to it scores an exact tie → lowest cid (0) wins
+    //  - corpus vec_id=99 is the zero vector: cosine is NaN against
+    //    every centroid, and both paths order NaN above every number
+    //    with the same lowest-cid tiebreak → cid 0 again, never a
+    //    sentinel no centroid owns
+    import spark.implicits._
+    val dup = Array.fill(4)(1.0f)
+    // 66 centroids (> BulkAssignThreshold 64) so ivfAssign takes the
+    // bulk partition-local path; the inline crossJoin aggregation below
+    // is the small-k reference formulation
+    val cents = ((0L to 1L).map(i => (i, dup)) ++
+      (2L to 65L).map(i => (i, Array(i.toFloat, 1f, -i.toFloat, 2f))))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (98L, dup),                       // exact tie between cid 0 and 1
+      (99L, Array.fill(4)(0.0f)),       // zero norm: NaN vs everything
+      (100L, Array(5f, 1f, -5f, 2f)),   // exact match of cid 5
+      (101L, Array(0.1f, -2f, 3f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = corpus.crossJoin(broadcast(
+        cents.select(col("vec_id").as("cid"), col("embedding").as("cv"))))
+      .withColumn("csim", Similarity.cosine(col("cv"), col("embedding")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"bulk $got != aggregation $expected")
+    assert(got(98L) == 0L, "exact tie must resolve to the lowest cid")
+    assert(got(99L) == 0L,
+      "all-NaN scores must pick the lowest cid, not a sentinel")
+    assert(got(100L) == 5L)
+  }
+
+  test("calibrateNprobe picks a small nprobe on the clustered corpus") {
+    // the executable form of the round-16 deployment rule: on a corpus
+    // whose embedding space HAS cluster structure, a trained IVF index
+    // recovers the true neighbors from very few probed buckets, and
+    // calibration must find that operating point instead of making the
+    // user guess
+    val emb = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    val assigned = Similarity.ivfAssign(emb, trained, kHint = Some(8L))
+    val sample = emb.filter(col("vec_id") % 31 === 0)
+    val cal = Similarity.calibrateNprobe(assigned, trained, sample,
+      k = 5, targetRecall = 0.95, maxNprobe = 8)
+    assert(cal.achievable, s"clustered corpus must calibrate: $cal")
+    assert(cal.nprobe <= 2,
+      s"q75 measures recall 1.0 at nprobe=2 on this fixture; calibration " +
+        s"found ${cal.nprobe}")
+    assert(cal.estRecall >= 0.95)
+    // the curve is monotone (deeper probing can only add candidates)
+    assert(cal.curve.map(_._2).sliding(2).forall(w => w.head <= w.last))
+  }
+
+  test("calibrateNprobe refuses loudly on the structure-free corpus") {
+    // the testdata embeddings are stride-permuted near-uniform vectors:
+    // the round-16 decade probe measured IVF recall 0.36-0.57 there at
+    // constant nprobe — no index can beat entropy. Calibration must
+    // NAME the achievable estimate instead of silently serving low
+    // recall.
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val k = 16 // sqrt-ish index over the sf0.001 corpus
+    val trained = Similarity.trainCentroids(emb, k, iters = 1)
+    val assigned = Similarity.ivfAssign(emb, trained, kHint = Some(k.toLong))
+    val sample = emb.filter(col("vec_id") % 97 === 0).limit(50)
+    val cal = Similarity.calibrateNprobe(assigned, trained, sample,
+      k = 5, targetRecall = 0.95, maxNprobe = k / 2)
+    assert(!cal.achievable,
+      s"structure-free vectors must not calibrate to 0.95 within k/2 probes: $cal")
+    assert(cal.estRecall < 0.95 && cal.estRecall > 0.0)
+    assert(cal.nprobe == k / 2, "the refusal names the deepest swept point")
+    assert(cal.describe(0.95).contains("unclusterable"))
+  }
+
+  test("calibration curve equals direct per-nprobe measurement") {
+    // the one-pass curve construction rests on a claim (a true neighbor
+    // is recovered at depth p iff its bucket ranks <= p) — pin it
+    // against the thing it predicts: actually running ivfTopKAssigned
+    // at each depth and measuring recall on the same sample
+    val emb = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 1)
+    val assigned = Similarity.ivfAssign(emb, trained, kHint = Some(8L))
+      .persist()
+    val sample = emb.filter(col("vec_id") % 31 === 0)
+    val cal = Similarity.calibrateNprobe(assigned, trained, sample,
+      k = 5, targetRecall = 2.0, maxNprobe = 4) // unreachable target: full sweep
+    def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = topPairs(Similarity.bruteForceTopK(
+      assigned.select("vec_id", "embedding"), sample, 5))
+    val measured = (1 to 4).map { p =>
+      val got = topPairs(Similarity.ivfTopKAssigned(assigned, sample, trained,
+        k = 5, nprobe = p))
+      p -> got.intersect(truth).size.toDouble / truth.size
+    }
+    assert(cal.curve == measured,
+      s"predicted curve ${cal.curve} != measured $measured")
+    assigned.unpersist()
+  }
 }
