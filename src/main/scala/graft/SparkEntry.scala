@@ -182,6 +182,7 @@ object SparkEntry {
     "q164_adaptive_read"     -> (SourceQueries.q164AdaptiveRead _),
     "q165_substring_dedup"   -> (PipelineQueries.q165SubstringDedup _),
     "q166_substring_removal" -> (PipelineQueries.q166SubstringRemoval _),
+    "q167_bpe_tokens"        -> (PipelineQueries.q167BpeTokens _),
   )
 
   /** Registry sink annotation: queries whose `count()` timing is a

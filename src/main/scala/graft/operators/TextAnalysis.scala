@@ -133,4 +133,23 @@ object TextAnalysis {
       .select(col("doc"), md5(col("sh")).as("h"))
       .groupBy("doc")
       .agg(concat_ws("", graft.functions.BottomK.bottomK(col("h"), k)).as("fingerprint"))
+
+  /** BPE tokenization under an ordered merge list — real-tokenizer
+    * token budgets instead of whitespace counts (the two diverge 2-5×
+    * on real text, and training-data budgets are set in BPE tokens).
+    * Semantics + physical shape: [[graft.functions.BpeEncode]] (a
+    * codegen'd expression; the merge table rides the plan once per
+    * stage). Returns array<string>. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncode.bpe(text, merges)
+
+  /** Load an ordered merge list from a (rank, left, right) parquet —
+    * the published merges.txt format's columns. Driver-side collect is
+    * bounded by the vocabulary (50k rules for GPT-2 — a dimension
+    * table, same class as the broadcast centroid matrix). */
+  def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
 }

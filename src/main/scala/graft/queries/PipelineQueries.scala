@@ -46,6 +46,33 @@ object PipelineQueries {
     Dedup.substringDedupClean(Tables.documents(spark, sfDir), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  /** BPE fixture triple (tools/gen_bpe_fixture.py): a trained
+    * published-format merge table, a small doc corpus, and the
+    * INDEPENDENT Python encoder's expected output — the oracle. */
+  val BpeMergesFixture = "/root/repo/fixtures/bpe_merges.parquet"
+  val BpeDocsFixture = "/root/repo/fixtures/bpe_docs.parquet"
+  val BpeExpectedFixture = "/root/repo/fixtures/bpe_expected.parquet"
+
+  /** q167: real-tokenizer token budgets — BPE-encode every fixture doc
+    * under the trained merge table ([[graft.functions.BpeEncode]], a
+    * codegen'd expression) and emit (doc_id, n_tokens, tokens_str).
+    * The oracle is `bpe_expected.parquet`, written by the INDEPENDENT
+    * Python implementation of the same published BPE-apply semantics
+    * (lowest-rank adjacent pair, all occurrences leftmost-greedy) —
+    * two implementations, one contract, exact-match graded. Tokens are
+    * space-joined for comparison: BPE tokens of whitespace-split words
+    * can never contain a space, so the join is lossless. */
+  def q167BpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = TextAnalysis.bpeMerges(spark, BpeMergesFixture)
+    spark.read.parquet(BpeDocsFixture)
+      .select(col("doc_id"),
+        TextAnalysis.bpeEncode(col("text"), merges).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("tokens_str"))
+      .orderBy("doc_id")
+  }
+
   def q22MinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text",
         k = 16, bands = 4, threshold = 0.8)
@@ -778,6 +805,14 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the INDEPENDENT Python BPE implementation's answer, committed as
+    // a fixture by tools/gen_bpe_fixture.py — two implementations of
+    // the published BPE-apply contract, exact-match graded
+    "q167_bpe_tokens" ->
+      s"""SELECT doc_id, n_tokens, tokens_str
+        |FROM '$BpeExpectedFixture'
+        |ORDER BY doc_id""".stripMargin,
+
     // the identical md5 coin, recomputed — the match pins per-row
     // assignment, not just split sizes (q62's hash precedent)
     "q142_train_eval_split" ->
