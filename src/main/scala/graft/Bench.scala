@@ -212,8 +212,13 @@ object Bench {
         flooredQueries.map { case (name, _) =>
           name -> m(name.takeWhile(_ != '_')) }
       case None =>
+        // full-suite floors are median-of-3 (they become the persisted
+        // per-code floor set); a GRAFT_ONLY probe takes ONE sample —
+        // it is never persisted, and tripling a scale probe's heavy
+        // query for a floor nobody reuses is pure cost
+        val floorTrials = if (only.isEmpty) 3 else 1
         val measured = flooredQueries.map { case (name, fn) =>
-          val samples = (1 to 3).map(_ => timed(name, fn))
+          val samples = (1 to floorTrials).map(_ => timed(name, fn))
           val med = median(samples.map(math.abs))
           // any failed sample marks the floor failed (negative), same
           // convention as the suite medians

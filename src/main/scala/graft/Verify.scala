@@ -22,10 +22,21 @@ object Verify {
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // coalesce(1) gives the driver its one-file-per-query layout, but it
+    // is a NARROW repartition: everything after the last exchange —
+    // including a global sort's reduce side — collapses into ONE task.
+    // Harmless at the sf0.01 gate; at sf10 it single-threads the heavy
+    // queries' whole tail (observed: q61 wedged 18+ min in one write
+    // task). GRAFT_VERIFY_MULTIFILE=1 keeps the plan's own output
+    // partitioning for scale sweeps — the compare tools glob
+    // <query>/*.parquet, so the layout is equivalent to them.
+    val multiFile = sys.env.get("GRAFT_VERIFY_MULTIFILE").contains("1")
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (multiFile) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -331,6 +331,26 @@ object AnalyticsQueries {
       .select(col("n_name"), (col("rev_l").cast("double") / 1e6).as("revenue"))
   }
 
+  // The bitmap sketches' declared id universe, derived from the DATA
+  // (next multiple of 64 above max(user_id), floor 2^14) and memoized
+  // per fixture so the four bitmap carriers share one bounded lookup.
+  // A hardcoded 2^14 was the bench fixture's universe, not the
+  // operator's contract — the round-17 sf10 sweep's shifted ids
+  // (user_id·100+copy, up to ~10^5) failed its fail-fast range check
+  // across all four carriers. A real deployment declares the universe
+  // from its id allocator; deriving it from table stats is the
+  // fixture-side equivalent (one column scan, amortized across the
+  // family). The sketch result is universe-independent — only the
+  // per-group bitset SIZE (maxId/8 bytes) changes.
+  private val bitmapUniverseCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def bitmapUserIdUniverse(spark: SparkSession, sfDir: String): Int =
+    bitmapUniverseCache.getOrElseUpdate(sfDir, {
+      val mx = Tables.events(spark, sfDir)
+        .agg(max(col("user_id"))).collect()(0).getLong(0)
+      math.max(1 << 14, ((mx / 64) + 1) * 64).toInt
+    })
+
   /** q72: exact distinct users via mergeable bitmap sketches — the
     * pre-aggregate-then-merge pattern COUNT(DISTINCT) can't do. Pass 1
     * builds one kilobyte-sized bitset per (event_type, day) with
@@ -342,7 +362,7 @@ object AnalyticsQueries {
     * domain. */
   def q72BitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.BitmapDistinct._
-    val maxId = 1 << 14
+    val maxId = bitmapUserIdUniverse(spark, sfDir)
     Tables.events(spark, sfDir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("event_type", "day")
@@ -730,7 +750,7 @@ object AnalyticsQueries {
     * pattern in its sliding form. */
   def q136RollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.BitmapDistinct._
-    val maxId = 1 << 14
+    val maxId = bitmapUserIdUniverse(spark, sfDir)
     val daily = Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day").agg(bitmapSketch(col("user_id"), maxId).as("sk"))
@@ -919,7 +939,7 @@ object AnalyticsQueries {
     * DISTINCT arithmetic. */
   def q140AudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.BitmapDistinct._
-    val maxId = 1 << 14
+    val maxId = bitmapUserIdUniverse(spark, sfDir)
     Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
@@ -1081,7 +1101,7 @@ object AnalyticsQueries {
 
   def q147SketchRollup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.BitmapDistinct._
-    val maxId = 1 << 14
+    val maxId = bitmapUserIdUniverse(spark, sfDir)
     // mart built once per source dir (the q143Index discipline): the
     // mart is the PERSISTED artifact, so re-invocations read it rather
     // than strewing a fresh copy per call

@@ -294,10 +294,17 @@ object EventsQueries {
         round(col("value") * 1e6).cast("long").as("vm"))
       .repartition(col("event_type"))
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("vm"))
-    // dt in MILLIS: the integral is then bounded by vmax·span
-    // (~1e8 · 2.6e9 ≈ 3e17) regardless of row count — safely inside
-    // Long under ANSI arithmetic at any scale factor, where micros
-    // would overflow. Both engines floor the same /1000.
+    // dt in MILLIS bounds each PRODUCT vm·dt inside Long (micros would
+    // overflow per-element at fixture value scale), but the SUM of the
+    // products is bounded by vmax·span — and span is a fixture
+    // property: the round-17 sf10 sweep's span-extended events (100×
+    // time range) pushed vmax·span to ~2.6e19, past Long.MAX, and the
+    // Long sum raised ARITHMETIC_OVERFLOW under ANSI. The integral
+    // therefore accumulates in DECIMAL(38,0) — exact at any scale the
+    // way DuckDB's HUGEINT sum already was (the oracle never
+    // overflowed; only the engine did), with identical results where
+    // Long sufficed. The final `div` is integral division on both
+    // engines (truncation toward zero, same as before).
     ev.withColumn("next_ts", lead("ts", 1).over(w))
       .filter(col("next_ts").isNotNull)
       .withColumn("dt_ms",
@@ -305,7 +312,7 @@ object EventsQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_intervals"),
         sum("dt_ms").as("span_ms"),
-        sum(col("vm") * col("dt_ms")).as("integral"))
+        sum((col("vm") * col("dt_ms")).cast("decimal(38,0)")).as("integral"))
       .withColumn("twa_micro", expr("integral div span_ms"))
       .select("event_type", "n_intervals", "span_ms", "twa_micro")
       .orderBy("event_type")
