@@ -54,7 +54,23 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double,
                         maxDocFreq: Option[Int] = None): DataFrame = {
+    // Hash shingles to XXHASH64 longs BEFORE the df count and cap, not
+    // after (round 17): the cap stage shuffles the FULL posting list
+    // twice (df groupBy + anti-join), and the round-17 sf10
+    // decomposition measured it at 97% of the whole capped pipeline
+    // (222.8 s of a 229 s run — byDoc 3.1, candidates 2.0, verify 1.4;
+    // bench/probe_r17_q39_decompose_*.json) while every later stage
+    // already travelled as 8-byte hashes. Moving the hash above the cap
+    // puts the two dominant shuffles on longs instead of ~25-byte
+    // 3-gram strings — the same ~3x wire cut the verify join got in
+    // round 12. Exactness: a df now merges across a 64-bit collision of
+    // two DISTINCT shingles, which could flip a df across the cap
+    // boundary — probability bounded by (#distinct shingles)²/2^64
+    // (~1e-6 at sf10) — the same accepted-and-oracle-cross-checked
+    // class as the verify intersect's existing hash identity; swap the
+    // hash for the string to restore bit-exactness at ~3x the cap cost.
     val s0 = shingles(docs, idCol, textCol)
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
     val s = maxDocFreq.fold(s0) { cap =>
       val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
@@ -304,12 +320,16 @@ object Dedup {
       prefixPostings: DataFrame, // (doc, ns, sh) — prefix slice, exploded
       rawCandidates: DataFrame) // (ia, ib) — pre-distinct candidate matches
 
+  /** Input contract (round 17): `s0` is (doc, sh: LONG) — shingles
+    * already hashed to xxhash64 longs by the CALLER. Hashing moved
+    * above the df-cap in [[ngramJaccardPairs]] (the cap's two
+    * full-posting shuffles were 97% of the capped pipeline on strings),
+    * so this stage no longer re-hashes; the input being distinct per
+    * (doc, shingle) still holds (a duplicate long per doc requires a
+    * same-doc 64-bit collision, ~1e-9 across the sf10 corpus — not
+    * worth a defensive re-distinct's extra full shuffle). */
   private[graft] def prefixStages(s0: DataFrame, threshold: Double): PrefixStages = {
-    // hash shingle strings down to longs; the input is already distinct
-    // per (doc, shingle), so a duplicate long per doc requires a
-    // same-doc 64-bit collision (~1e-9 across the whole sf10 corpus) —
-    // not worth a defensive re-distinct's extra full shuffle
-    val s = s0.select(col("doc"), xxhash64(col("sh")).as("sh"))
+    val s = s0
     // ONE doc-keyed aggregation builds each doc's rarest-first shingle
     // array; the prefix is a slice of it and the SAME array feeds the
     // exact verify, so no window sort, no verify-side semi-join +

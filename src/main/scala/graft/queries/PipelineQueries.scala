@@ -115,7 +115,9 @@ object PipelineQueries {
   // CONTRACT: a change to Dedup's shingling or shingle hashing MUST
   // bump this string, or committed pair stores built under the old
   // logic would keep serving (the fingerprint would still match).
-  private val DupPairLogicId = "sh3w_xxh64"
+  // _hdf: round 17 moved the xxhash64 above the df-cap (df counted per
+  // hash, not per string) — first exercise of this bump obligation.
+  private val DupPairLogicId = "sh3w_xxh64_hdf"
 
   private def dupPairsDerivation(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.ngramJaccardPairsCapped(Tables.documents(spark, sfDir), "doc_id",

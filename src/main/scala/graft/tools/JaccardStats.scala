@@ -59,8 +59,11 @@ object JaccardStats {
     // The stages ARE the production pipeline's (Dedup.prefixStages is
     // shared with the q21/q39 pair search), so these counts describe
     // the join q21 actually runs, not a re-implementation of it.
+    // prefixStages expects hashed postings since round 17 (the hash
+    // moved above the df-cap) — hash here exactly as production does.
     val st = Dedup.prefixStages(
-      Dedup.shingles(docs, "doc_id", "text"), threshold)
+      Dedup.shingles(docs, "doc_id", "text")
+        .select(col("doc"), xxhash64(col("sh")).as("sh")), threshold)
     val nDocs = docs.count()
     val nPostings = st.postings.count()
     val nPrefix = st.prefixPostings.count()
@@ -98,8 +101,11 @@ object JaccardStats {
       (r, math.round((System.nanoTime() - t0) / 1e7) / 100.0)
     }
     val nDocs = docs.count()
-    // stage 1: shingle + df count + cap (the anti-join q39 adds)
+    // stage 1: shingle + HASH + df count + cap — production order since
+    // round 17 (the hash moved above the cap after THIS decomposition
+    // measured the string-keyed cap at 97% of the pipeline)
     val s0 = Dedup.shingles(docs, "doc_id", "text")
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
     val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     val capped = s0.join(hot, Seq("sh"), "left_anti")
