@@ -204,6 +204,10 @@ object Bench {
             // not serve missing floors: every floored query needs a value
             .filter(m => flooredQueries.forall { case (n, _) =>
               m.contains(n.takeWhile(_ != '_')) })
+            // a negative floor records a FAILED isolated sample (e.g.
+            // transient host trouble) — never serve it as a property of
+            // the code; fall through and re-measure instead
+            .filter(_.values.forall(_ >= 0))
         else None
       } catch { case _: Throwable => None }
     val floors: Seq[(String, Double)] = cached match {
@@ -225,8 +229,12 @@ object Bench {
           name -> (if (samples.forall(_ >= 0)) med else -med)
         }
         // persist for same-code reuse — but never from a GRAFT_ONLY
-        // probe (its floor set is partial by construction)
-        if (only.isEmpty && srcDig != "unknown") try {
+        // probe (its floor set is partial by construction), and never
+        // a set with a failed (negative) sample: baking a one-off
+        // transient failure into the digest-keyed floors would poison
+        // every future same-code sweep until the source changes
+        if (only.isEmpty && srcDig != "unknown" &&
+            measured.forall { case (_, v) => v >= 0 }) try {
           java.nio.file.Files.createDirectories(floorsFile.getParent)
           val body = measured.map { case (k, v) =>
             "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 100) / 100.0

@@ -36,6 +36,38 @@ object Similarity {
     when(d === 0.0d, lit(Double.NaN)).otherwise(dot(a, b) / d)
   }
 
+  /** Guarded cosine from PRECOMPUTED dot and norm product — the same
+    * totality contract as [[cosine]] for the paths that hoist norms out
+    * of the per-pair work (bruteForceTopK, int8TopK): a zero norm
+    * product yields NaN instead of ANSI's runtime DIVIDE_BY_ZERO, so
+    * one zero-norm embedding cannot kill a corpus-wide scan. */
+  private def guardedSim(dotCol: Column, normProd: Column): Column =
+    when(normProd === 0.0d, lit(Double.NaN)).otherwise(dotCol / normProd)
+
+  /** Canonical similarity quantization — SURVEY §7.4's 1e-9 rounding
+    * rule, realized as the SAME IEEE double ops on both engines:
+    * `floor(sim·1e9 + 0.5)` (1e9 is exactly representable; both Spark
+    * and DuckDB run the identical multiply/add/floor, so the rounding
+    * step itself can never diverge — the int8Scale precedent). Every
+    * rank window and threshold filter in this module compares the
+    * QUANTIZED value, and every DuckDB oracle twin applies the same
+    * expression, so a 1-ulp accumulation-order difference between the
+    * two engines flips a comparison only when the raw sims straddle an
+    * exact integer boundary of sim·1e9+0.5 (~1e-7 per pair) instead of
+    * whenever two independent float sums land on opposite sides of a
+    * rank or threshold cut — the r17 sf10 sweep's q24/q25/q46
+    * exceptions were all the latter class. NaN (zero-norm inputs)
+    * quantizes to NULL, which the rank windows order last and the
+    * threshold filters drop — a zero-norm vector is never anyone's
+    * neighbor (per-path docs); NaN-as-max survives only inside the
+    * argmax ASSIGNMENT paths, where both physical shapes need IEEE's
+    * total order and nothing is oracle-compared at the boundary. */
+  def simQ(sim: Column): Column =
+    when(isnan(sim), lit(null)).otherwise(floor(sim * 1e9d + 0.5d)).cast("long")
+
+  /** [[simQ]] for a Scala-side threshold constant. */
+  def simQ(threshold: Double): Long = math.floor(threshold * 1e9d + 0.5d).toLong
+
   /** Nearest-centroid assignment. Two physical shapes, one semantics
     * (cosine argmax per vector, lowest-cid tiebreak):
     *
@@ -135,15 +167,22 @@ object Similarity {
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * Norms are computed once per side, so the per-pair work is a single
-    * codegen'd dot product. Output: (query_id, rank, neighbor_id). */
+    * codegen'd dot product. Ranking is on the [[simQ]]-quantized
+    * similarity (vec_id tiebreak), so the oracle's independently
+    * accumulated sims rank identically; zero-norm vectors (NaN sim)
+    * are excluded — they are not meaningful neighbors, and before the
+    * guard one of them killed the whole scan under ANSI.
+    * Output: (query_id, rank, neighbor_id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.withColumn("cn", sqrt(dot(col("embedding"), col("embedding"))))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("qv"), col("embedding")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+      .withColumn("simq",
+        simQ(guardedSim(dot(col("qv"), col("embedding")), col("qn") * col("cn"))))
+      .filter(col("simq").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
@@ -221,16 +260,21 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // probe ranking stays a window: it needs top-nprobe (not argmax) and
     // runs over the tiny query set ×k only, never the corpus
-    val wProbe = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid").asc)
+    // probe selection and candidate ranking both order on the
+    // simQ-quantized similarity (cid / vec_id tiebreaks) — the oracle
+    // twins quantize identically, so probe-set and rank agreement no
+    // longer hang on accumulation-order ulps
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qsimq").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(c))
-      .withColumn("qsim", cosine(col("cv"), col("qv")))
+      .withColumn("qsimq", simQ(cosine(col("cv"), col("qv"))))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
-    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val wRank = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id").asc)
     assigned.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("embedding")))
+      .withColumn("simq", simQ(cosine(col("qv"), col("embedding"))))
+      .filter(col("simq").isNotNull) // zero-norm: not a neighbor
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
@@ -437,13 +481,15 @@ object Similarity {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= rerankR)
       .select("query_id", "vec_id")
-    // exact rerank over the short list only
+    // exact rerank over the short list only — quantized rank (simQ), so
+    // the brute-force oracle's independently summed sims order the same
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val wRank = Window.partitionBy("query_id").orderBy(col("simq").desc, col("vec_id").asc)
     shortList
       .join(corpus, "vec_id")
       .join(broadcast(q), "query_id")
-      .withColumn("sim", cosine(col("qv"), col("embedding")))
+      .withColumn("simq", simQ(cosine(col("qv"), col("embedding"))))
+      .filter(col("simq").isNotNull) // zero-norm: not a neighbor
       .withColumn("rank", row_number().over(wRank)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"))
@@ -451,7 +497,14 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF buckets (pairs in the same bucket only — the scalable
-    * near-dup shape; recall is bounded by bucketing like any LSH). */
+    * near-dup shape; recall is bounded by bucketing like any LSH).
+    * The threshold cut compares the [[simQ]]-quantized similarity to the
+    * quantized threshold, matching the oracle twin's identical cut, so a
+    * pair sitting 1 ulp from the threshold lands on the same side in
+    * both engines (30 such pairs at sf10 before this). NaN sims
+    * (zero-norm vectors) quantize to NULL and are dropped — previously
+    * NaN compared greater than every number, so one zero-norm embedding
+    * silently paired with its whole bucket at any threshold. */
   def cosineNearDupPairs(corpus: DataFrame, centroids: DataFrame,
                          threshold: Double,
                          kHint: Option[Long] = None): DataFrame = {
@@ -459,8 +512,8 @@ object Similarity {
     val assigned = assignToNearest(corpus, c, kHint)
     assigned.as("x").join(assigned.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
-      .filter(col("sim") >= threshold)
+      .withColumn("simq", simQ(cosine(col("x.embedding"), col("y.embedding"))))
+      .filter(col("simq") >= simQ(threshold))
       .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
   }
 
@@ -517,9 +570,11 @@ object Similarity {
     val c = quantized(corpus, "c")
     val est = c.join(broadcast(q), col("c_id") =!= col("query_id"))
       .withColumn("est_sim",
-        col("cscale") * col("queryscale") *
-          int8Dot(col("cq"), col("queryq")) / (col("cn") * col("queryn")))
-    val cand = est.groupBy(col("query_id"))
+        guardedSim(col("cscale") * col("queryscale") *
+          int8Dot(col("cq"), col("queryq")), col("cn") * col("queryn")))
+    val cand = est
+      .filter(!isnan(col("est_sim"))) // zero-norm: never a candidate
+      .groupBy(col("query_id"))
       .agg(graft.functions.TopKRows.topKRows(
         struct(col("est_sim").as("priority"),
           col("c_id").cast("string").as("tiebreak"),
@@ -530,8 +585,10 @@ object Similarity {
         Seq("query_id"))
       .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
         sqrt(dot(col("embedding"), col("embedding"))).as("cn")), Seq("c_id"))
-      .withColumn("sim", dot(col("queryv"), col("cv")) / (col("queryn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("c_id").asc)
+      .withColumn("simq",
+        simQ(guardedSim(dot(col("queryv"), col("cv")), col("queryn") * col("cn"))))
+      .filter(col("simq").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("simq").desc, col("c_id").asc)
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("c_id").as("neighbor_id"))

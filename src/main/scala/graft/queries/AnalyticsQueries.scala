@@ -344,11 +344,26 @@ object AnalyticsQueries {
   // per-group bitset SIZE (maxId/8 bytes) changes.
   private val bitmapUniverseCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+  // The memo key is the sfDir PATH: within one JVM, appending data under
+  // the same path would serve a stale (too-small) universe and re-trip
+  // the sketch's fail-fast range check. Acceptable here because the
+  // carriers read immutable driver fixtures; a deployment would key on
+  // the table version / declare the universe from its id allocator.
   private def bitmapUserIdUniverse(spark: SparkSession, sfDir: String): Int =
     bitmapUniverseCache.getOrElseUpdate(sfDir, {
-      val mx = Tables.events(spark, sfDir)
-        .agg(max(col("user_id"))).collect()(0).getLong(0)
-      math.max(1 << 14, ((mx / 64) + 1) * 64).toInt
+      val row = Tables.events(spark, sfDir).agg(max(col("user_id"))).collect()(0)
+      require(!row.isNullAt(0),
+        s"bitmap universe: events at $sfDir is empty — no max(user_id) to derive from")
+      val mx = row.getLong(0)
+      require(mx >= 0, s"bitmap universe: max(user_id)=$mx is negative")
+      // word-align in Long FIRST, then prove the result fits Int — the
+      // old `((mx/64)+1)*64).toInt` silently wrapped for ids near 2^31
+      val universe = (mx / 64 + 1) * 64
+      require(universe <= Int.MaxValue,
+        s"bitmap universe: max(user_id)=$mx needs a $universe-bit bitmap, " +
+          "past Int.MaxValue — exact bitmap sketches need a bounded id domain " +
+          "(use the HLL sketch for open domains)")
+      math.max(1 << 14, universe.toInt)
     })
 
   /** q72: exact distinct users via mergeable bitmap sketches — the

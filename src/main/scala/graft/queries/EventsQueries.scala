@@ -312,7 +312,12 @@ object EventsQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_intervals"),
         sum("dt_ms").as("span_ms"),
-        sum((col("vm") * col("dt_ms")).cast("decimal(38,0)")).as("integral"))
+        // cast a FACTOR before multiplying: decimal(38,0)·long widens to
+        // decimal, so no Long product is ever formed — casting the
+        // product's RESULT still ran the multiply in Long, which one
+        // interval with gap ≳ Long.MAX/vmax (~2.9 years at vm~1e8)
+        // overflowed per-element under ANSI before the cast applied
+        sum(col("vm").cast("decimal(38,0)") * col("dt_ms")).as("integral"))
       .withColumn("twa_micro", expr("integral div span_ms"))
       .select("event_type", "n_intervals", "span_ms", "twa_micro")
       .orderBy("event_type")

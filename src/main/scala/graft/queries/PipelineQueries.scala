@@ -1226,11 +1226,11 @@ object PipelineQueries {
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
-        |         list_cosine_similarity(qv, embedding) AS sim
+        |         FLOOR(list_cosine_similarity(qv, embedding)*1e9 + 0.5) AS simq
         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
@@ -1242,11 +1242,11 @@ object PipelineQueries {
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
-        |         list_cosine_similarity(qv, embedding) AS sim
+        |         FLOOR(list_cosine_similarity(qv, embedding)*1e9 + 0.5) AS simq
         |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
@@ -1257,11 +1257,11 @@ object PipelineQueries {
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
-        |         list_cosine_similarity(qv, embedding) AS sim
+        |         FLOOR(list_cosine_similarity(qv, embedding)*1e9 + 0.5) AS simq
         |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
@@ -1274,11 +1274,11 @@ object PipelineQueries {
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
-        |         list_cosine_similarity(qv, embedding) AS sim
+        |         FLOOR(list_cosine_similarity(qv, embedding)*1e9 + 0.5) AS simq
         |  FROM e CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id ASC) AS rank
         |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
@@ -1295,12 +1295,12 @@ object PipelineQueries {
         |  SELECT query_id, qv, cid FROM (
         |    SELECT q.query_id, q.qv, c.cid,
         |           row_number() OVER (PARTITION BY q.query_id
-        |             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC) AS prn
+        |             ORDER BY FLOOR(list_cosine_similarity(c.cv, q.qv)*1e9 + 0.5) DESC, c.cid ASC) AS prn
         |    FROM q CROSS JOIN c) WHERE prn <= 2)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, a.vec_id AS neighbor_id,
         |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY list_cosine_similarity(qv, a.embedding) DESC, a.vec_id ASC) AS rank
+        |           ORDER BY FLOOR(list_cosine_similarity(qv, a.embedding)*1e9 + 0.5) DESC, a.vec_id ASC) AS rank
         |  FROM assigned a JOIN probes USING (cid)
         |  WHERE a.vec_id <> query_id) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
@@ -1315,7 +1315,7 @@ object PipelineQueries {
         |    FROM embeddings e CROSS JOIN c) WHERE arn = 1)
         |SELECT x.vec_id AS ia, y.vec_id AS ib
         |FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        |WHERE FLOOR(list_cosine_similarity(x.embedding, y.embedding)*1e9 + 0.5) >= FLOOR(0.4*1e9 + 0.5)
         |ORDER BY ia, ib""".stripMargin,
 
     "q26_text_stats" -> {

@@ -172,4 +172,69 @@ class IvfIndexSpec extends SparkSpec {
       s"predicted curve ${cal.curve} != measured $measured")
     assigned.unpersist()
   }
+
+  test("quantized rank resolves a crafted 1-ulp similarity boundary by id") {
+    // the r17 sf10 sweep's q24/q25/q46 exceptions were accumulation-order
+    // ulps deciding a rank or threshold cut differently in the two
+    // engines. Craft that exact regime: vectors a and b hold the same
+    // component multiset in different positions, so their dots against
+    // an all-ones query sum the same terms in different order — the
+    // (a+b)+c != (c+b)+a double divergence — which needs a wide
+    // exponent spread: float32 components within ~2^29 of each other
+    // sum EXACTLY in a 53-bit double, so same-magnitude triples
+    // commute. First prove the crafted pair IS a live boundary (raw
+    // doubles differ), then assert the engine ranks them by the vec_id
+    // tiebreak — the simQ quantization collapsed the ulp, so rank no
+    // longer depends on which engine's accumulation order won.
+    // (This fixture's raw sims: 0.5000061439565128 vs ...127 — 1 ulp.)
+    val vals = Array(8570.647f, 6.97481700e8f, 7.223105e-06f, 9.3943333e-07f)
+    def seqsum(xs: Seq[Float]): Double = xs.foldLeft(0.0d)(_ + _.toDouble)
+    assert(seqsum(vals.toSeq) != seqsum(vals.reverse.toSeq),
+      "fixture must exercise a real accumulation-order divergence")
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, vals),
+      (5L, vals.reverse),
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // identical quantized sims (same norm multiset, same dot multiset):
+    // lowest vec_id first, deterministically on every engine
+    assert(got == Seq(5L, 10L),
+      s"1-ulp boundary must resolve by vec_id tiebreak, got $got")
+  }
+
+  test("zero-norm vectors are never neighbors and never near-dup pairs") {
+    // one bad (all-zero) embedding in a 100 TB corpus: cosine is
+    // undefined (NaN). Before the guards it either killed the job
+    // (ANSI DIVIDE_BY_ZERO in bruteForceTopK's hoisted-norm division)
+    // or — because Spark orders NaN above every number — silently
+    // became a 'near-dup' of every co-bucketed vector in
+    // cosineNearDupPairs. Both paths must now EXCLUDE it.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (7L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // the bad embedding
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val neighbors = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!neighbors.contains(7L),
+      s"zero-norm vector ranked as a neighbor: $neighbors")
+    // single centroid = everything shares one bucket: the zero vector
+    // is co-bucketed with all, and must still pair with none
+    val centroids = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(corpus, centroids, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"zero-norm vector must pair with nothing, got $pairs")
+    // and the int8 two-stage path survives + excludes it too
+    val i8 = Similarity.int8TopK(corpus, queries, k = 3, rerank = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!i8.contains(7L), s"int8 path ranked the zero vector: $i8")
+  }
 }
