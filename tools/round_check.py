@@ -330,7 +330,17 @@ def main():
                 desc = (f"data {dp:.2f}s -> {df:.2f}s "
                         f"(raw {p:.2f}s -> {f:.2f}s, floors {fl_p:.2f}/{fl_f:.2f})")
                 sp = spread.get(q)
-                if sp is not None and sp > (df - dp):
+                # floors are re-measured whenever the source digest
+                # changes, so a floor DROP mechanically inflates the
+                # fresh data cost even when the query itself got
+                # faster (r17's q151: floor 2.18->1.17 flipped data
+                # 0.00->0.75 while raw IMPROVED 2.09->1.92). A query
+                # whose raw median did not regress beyond trial spread
+                # cannot be a real regression — exonerate it.
+                if f - p <= 0 or (sp is not None and f - p <= sp):
+                    exon.append((q, dp, df,
+                                 f"raw did not regress beyond spread; {desc}"))
+                elif sp is not None and sp > (df - dp):
                     exon.append((q, dp, df,
                                  f"spread {sp:.2f}s > data delta {df - dp:.2f}s; {desc}"))
                 elif df > dp * HARD_X and df - dp >= MIN_SEC:

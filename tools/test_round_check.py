@@ -128,6 +128,45 @@ def test_floor_move_alone_is_not_a_regression():
         assert "ROUND CHECK PASS" in r.stdout, r.stdout
 
 
+def test_floor_drop_with_raw_improvement_is_exonerated():
+    # r17's q151: the source digest changed, floors were re-measured and
+    # q151's floor DROPPED 2.18s -> 1.17s, flipping its data cost
+    # 0.00s -> 0.75s — while the raw median IMPROVED 2.09s -> 1.92s.
+    # A query whose raw time did not regress cannot be a regression;
+    # the floor side moved, not the query. Must exonerate, not warn.
+    with tempfile.TemporaryDirectory() as d:
+        prev = dict(FULL_LINE, queries={"q151": 2.09}, value=2.09,
+                    floors={"q151": 2.18}, spread={"q151": 0.1})
+        fresh = dict(FULL_LINE, queries={"q151": 1.92}, value=1.92,
+                     floors={"q151": 1.17}, spread={"q151": 0.1})
+        with open(f"{d}/prev.json", "w") as f:
+            json.dump(prev, f)
+        with open(f"{d}/fresh.json", "w") as f:
+            json.dump(fresh, f)
+        r = run("round_check.py", f"{d}/fresh.json", f"{d}/prev.json")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "warn: q151" not in r.stdout, r.stdout
+        assert "exonerated: q151" in r.stdout, r.stdout
+        assert "raw did not regress" in r.stdout, r.stdout
+
+
+def test_floor_drop_with_raw_regression_still_warns():
+    # same floor drop, but the raw median REGRESSED beyond spread: the
+    # data-cost signal is real and must still surface.
+    with tempfile.TemporaryDirectory() as d:
+        prev = dict(FULL_LINE, queries={"q151": 2.09}, value=2.09,
+                    floors={"q151": 2.18}, spread={"q151": 0.1})
+        fresh = dict(FULL_LINE, queries={"q151": 3.40}, value=3.40,
+                     floors={"q151": 1.17}, spread={"q151": 0.1})
+        with open(f"{d}/prev.json", "w") as f:
+            json.dump(prev, f)
+        with open(f"{d}/fresh.json", "w") as f:
+            json.dump(fresh, f)
+        r = run("round_check.py", f"{d}/fresh.json", f"{d}/prev.json")
+        assert "q151" in r.stdout and "exonerated: q151" not in r.stdout, r.stdout
+        assert ("warn: q151" in r.stdout) or ("FAIL: q151" in r.stdout), r.stdout
+
+
 def synth_repo(d, carrier_cell, correctness):
     os.makedirs(f"{d}/src/main/scala/graft", exist_ok=True)
     with open(f"{d}/src/main/scala/graft/SparkEntry.scala", "w") as f:
