@@ -361,9 +361,9 @@ object Similarity {
     val q = sampleQueries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
     val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("qsim").desc, col("cid").asc)
+      .orderBy(col("qsimq").desc, col("cid").asc)
     val probeRank = q.crossJoin(broadcast(c))
-      .withColumn("qsim", cosine(col("cv"), col("qv")))
+      .withColumn("qsimq", simQ(cosine(col("cv"), col("qv")))) // as ivfTopKAssigned ranks probes
       .withColumn("prn", row_number().over(wProbe))
       .select(col("query_id"), col("cid"), col("prn"))
     // every true neighbor's minimal recovering depth: the probe rank of

@@ -292,16 +292,17 @@ object PipelineQueries {
   def q125IvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = TempDirs.create("graft_q125").toString
     val emb = spark.read.parquet(ClusteredEmbFixture)
-    // index BUILD (once per corpus version)
-    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
-    trained.write.mode("overwrite").parquet(s"$dir/centroids")
-    Similarity.ivfAssign(emb, trained, kHint = Some(8L)) // trained k
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/buckets")
-    // QUERY path: the stored index only — no training, no assignment
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val buckets = spark.read.parquet(s"$dir/buckets")
     val queries = emb.filter(col("vec_id") % 31 === 0)
-    Similarity.ivfTopKAssigned(buckets, queries, centroids, k = 5, nprobe = 2)
+    // index BUILD (once per corpus version): centroids + buckets + the
+    // CALIBRATED operating point in the store manifest. Target recall
+    // 1.0 — on the clustered fixture calibration measures recall 1.0
+    // at nprobe=2 (0.98 at 1), so the stored point is the one this
+    // query always hardcoded, now derived instead of guessed.
+    graft.sources.IvfIndexStore.build(spark, emb, dir, k = 8, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    // QUERY path: the stored index only — no training, no assignment,
+    // and no caller-supplied nprobe: the manifest's calibrated default
+    graft.sources.IvfIndexStore.topK(spark, dir, queries, k = 5)
       .orderBy("query_id", "rank")
   }
 

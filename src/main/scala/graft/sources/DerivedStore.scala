@@ -119,6 +119,16 @@ object DerivedStore {
               TableStore.commitIfParent(spark, storeDir, files.toDF("path"),
                 Map("fingerprint" -> fp), parent)
               result = files
+              // Opportunistic crash-orphan reclamation, piggybacked on
+              // the successful commit: a long-running pipeline then
+              // reclaims aged orphans without an operator remembering a
+              // vacuum cadence — commits are exactly as frequent as new
+              // source versions, so the sweep amortizes to zero on the
+              // read-back path. Best-effort by design: a vacuum hiccup
+              // (concurrent sweep, permission) must never fail a build
+              // that already committed.
+              try { vacuum(spark, storeDir, CommitVacuumHorizonMs); () }
+              catch { case _: Throwable => () }
             } catch {
               case _: TableStore.CommitConflictException =>
                 // a concurrent session committed first: loop — if it
@@ -141,6 +151,16 @@ object DerivedStore {
       result
     })
 
+  /** Age horizon for the commit-time opportunistic [[vacuum]]:
+    * deliberately conservative — 24 h is far longer than any single
+    * derivation build (the retention contract: an attempt dir is only
+    * an orphan once no build could still be writing it), so the
+    * automatic sweep can never race an in-flight builder. An operator
+    * wanting faster reclamation calls [[vacuum]] directly with a
+    * horizon sized to their longest build (DEPLOY.md, derived-store
+    * row). */
+  val CommitVacuumHorizonMs: Long = 24L * 3600 * 1000
+
   /** Reclaim crash-orphaned ATTEMPT directories: a build that CRASHES
     * between staging and commit leaves its full-size `files/v{N}_<id>`
     * parquet tree with no manifest referencing it, and nothing else
@@ -157,8 +177,11 @@ object DerivedStore {
     * `olderThanMs`, so an in-flight build is never swept as long as the
     * horizon exceeds the longest build, the exact retention contract
     * TableStore.vacuum documents for readers. On a 100 TB pipeline each
-    * orphan is a corpus-sized parquet tree; run this with the same
-    * cadence as retention vacuum. Returns the reclaimed dirs. */
+    * orphan is a corpus-sized parquet tree; every successful
+    * [[filesFor]] commit runs this automatically at
+    * [[CommitVacuumHorizonMs]], and an operator may additionally run it
+    * on the retention-vacuum cadence with a tighter horizon. Returns
+    * the reclaimed dirs. */
   def vacuum(spark: SparkSession, storeDir: String,
              olderThanMs: Long): Seq[String] = {
     val filesRoot = new java.io.File(storeDir, "files")

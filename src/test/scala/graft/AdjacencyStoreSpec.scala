@@ -177,6 +177,43 @@ class AdjacencyStoreSpec extends SparkSpec {
     DerivedStore.clearMemo()
   }
 
+  test("a successful commit opportunistically vacuums aged crash-orphans") {
+    // the lifecycle wiring: no operator calls vacuum — the NEXT
+    // successful filesFor commit must reclaim an aged orphan by itself
+    // (commits happen exactly as often as new source versions, the
+    // right cadence for a sweep), while a fresh attempt dir (a build
+    // possibly still in flight) survives.
+    val store = java.nio.file.Files.createTempDirectory("graft_ds_autovac")
+      .resolve("store").toString
+    def writePart(dir: String, name: String): java.io.File = {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve(name), "x".getBytes("UTF-8"))
+      d.resolve(name).toFile
+    }
+    DerivedStore.clearMemo()
+    // a crashed attempt from "yesterday's" pipeline run: staged tree,
+    // never committed, mtime past the commit-vacuum horizon
+    val orphan = writePart(s"$store/files/v0_deadbeef", "part-orphan.parquet")
+    val old = System.currentTimeMillis() - DerivedStore.CommitVacuumHorizonMs - 3600 * 1000L
+    assert(orphan.setLastModified(old) &&
+      orphan.getParentFile.setLastModified(old))
+    // an in-flight attempt with a FRESH mtime — must survive the sweep
+    val inflight = writePart(s"$store/files/v0_cafebabe", "part-inflight.parquet")
+    // the normal lifecycle event: a build commits
+    val committed = DerivedStore.filesFor(spark, store, "autovac-fp") { dataDir =>
+      writePart(dataDir, "part-committed.parquet"); ()
+    }
+    assert(committed.nonEmpty)
+    assert(!orphan.exists() && !orphan.getParentFile.exists(),
+      "the commit must have reclaimed the aged orphan without an explicit vacuum call")
+    assert(inflight.exists(),
+      "a fresh attempt dir may be a build still in flight — never swept by the commit")
+    committed.foreach(p => assert(new java.io.File(p).exists(),
+      s"the just-committed files must survive their own commit's vacuum: $p"))
+    DerivedStore.clearMemo()
+  }
+
   test("shared co-shipment pair store: q115/q116/q139 read ONE committed build") {
     val root = java.nio.file.Files.createTempDirectory("graft_pairs_spec").toString
     spark.conf.set("graft.coship.pairsDir", root)

@@ -173,6 +173,45 @@ class IvfIndexSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("index store roundtrip: calibrated nprobe persisted, defaulted, overridable") {
+    // build-once/query-many including the recall knob: the manifest
+    // stores the operating point calibrateNprobe measured at build
+    // time, a fresh session's default query uses it, and an explicit
+    // nprobe still overrides it.
+    import graft.sources.IvfIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+    val emb = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    val m = IvfIndexStore.build(spark, emb, dir, k = 8, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    assert(m.calAchievable, s"clustered fixture must calibrate: $m")
+    assert(m.calNprobe == 2 && m.calRecall == 1.0,
+      s"q75 measures recall 1.0 exactly at nprobe=2 on this fixture: $m")
+    // a fresh reader sees the same manifest the build returned
+    assert(IvfIndexStore.manifest(dir) == m)
+    // the DEFAULT query path uses the stored point: equal to the
+    // explicit nprobe=2 run on the same store
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val byDefault = rows(IvfIndexStore.topK(spark, dir, queries, k = 5))
+    val explicit2 = rows(IvfIndexStore.topK(spark, dir, queries, k = 5,
+      nprobe = Some(2)))
+    assert(byDefault == explicit2 && byDefault.nonEmpty,
+      "defaulted query must run at the calibrated nprobe")
+    // an explicit override is honored (nprobe=1: recall 0.98 on this
+    // fixture — the result set must actually differ)
+    val explicit1 = rows(IvfIndexStore.topK(spark, dir, queries, k = 5,
+      nprobe = Some(1)))
+    assert(explicit1 != byDefault,
+      "explicit nprobe must override the calibrated default")
+    // a store without a manifest (incomplete build) refuses loudly
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStore.topK(spark, dir, queries, k = 5)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("quantized rank resolves a crafted 1-ulp similarity boundary by id") {
     // the r17 sf10 sweep's q24/q25/q46 exceptions were accumulation-order
     // ulps deciding a rank or threshold cut differently in the two
