@@ -100,6 +100,20 @@ SAMPLED = {
         "input_filters": {"lineitem": "l_orderkey % {m} = 0"},
         "output_filter": "u % {m} = 0",
     },
+    # q111: per-user closure. The SCD2 history is a window PARTITION BY
+    # user_id over the user's OWN change events, and the PIT join is
+    # equi-keyed on user_id — no cross-user relationship anywhere.
+    # ScaleUp shifts user_id and event_id with the SAME copy index, so
+    # user_id % m = 0 selects exactly copy 0 of both relations; the
+    # change-log filter (event_id % 3 = 0) is applied to the same
+    # shifted ids in both engine and sampled oracle, so the histories
+    # are built from identical rows. Intervals are disjoint per key,
+    # so each event produces exactly one output row — rowcount is a
+    # real check. Closed on ANY fixture mode (no corpus statistics).
+    "q111_pit_join": {
+        "input_filters": {"events": "user_id % {m} = 0"},
+        "output_filter": "user_id % {m} = 0",
+    },
     # ---- the entries below require a DISJOINT-VOCABULARY fixture
     # (ScaleUp `salt` mode); see the closure notes in the docstring ----
     "q39_dedup_ngram_capped": {
