@@ -183,6 +183,7 @@ object SparkEntry {
     "q165_substring_dedup"   -> (PipelineQueries.q165SubstringDedup _),
     "q166_substring_removal" -> (PipelineQueries.q166SubstringRemoval _),
     "q167_bpe_tokens"        -> (PipelineQueries.q167BpeTokens _),
+    "q168_bpe_packing"       -> (PipelineQueries.q168BpePacking _),
   )
 
   /** Registry sink annotation: queries whose `count()` timing is a

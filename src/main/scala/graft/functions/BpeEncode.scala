@@ -74,7 +74,7 @@ object BpeEncode {
   def bpe(text: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(text), merges))
 
-  private[functions] def buildRanks(merges: Seq[(String, String)])
+  private[graft] def buildRanks(merges: Seq[(String, String)])
       : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
     merges.zipWithIndex.foreach { case ((l, r), i) =>

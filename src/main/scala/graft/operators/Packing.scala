@@ -51,4 +51,20 @@ object Packing {
       .withColumn(cumCol, col("_local") + col("_off"))
       .drop("_pid", "_local")
   }
+
+  /** Greedy sequential token-budget packing over ANY token count:
+    * rows in `orderCol` order are assigned
+    * bin = floor(exclusive-cumsum(countCol) / budget) — the
+    * deterministic batch-assembly shape (q64), factored so the budget
+    * unit is the caller's choice: whitespace counts (q64) or real
+    * BPE-tokenizer counts (q168) pack through the identical
+    * distributed prefix sum. Output: one row per bin with
+    * (n_docs, total_tokens, first_doc, last_doc). */
+  def packByBudget(counts: DataFrame, orderCol: String, countCol: String,
+                   budget: Long): DataFrame =
+    withRunningTotal(counts, orderCol, countCol, "cum")
+      .withColumn("bin", ((col("cum") - col(countCol)) / budget).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(countCol).as("total_tokens"),
+        min(orderCol).as("first_doc"), max(orderCol).as("last_doc"))
 }

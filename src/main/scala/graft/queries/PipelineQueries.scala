@@ -491,14 +491,29 @@ object PipelineQueries {
     * and the result is partition-count-independent, so the oracle is
     * the plain SQL window. */
   def q64TokenPacking(spark: SparkSession, sfDir: String): DataFrame = {
-    val budget = 8192L
     val counts = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    graft.operators.Packing.withRunningTotal(counts, "doc_id", "n_tokens", "cum")
-      .withColumn("bin", ((col("cum") - col("n_tokens")) / budget).cast("long"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    graft.operators.Packing.packByBudget(counts, "doc_id", "n_tokens", budget = 8192L)
+      .orderBy("bin")
+  }
+
+  /** q168: BPE-budgeted packing — q64's greedy sequential packing with
+    * the budget measured in REAL tokenizer tokens
+    * ([[graft.functions.BpeEncode]]) instead of whitespace words, the
+    * unit actual training budgets are set in (the two diverge 2-5× on
+    * real text). Identical distributed prefix sum
+    * ([[graft.operators.Packing.packByBudget]]); only the count column
+    * changes. The oracle packs the INDEPENDENT Python encoder's
+    * committed per-doc counts (bpe_expected.parquet) through plain SQL
+    * windows — so the row checks both the tokenizer (counts must
+    * match the independent implementation's) and the packing
+    * arithmetic at once. */
+  def q168BpePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = TextAnalysis.bpeMerges(spark, BpeMergesFixture)
+    val counts = spark.read.parquet(BpeDocsFixture)
+      .select(col("doc_id"),
+        size(TextAnalysis.bpeEncode(col("text"), merges)).cast("long").as("n_tokens"))
+    graft.operators.Packing.packByBudget(counts, "doc_id", "n_tokens", budget = 24L)
       .orderBy("bin")
   }
 
@@ -815,6 +830,20 @@ object PipelineQueries {
       s"""SELECT doc_id, n_tokens, tokens_str
         |FROM '$BpeExpectedFixture'
         |ORDER BY doc_id""".stripMargin,
+
+    // the independent Python encoder's committed counts packed through
+    // plain SQL windows — checks the engine's BPE counts AND the
+    // packing arithmetic in one row
+    "q168_bpe_packing" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM '$BpeExpectedFixture')
+        |SELECT CAST(FLOOR((cum - n_tokens) / 24.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the identical md5 coin, recomputed — the match pins per-row
     // assignment, not just split sizes (q62's hash precedent)

@@ -29,6 +29,31 @@ class SkewEventsSpec extends SparkSpec {
     assert(gotWide == expected, "wide frame diverged")
   }
 
+  test("packByBudget equals the global-window reference packing") {
+    // the factored q64/q168 shape: bin = floor(exclusive-cumsum/budget)
+    // over the distributed prefix sum must equal the naive global
+    // window formulation, bin-for-bin, on an adversarial count mix
+    // (some rows larger than the whole budget)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val df = (1L to 400L).map(i => (i, rnd.nextInt(40).toLong + 1 +
+        (if (i % 37 == 0) 100L else 0L)))
+      .toDF("doc_id", "n_tokens")
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / 64L).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    val got = graft.operators.Packing.packByBudget(df, "doc_id", "n_tokens", 64L)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(got == expected, "packByBudget diverged from the window reference")
+    assert(got.size > 100, s"fixture must span many bins, got ${got.size}")
+  }
+
   test("saltedSum equals direct sum, including on a hot key") {
     // hot key: one key holds 90% of rows
     val df = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong % 7, i.toLong))
