@@ -69,7 +69,10 @@ object Similarity {
   def simQ(threshold: Double): Long = math.floor(threshold * 1e9d + 0.5d).toLong
 
   /** Nearest-centroid assignment. Two physical shapes, one semantics
-    * (cosine argmax per vector, lowest-cid tiebreak):
+    * (QUANTIZED-cosine argmax per vector — [[simQ]], NaN as max —
+    * lowest-cid tiebreak; quantized because the r18 sf10 sweep showed
+    * assignment was the last raw 1-ulp engine-vs-oracle boundary after
+    * rank/threshold were quantized):
     *
     *  - SMALL k (<= [[BulkAssignThreshold]]): a map-side-combinable
     *    aggregation — score the broadcast centroid set per vector via
@@ -107,10 +110,17 @@ object Similarity {
     val k = kHint.getOrElse(c.limit(BulkAssignThreshold.toInt + 1).count())
     if (k <= BulkAssignThreshold)
       corpus.crossJoin(broadcast(c))
-        .withColumn("csim", cosine(col("cv"), col("embedding")))
+        // argmax on the QUANTIZED similarity (simQ; NaN keeps its
+        // above-every-number rank via the MaxValue sentinel — cosine is
+        // in [-1,1], so no real simq can reach it): the r18 sf10 sweep
+        // proved rank/threshold quantization alone leaves ASSIGNMENT
+        // as the last raw 1-ulp boundary (q25: 18 rows flipped bucket
+        // between the engine's and DuckDB's accumulation orders)
+        .withColumn("csimq",
+          coalesce(simQ(cosine(col("cv"), col("embedding"))), lit(Long.MaxValue)))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cid"), col("embedding")),
-          struct(col("csim"), negate(col("cid")))).as("best"))
+          struct(col("csimq"), negate(col("cid")))).as("best"))
         .select(col("vec_id"), col("best.embedding").as("embedding"),
           col("best.cid").as("cid"))
     else assignToNearestBulk(corpus, c)
@@ -141,21 +151,24 @@ object Similarity {
         val (cs, ns) = bc.value
         it.map { case (id, emb) =>
           val en = math.sqrt(dotD(emb, emb))
-          var bestSim = 0.0
+          var bestSimq = Long.MinValue
           var bestCid = 0L
           var j = 0
           while (j < cs.length) {
             val sim = dotD(cs(j)._2, emb) / (ns(j) * en)
-            // Double.compare orders NaN ABOVE every number — the same
-            // total order Spark's struct ordering gives the
-            // aggregation path's (csim desc, cid asc) max_by, NOW THAT
-            // [[cosine]] is NaN-guarded (the raw SQL division would
-            // error under ANSI / NULL without it — see cosine's doc),
-            // so a zero-norm vector or centroid (NaN cosine) picks the
-            // identical bucket on both paths: lowest cid among the
-            // NaN-scored centroids, never a sentinel no centroid owns
-            if (j == 0 || java.lang.Double.compare(sim, bestSim) > 0) {
-              bestSim = sim; bestCid = cs(j)._1
+            // the aggregation path's exact ordering key: the QUANTIZED
+            // similarity (floor(sim*1e9+0.5) — simQ's IEEE ops, run
+            // here in the JVM on the same doubles SQL codegen uses),
+            // with NaN (a zero-norm vector or centroid) mapped to the
+            // MaxValue sentinel so it keeps NaN's above-every-number
+            // rank — cosine is in [-1,1], no real simq can collide.
+            // Both paths then pick the identical bucket: highest simq,
+            // lowest cid on ties (cid-ascending scan + strict >).
+            val simq =
+              if (java.lang.Double.isNaN(sim)) Long.MaxValue
+              else math.floor(sim * 1e9d + 0.5d).toLong
+            if (j == 0 || simq > bestSimq) {
+              bestSimq = simq; bestCid = cs(j)._1
             }
             j += 1
           }

@@ -1251,13 +1251,23 @@ object PipelineQueries {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY ia, ib""".stripMargin,
 
+    // DOUBLE[] cast before every cosine: DuckDB's list_cosine_similarity
+    // on FLOAT[] computes IN float32 (returns FLOAT, error ~1e-7 — 100x
+    // the 1e-9 quantization cell), while the engine dots float inputs in
+    // double. The r18 sf10 sweep proved quantization alone cannot bridge
+    // that: float32 collapses sims ~1e-8 apart into exact ties, flipping
+    // the (simq DESC, vec_id ASC) order vs the engine's double sims.
+    // Cast first and both engines run double IEEE ops on the same
+    // float32-rounded inputs; the residual is accumulation order
+    // (~1e-15), which the shared quantization absorbs.
     "q24_ann_bruteforce" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+      """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM ed WHERE vec_id % 97 = 0),
         |scored AS (
         |  SELECT query_id, vec_id,
         |         FLOOR(list_cosine_similarity(qv, embedding)*1e9 + 0.5) AS simq
-        |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+        |  FROM ed CROSS JOIN q WHERE vec_id <> query_id)
         |SELECT query_id, rank, neighbor_id FROM (
         |  SELECT query_id, vec_id AS neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY simq DESC, vec_id ASC) AS rank
@@ -1267,7 +1277,7 @@ object PipelineQueries {
     // brute-force cosine top-k over the clustered fixture — the PQ
     // pipeline must reproduce it exactly (ADC short list + exact rerank)
     "q74_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM '$ClusteredEmbFixture'),
         |q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
@@ -1282,7 +1292,7 @@ object PipelineQueries {
 
     // trained IVF must reproduce brute force on clustered data
     "q75_ivf_trained" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM '$ClusteredEmbFixture'),
         |q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
@@ -1299,7 +1309,7 @@ object PipelineQueries {
     // reproduce the freshly-trained run exactly (nprobe=2 on the
     // clustered fixture recovers brute-force top-k)
     "q125_ivf_persisted" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM '$ClusteredEmbFixture'),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM '$ClusteredEmbFixture'),
         |q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id % 31 = 0),
         |scored AS (
@@ -1313,14 +1323,15 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q25_ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM ed WHERE vec_id < 8),
         |assigned AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT e.vec_id, e.embedding, c.cid,
         |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(c.cv, e.embedding) DESC, c.cid ASC) AS arn
-        |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+        |             ORDER BY FLOOR(list_cosine_similarity(c.cv, e.embedding)*1e9 + 0.5) DESC, c.cid ASC) AS arn
+        |    FROM ed e CROSS JOIN c) WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM ed WHERE vec_id % 97 = 0),
         |probes AS (
         |  SELECT query_id, qv, cid FROM (
         |    SELECT q.query_id, q.qv, c.cid,
@@ -1336,13 +1347,14 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q46_embedding_neardup" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      """WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM ed WHERE vec_id < 8),
         |assigned AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT e.vec_id, e.embedding, c.cid,
         |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY list_cosine_similarity(c.cv, e.embedding) DESC, c.cid ASC) AS arn
-        |    FROM embeddings e CROSS JOIN c) WHERE arn = 1)
+        |             ORDER BY FLOOR(list_cosine_similarity(c.cv, e.embedding)*1e9 + 0.5) DESC, c.cid ASC) AS arn
+        |    FROM ed e CROSS JOIN c) WHERE arn = 1)
         |SELECT x.vec_id AS ia, y.vec_id AS ib
         |FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
         |WHERE FLOOR(list_cosine_similarity(x.embedding, y.embedding)*1e9 + 0.5) >= FLOOR(0.4*1e9 + 0.5)
