@@ -59,6 +59,19 @@ object StreamingQueries {
     spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       "true")
+    // Row-count tracking makes every state PUT pay a GET first (the
+    // store keeps numRowsTotal exact by diffing). The queries here never
+    // read that metric — the spec'd observability contract is input
+    // rows, observe() metrics and watermark drops — and at 100 TB the
+    // get-per-put is pure write amplification, so tracking defaults OFF
+    // (measured: −0.2 s per stateful query at sf0.1,
+    // bench/probe_r18_stream_floor.json). `graft.stream.trackStateRows`
+    // turns it back on for probes that want numRowsTotal as evidence
+    // (StreamScaleProbe / MultiBatchProbe set it). Results are
+    // unaffected either way — this is a metrics-accounting knob.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      spark.conf.getOption("graft.stream.trackStateRows").getOrElse("false"))
   }
 
   /** Run `f` with shuffle.partitions (= the state-store partition
@@ -174,30 +187,46 @@ object StreamingQueries {
           srcDir.toString, k.toInt)
     }
 
-  /** Write `ev` into `src` as `k` parquet slices over equal event-time
-    * ranges, modification times strictly ascending so the file source
-    * streams them as k time-ordered micro-batches. A slice may be
-    * empty (skewed fixtures); the file source reads empty parquet
-    * fine. */
-  private def sliceStageInto(spark: SparkSession, ev: DataFrame,
-      src: String, k: Int): StructType = {
-    require(k >= 1, s"graft.stream.sourceSplits must be >= 1, got $k")
-    val mm = ev.agg(min(unix_micros(col("ts"))),
-      max(unix_micros(col("ts")))).head()
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-    val width = math.max(1L, (hi - lo) / k + 1)
+  /** Stage `df` into `src` as ordered micro-batch files with ONE write
+    * job: partition the frame by the batch ordinal (`ord`, 0..k-1),
+    * write it once under a sibling staging dir (keeps _SUCCESS markers
+    * out of the streamed directory), then move each ordinal's file into
+    * `src` with strictly ascending modification times — the file source
+    * replays them as k ordered micro-batches, exactly as the previous
+    * per-slice filter+write loop produced.
+    *
+    * Why one job (optimization r18, guide §1.2/§2.4): the staging
+    * writes run INSIDE every streaming query's timed window, and
+    * StreamFloorProbe measured them as the largest single component of
+    * the streaming floors (1.34 s of a ~2.5 s stateful floor at sf0.1
+    * — bench/probe_r18_stream_floor.json). k filter+write jobs scan the
+    * source k times and pay k write commits; one partitionBy write
+    * scans once and commits once, at any k and any scale. The
+    * `repartition(ord)` keeps exactly one file per ordinal (each
+    * ordinal's rows land in one task), preserving the old
+    * one-file-per-slice batch structure.
+    *
+    * Row order WITHIN a batch file changes (a hash exchange replaces
+    * coalesce(1)'s scan order); every consumer is an aggregation or a
+    * per-group fold that sorts its rows, and batch MEMBERSHIP is
+    * byte-identical, so results are unchanged (oracle-verified). An
+    * ordinal with no rows now stages no file instead of an empty
+    * parquet — one fewer empty micro-batch; results are batch-count-
+    * invariant by contract (MultiBatchProbe / the parity specs). */
+  private def stageOrderedBatches(df: DataFrame, src: String,
+      k: Int): Unit = {
+    val staging = s"${src.stripSuffix("/")}__staging"
+    // df carries a caller-built `__ord` column (0..k-1); as the
+    // partitionBy column it never lands in the staged files' DATA, so
+    // the streamed schema is exactly df's OTHER columns
+    df.withColumn("__ord", col("__ord").cast("int"))
+      .repartition(col("__ord"))
+      .write.partitionBy("__ord").parquet(staging)
     Files.createDirectories(java.nio.file.Paths.get(src))
     val base = System.currentTimeMillis()
     for (i <- 0 until k) {
-      val (from, until) = (lo + i * width, lo + (i + 1) * width)
-      // write each slice beside the source dir, then move its files in
-      // under a slice-ordinal name: the extra dir level keeps Spark's
-      // _SUCCESS/_committed markers out of the streamed directory
-      val sliceDir = s"$src/_slice_$i"
-      ev.filter(unix_micros(col("ts")) >= from &&
-          unix_micros(col("ts")) < until)
-        .coalesce(1).write.parquet(sliceDir)
-      new java.io.File(sliceDir).listFiles()
+      val dir = new java.io.File(s"$staging/__ord=$i")
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".parquet"))
         .foreach { f =>
           val dst = java.nio.file.Paths.get(src, f"slice_$i%03d_${f.getName}")
@@ -205,6 +234,22 @@ object StreamingQueries {
           dst.toFile.setLastModified(base + i * 2000L)
         }
     }
+  }
+
+  /** Write `ev` into `src` as `k` parquet slices over equal event-time
+    * ranges, modification times strictly ascending so the file source
+    * streams them as k time-ordered micro-batches. One write job total
+    * (see [[stageOrderedBatches]]); slice membership is the same
+    * [lo + i·width, lo + (i+1)·width) arithmetic as always. */
+  private def sliceStageInto(spark: SparkSession, ev: DataFrame,
+      src: String, k: Int): StructType = {
+    require(k >= 1, s"graft.stream.sourceSplits must be >= 1, got $k")
+    val mm = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / k + 1)
+    stageOrderedBatches(
+      ev.withColumn("__ord", (unix_micros(col("ts")) - lo) / width), src, k)
     ev.schema
   }
 
@@ -290,14 +335,17 @@ object StreamingQueries {
     val src = s"$tmp/src"; val state = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
 
     val prices = Tables.prices(spark, sfDir) // ticker, ts, close, event_id
-    prices.coalesce(1).write.parquet(src)
     val replay = prices.filter(col("event_id") % 3 === 0)
       .withColumn("ts", when(col("event_id") % 2 === 0,
         col("ts") + expr("INTERVAL 40 DAYS")).otherwise(col("ts")))
       .withColumn("close", when(col("event_id") % 2 === 0,
         col("close") + 1.0).otherwise(col("close")))
       .withColumn("event_id", col("event_id") + 1000000L)
-    replay.coalesce(1).write.mode("append").parquet(src)
+    // one staging write job for both batches (stageOrderedBatches);
+    // appendDedup's within-batch dedup is a deterministic row_number
+    // pick, so within-file row order is irrelevant
+    stageOrderedBatches(prices.withColumn("__ord", lit(0))
+      .unionByName(replay.withColumn("__ord", lit(1))), src, 2)
 
     val q = spark.readStream.schema(prices.schema)
       .option("maxFilesPerTrigger", "1")
@@ -328,10 +376,10 @@ object StreamingQueries {
       .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
         col("event_id"))
     // split by event parity so EVERY user spans both micro-batches and
-    // the per-user state genuinely carries across them
-    ev.filter(col("event_id") % 2 === 0).drop("event_id").coalesce(1).write.parquet(src)
-    ev.filter(col("event_id") % 2 === 1).drop("event_id").coalesce(1)
-      .write.mode("append").parquet(src)
+    // the per-user state genuinely carries across them (one write job —
+    // stageOrderedBatches; the fold is a commutative count+sum)
+    stageOrderedBatches(ev.select(col("user_id"), col("vmicro"),
+      pmod(col("event_id"), lit(2)).as("__ord")), src, 2)
 
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val q = spark.readStream.schema(StructType(ev.schema.filter(_.name != "event_id")))
@@ -968,9 +1016,11 @@ object StreamingQueries {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
         when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
         round(col("value") * 1e6).cast("long").as("value_micro"))
-    log.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(src)
-    log.filter(col("event_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(src)
+    // one staging write job (stageOrderedBatches) — the per-batch CDC
+    // merge keys on (user_id, event_type) with a deterministic
+    // latest-version pick, so within-batch row order is irrelevant
+    stageOrderedBatches(
+      log.withColumn("__ord", pmod(col("event_id"), lit(2))), src, 2)
     val q = spark.readStream.schema(log.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.trigger(Trigger.AvailableNow())
@@ -1031,8 +1081,10 @@ object StreamingQueries {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), round(col("value") * 1e6).cast("long").as("vmicro"),
         pmod(col("event_id"), lit(2)).as("parity"))
-    ev.filter(col("parity") === 0).coalesce(1).write.parquet(src)
-    ev.filter(col("parity") === 1).coalesce(1).write.mode("append").parquet(src)
+    // one staging write job; `parity` stays a DATA column (the TWS
+    // row type reads it), `__ord` is the partition column and is
+    // excluded from the files
+    stageOrderedBatches(ev.withColumn("__ord", col("parity")), src, 2)
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
     val q = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)

@@ -53,6 +53,9 @@ object MultiBatchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // this probe's evidence IS numRowsTotal — opt back into row-count
+    // tracking (off by default since r18; see useRocksDbState)
+    spark.conf.set("graft.stream.trackStateRows", "true")
 
     // per-batch telemetry: (inputRows, stateRowsTotal) per progress
     // event, in arrival order; queries run synchronously one at a time,

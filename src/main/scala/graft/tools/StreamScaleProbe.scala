@@ -39,6 +39,9 @@ object StreamScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // this probe's evidence IS numRowsTotal — opt back into row-count
+    // tracking (off by default since r18; see useRocksDbState)
+    spark.conf.set("graft.stream.trackStateRows", "true")
 
     // per-progress snapshots; queries run one at a time, so
     // clear-before/snapshot-after attributes cleanly
