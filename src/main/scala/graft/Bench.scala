@@ -158,8 +158,12 @@ object Bench {
     // q39/q48/q51/q59 joined in round 16: their shared dup-pair table
     // commits through DerivedStore inside trial 1's window (read-back
     // thereafter), the same first-trial-vs-steady split as the rest
+    // q125 joined in round 18: its IVF index builds once per corpus
+    // version (IvfIndexStore.buildOnce) inside trial 1's window and is
+    // read back thereafter — the same first-trial-vs-steady split as
+    // the derived-store family
     val storeCommitQs = Set("q97", "q124", "q143", "q147", "q151", "q157", "q158",
-      "q39", "q48", "q51", "q59")
+      "q39", "q48", "q51", "q59", "q125")
     // iterative-training queries (k-means codebooks/centroids) run dozens
     // of small jobs, so per-job scheduler latency — not the plan —
     // dominates their suite swing (q74 read 2.5× r9 in the r12 medians

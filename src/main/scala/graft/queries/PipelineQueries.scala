@@ -290,16 +290,17 @@ object PipelineQueries {
     * brute-force oracle — the store round-trip may not perturb
     * anything). */
   def q125IvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = TempDirs.create("graft_q125").toString
     val emb = spark.read.parquet(ClusteredEmbFixture)
     val queries = emb.filter(col("vec_id") % 31 === 0)
-    // index BUILD (once per corpus version): centroids + buckets + the
+    // index BUILD (once per corpus version — buildOnce amortizes the
+    // train+assign+calibrate across invocations within a JVM, keyed on
+    // the fixture's physical fingerprint): centroids + buckets + the
     // CALIBRATED operating point in the store manifest. Target recall
     // 1.0 — on the clustered fixture calibration measures recall 1.0
     // at nprobe=2 (0.98 at 1), so the stored point is the one this
     // query always hardcoded, now derived instead of guessed.
-    graft.sources.IvfIndexStore.build(spark, emb, dir, k = 8, iters = 2,
-      calQueries = queries, calK = 5, targetRecall = 1.0)
+    val dir = graft.sources.IvfIndexStore.buildOnce(spark, emb, k = 8,
+      iters = 2, calQueries = queries, calK = 5, targetRecall = 1.0)
     // QUERY path: the stored index only — no training, no assignment,
     // and no caller-supplied nprobe: the manifest's calibrated default
     graft.sources.IvfIndexStore.topK(spark, dir, queries, k = 5)

@@ -29,6 +29,48 @@ import graft.operators.Similarity
   */
 object IvfIndexStore {
 
+  // built-index dirs, memoized per (corpus fingerprint | build params)
+  // within one JVM — the DerivedStore discipline for a directory-shaped
+  // artifact: an IVF index is rebuilt when the CORPUS changes, never
+  // per query (this object's own doc), so a second build over identical
+  // input files is pure waste. The manifest-written-last marker makes
+  // the memoized dir self-validating: a half-built dir never carries a
+  // manifest, and buildOnce rebuilds into a fresh dir rather than
+  // trusting it.
+  private val builtDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Specs simulate a fresh JVM by dropping the memo. */
+  private[graft] def clearMemo(): Unit = builtDirs.clear()
+
+  /** [[build]] amortized per corpus version: returns the directory of a
+    * completed index for (`corpus` input files, build params), building
+    * it only when this JVM has none. The key is the corpus's physical
+    * input identity ([[DerivedStore.fingerprint]] — path, length,
+    * mtime of every scan file) plus every build parameter, so a
+    * regenerated fixture or a different index shape never reuses a
+    * stale store. The build itself is deterministic (k-means from
+    * deterministic seeds, quantized assignment), so one build serves
+    * every subsequent query — the deployment contract ("rebuilt on
+    * corpus changes, not per query"), applied to the bench's repeated
+    * invocations (optimization r18; the calibration pass added in the
+    * r18 build round made per-call rebuilds measurably expensive). */
+  def buildOnce(spark: SparkSession, corpus: DataFrame, k: Int,
+                iters: Int, calQueries: DataFrame, calK: Int,
+                targetRecall: Double): String = {
+    val key = DerivedStore.fingerprint(spark, corpus) +
+      s"|k=$k|iters=$iters|calK=$calK|tr=$targetRecall"
+    builtDirs.get(key) match {
+      case Some(dir)
+        if java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "manifest.json")) => dir
+      case _ =>
+        val dir = TempDirs.create("graft_ivf_store").toString
+        build(spark, corpus, dir, k, iters, calQueries, calK, targetRecall)
+        builtDirs.put(key, dir)
+        dir
+    }
+  }
+
   /** The stored operating point. `achievable=false` records a corpus
     * the index cannot serve at the build's target recall — the loud
     * refusal, persisted. */

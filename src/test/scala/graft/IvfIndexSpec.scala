@@ -212,6 +212,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("buildOnce amortizes per corpus version and self-validates on a missing manifest") {
+    import graft.sources.IvfIndexStore
+    IvfIndexStore.clearMemo()
+    val emb = spark.read.parquet(PipelineQueries.ClusteredEmbFixture)
+    val queries = emb.filter(col("vec_id") % 31 === 0)
+    val d1 = IvfIndexStore.buildOnce(spark, emb, k = 8, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    // same corpus + params: the SAME completed dir, no rebuild
+    val d2 = IvfIndexStore.buildOnce(spark, emb, k = 8, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    assert(d1 == d2, "identical corpus+params must reuse the built index")
+    // different params: a different index (never a stale-shape reuse)
+    val d3 = IvfIndexStore.buildOnce(spark, emb, k = 4, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    assert(d3 != d1, "a different index shape must not reuse the k=8 store")
+    // a memoized dir whose manifest vanished (half-built / cleaned) is
+    // not trusted: buildOnce rebuilds into a fresh completed dir
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d1, "manifest.json"))
+    val d4 = IvfIndexStore.buildOnce(spark, emb, k = 8, iters = 2,
+      calQueries = queries, calK = 5, targetRecall = 1.0)
+    assert(d4 != d1 && java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d4, "manifest.json")),
+      "a manifest-less memo entry must be rebuilt, not served")
+    IvfIndexStore.clearMemo()
+  }
+
   test("quantized rank resolves a crafted 1-ulp similarity boundary by id") {
     // the r17 sf10 sweep's q24/q25/q46 exceptions were accumulation-order
     // ulps deciding a rank or threshold cut differently in the two
