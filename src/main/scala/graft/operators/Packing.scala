@@ -30,23 +30,44 @@ object Packing {
     * subtree identity while each non-reused range exchange samples its
     * boundaries with a different seed. */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                       cumCol: String, partitions: Int = 32): DataFrame = {
+                       cumCol: String, partitions: Int = 32,
+                       totalCol: Option[String] = None): DataFrame = {
+    // Materialize the input once (optimization r18, guide §2.4/§3.3):
+    // this shape consumes `df` THREE times — the driver-side quantile
+    // sample, the cumsum branch, and the offsets branch — and without
+    // lineage truncation each consumer re-derives the full upstream
+    // subtree (q149's plan paid a lineitem scan + aggregate PER BRANCH,
+    // and twice more for its separate grand-total derivation). The
+    // frame here is already reduced (one row per order key / doc), so
+    // the materialization is small by construction; isolate()/unpersist
+    // hygiene is the caller session's, as with any persisted
+    // intermediate.
+    val mat = df.localCheckpoint()
     val probs = (1 until partitions).map(_.toDouble / partitions).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001)
+      else mat.stat.approxQuantile(orderCol, probs, 0.001)
     val bin = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > lit(b), 1).otherwise(0)
     }
-    val parted = df.withColumn("_pid", bin)
+    val parted = mat.withColumn("_pid", bin)
     val wLocal = Window.partitionBy("_pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_local", sum(col(valueCol)).over(wLocal))
-    // one row per bin; the global window here is over <= `partitions` rows
+    // one row per bin; the global windows here are over <= `partitions`
+    // rows. `totalCol` (when asked for) rides the SAME broadcast frame:
+    // the grand total is the sum of every bin's partial, so a caller
+    // that needs it (q149's bucket arithmetic) no longer re-derives the
+    // whole prefix-sum subtree for a one-row aggregate.
     val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("_pid").agg(sum(col(valueCol)).as("_psum"))
+    val wAll = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val partials = parted.groupBy("_pid").agg(sum(col(valueCol)).as("_psum"))
       .withColumn("_off", coalesce(sum("_psum").over(wOff), lit(0L)))
-      .select("_pid", "_off")
+    val offsets = totalCol.fold(partials.select("_pid", "_off")) { tc =>
+      partials.withColumn(tc, sum("_psum").over(wAll))
+        .select("_pid", "_off", tc)
+    }
     local.join(broadcast(offsets), "_pid")
       .withColumn(cumCol, col("_local") + col("_off"))
       .drop("_pid", "_local")

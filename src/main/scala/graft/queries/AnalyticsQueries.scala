@@ -1185,10 +1185,14 @@ object AnalyticsQueries {
     val vals = Tables.lineitem(spark, sfDir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"))
       .groupBy("price_c").agg(count(lit(1)).as("cnt"))
+    // the grand total rides the prefix sum's own broadcast offsets
+    // frame (totalCol) — the old crossJoin(agg(max(cum))) re-derived
+    // the entire scan+agg+window subtree for one number (plan audit
+    // r18: 4 lineitem scans -> 1)
     val cum = graft.operators.Packing
-      .withRunningTotal(vals, "price_c", "cnt", "cum")
-    val total = cum.agg(max("cum").as("n_total"))
-    cum.crossJoin(broadcast(total))
+      .withRunningTotal(vals, "price_c", "cnt", "cum",
+        totalCol = Some("n_total"))
+    cum
       .withColumn("bkt",
         least(lit(buckets - 1),
           expr(s"((cum - cnt) * $buckets) div n_total")).cast("int"))
