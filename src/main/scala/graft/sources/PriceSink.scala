@@ -55,10 +55,15 @@ object PriceSink {
         .select("ticker", "ts")
       deduped.join(existing, Seq("ticker", "ts"), "left_anti")
     }
-    val n = toWrite.cache().count()
-    toWrite.write.mode(SaveMode.Append).partitionBy("month").parquet(tablePath)
-    toWrite.unpersist()
-    n
+    // the appended-row count rides the WRITE job as an observed metric
+    // (optimization r18): the previous cache().count() + write ran two
+    // actions over the frame per batch — at 100 TB the count pass is a
+    // second full scan of the novel rows, and in a micro-batch loop
+    // (q31) it doubled the per-batch action count
+    val obs = org.apache.spark.sql.Observation()
+    toWrite.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).partitionBy("month").parquet(tablePath)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Stored prices reader over the sink layout. */
