@@ -917,6 +917,15 @@ object AnalyticsQueries {
     // (×expansion) against the heap-aware ceiling — see
     // triangleBroadcastAuto for the sf10 OOM that retired the scan-stat
     // proxy.
+    // Deliberately NOT cached (measured, optimization r18): deg/o/adj
+    // are referenced 2-3 times each, but their re-derivations are light
+    // aggregations over the already-committed pair store, and at bench
+    // scale the duplicated branches execute CONCURRENTLY — a persist
+    // serializes them behind a materialization barrier and paid a
+    // consistent +0.6-0.9 s in the min-of-runs A/B (3.54 baseline vs
+    // 4.1-4.5 cached). At 100 TB the same reuse is real, but the right
+    // mechanism there is the committed adjacency store (q115's), not a
+    // session cache.
     val e = coShipPairs(spark, sfDir).select("u", "v")
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))

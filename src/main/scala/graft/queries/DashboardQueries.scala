@@ -55,6 +55,12 @@ object DashboardQueries {
     val grid = spine.crossJoin(ticks)
     val panel0 = grid.join(daily, Seq("ticker", "d"), "left")
       .withColumn("rn", row_number().over(Window.partitionBy("ticker").orderBy("d")))
+    // Deliberately NOT persisted (measured, optimization r18): most
+    // consumers (q08 once; q09/q10/q12 spine or ticker set only) let
+    // column pruning SKIP the interpolation windows entirely, and a
+    // cache would force the full panel to materialize for them — the
+    // A/B measured q12 0.78 -> 1.24 s with a persist here and no q11
+    // gain beyond what q11's own `t` cache already captures.
     TimeSeries.interpolateBoth(panel0, Seq("ticker"), "rn", "close", "close_i")
       .select(col("ticker"), col("d").as("ts"), col("rn"), col("close_i").as("close"))
   }
