@@ -69,43 +69,19 @@ object Dedup {
     // (~1e-6 at sf10) — the same accepted-and-oracle-cross-checked
     // class as the verify intersect's existing hash identity; swap the
     // hash for the string to restore bit-exactness at ~3x the cap cost.
-    // Materialize the hashed postings once (optimization r18, guide
-    // §2.4/§5): this frame is consumed by SEVERAL plan branches (the
-    // df-count and the anti-join in the capped path; both sides of
-    // byDoc's df join; the prefix self-join and verify derive from
-    // byDoc) and without lineage truncation each branch re-ran the
-    // documents scan + shingle explode + hash — the r18 plan audit
-    // counted 16 documents scans in q21's plan, 14 still live in the
-    // AQE-finalized plan after runtime exchange reuse. One pass builds
-    // the postings; everything downstream reads the cached blocks.
-    val s0Plan = shingles(docs, idCol, textCol)
+    val s0 = shingles(docs, idCol, textCol)
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
-    // the UNCAPPED path is the one with no structural bound on the
-    // verify join — guard it before committing 100s of GB to shuffle
-    // disk (the capped variant bounds per-shingle fan-out by
-    // construction; its callers chose the bound deliberately). The
-    // guard sees the ORIGINAL scan-bearing plan: its memo keys on the
-    // canonicalized plan + physical input files, which the checkpoint
-    // below would erase (a LogicalRDD has no input files and its
-    // canonical form collapses across same-schema corpora).
-    if (maxDocFreq.isEmpty) verifyJoinGuard(docs.sparkSession, s0Plan, threshold)
-    // Reuse via persist(), NOT localCheckpoint: under AQE a checkpoint
-    // materializes its exchange stages at CONSTRUCTION time (even with
-    // eager = false), which would run jobs in explain-only callers and
-    // break the guard memo's zero-new-jobs contract. persist() is lazy
-    // — the cache manager substitutes every canonical reference to the
-    // subtree, the first action computes it once, and MEMORY_AND_DISK
-    // spills instead of re-deriving.
-    val s0 = s0Plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = maxDocFreq.fold(s0) { cap =>
       val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
         .select("sh")
-      // the capped postings feed byDoc's two branches — truncate again
-      // so the anti-join runs once, not per branch
       s0.join(hot, Seq("sh"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // the UNCAPPED path is the one with no structural bound on the
+    // verify join — guard it before committing 100s of GB to shuffle
+    // disk (the capped variant bounds per-shingle fan-out by
+    // construction; its callers chose the bound deliberately)
+    if (maxDocFreq.isEmpty) verifyJoinGuard(docs.sparkSession, s, threshold)
     jaccardPairsFromShingles(s, threshold)
   }
 
@@ -318,7 +294,7 @@ object Dedup {
     * swap the hash for the string itself to restore bit-exactness at
     * ~3x the shuffle cost. */
   private def jaccardPairsFromShingles(s0: DataFrame, threshold: Double): DataFrame = {
-    val st = prefixStages(s0, threshold, materialize = true)
+    val st = prefixStages(s0, threshold)
     val cand = st.rawCandidates.distinct()
     val arrays = st.byDoc.select(col("doc"), col("shs"))
     cand
@@ -352,35 +328,19 @@ object Dedup {
     * (doc, shingle) still holds (a duplicate long per doc requires a
     * same-doc 64-bit collision, ~1e-9 across the sf10 corpus — not
     * worth a defensive re-distinct's extra full shuffle). */
-  private[graft] def prefixStages(s0: DataFrame, threshold: Double,
-                                  materialize: Boolean = false): PrefixStages = {
+  private[graft] def prefixStages(s0: DataFrame, threshold: Double): PrefixStages = {
     val s = s0
     // ONE doc-keyed aggregation builds each doc's rarest-first shingle
     // array; the prefix is a slice of it and the SAME array feeds the
     // exact verify, so no window sort, no verify-side semi-join +
-    // re-collect — the shingle set crosses the wire once per doc.
-    //
-    // `materialize` (the production pair-search path) truncates byDoc's
-    // lineage: byDoc is consumed FOUR times downstream (both sides of
-    // the prefix self-join; both array joins of the verify), and
-    // without the cut each consumer re-ran the df join + rarest-first
-    // aggregation (r18 plan audit: 16 documents scans in q21's plan, 14
-    // live after AQE exchange reuse). The JaccardStats diagnostic and
-    // the verify-guard's sampled pre-flight keep the lazy default so
-    // their per-stage timings still attribute build cost to the stage
-    // that incurs it (optimization r18; the lineage cut is what q115's
-    // iteration state already does).
-    val byDoc0 = s
+    // re-collect — the shingle set crosses the wire once per doc
+    val byDoc = s
       .join(s.groupBy("sh").agg(count(lit(1)).as("df")), "sh")
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
       .select(col("doc"),
         expr("transform(ranked, x -> x.sh)").as("shs"),
         size(col("ranked")).as("ns"))
-    val byDoc =
-      if (materialize)
-        byDoc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else byDoc0
     val prefix = byDoc.select(col("doc"), col("ns"),
       explode(expr(
         s"slice(shs, 1, ns - CAST(ceil($threshold * ns - 1e-9) AS INT) + 1)"))
@@ -456,24 +416,17 @@ object Dedup {
     * pairs to the two arrays and intersect. Verify work is proportional
     * to candidate pairs — NOT the all-pairs co-shingle join, which would
     * redo the brute-force path and negate LSH at scale. */
-  private def jaccardVerify(cand0: DataFrame, s0: DataFrame,
+  private def jaccardVerify(cand: DataFrame, s0: DataFrame,
                             threshold: Double): DataFrame = {
     // 64-bit shingle hashes through the verify join, as in the q21
     // prefix-filter path: intersection counts are identical modulo
     // xxhash64 collisions within one doc pair (~2^-64 per shingle
-    // pair), and the gathered arrays shed ~3x their bytes.
-    // cand is consumed THREE times (both candDocs branches + the final
-    // join) and docShingles TWICE (ia and ib array joins) — materialize
-    // both so the candidate derivation and the shingle gather run once
-    // (optimization r18; both frames are bounded by the candidate set)
-    val cand =
-      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pair), and the gathered arrays shed ~3x their bytes
     val s = s0.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val candDocs = cand.select(col("ia").as("doc"))
       .union(cand.select(col("ib").as("doc"))).distinct()
     val docShingles = s.join(candDocs, Seq("doc"), "left_semi")
       .groupBy("doc").agg(collect_list(col("sh")).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(docShingles.select(col("doc").as("ia"), col("shs").as("sa")), "ia")
       .join(docShingles.select(col("doc").as("ib"), col("shs").as("sb")), "ib")
@@ -490,18 +443,10 @@ object Dedup {
     * Returns (ia, ib, jaccard) for verified pairs >= threshold. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, bands: Int, threshold: Double): DataFrame = {
-    // Materialize the band table before the self-join (optimization
-    // r18): the earlier "exchange reuse covers the shared shingle scan"
-    // assumption was measured false — the r18 plan audit found 24
-    // documents scans in this query's plan and 14 STILL LIVE in the
-    // AQE-finalized plan after runtime exchange reuse, because every
-    // reference to bandHash/cand re-derived the scan + shingle explode
-    // + signature aggregation below the first exchange. The band table
-    // is (doc, band, bh) — a few dozen bytes per doc — so the cut is
-    // cheap at any corpus size (it IS the persistable dedup index; see
-    // minhashBandTable's doc).
+    // no .cache(): the returned plan is lazy, so a cache here would pin
+    // memory for the session; Spark's exchange reuse covers the shared
+    // shingle scan within the single triggered plan.
     val bandHash = minhashBandTable(docs, idCol, textCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandHash.as("x").join(bandHash.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
