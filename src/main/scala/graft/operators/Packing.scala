@@ -31,18 +31,21 @@ object Packing {
     * boundaries with a different seed. */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
                        cumCol: String, partitions: Int = 32,
-                       totalCol: Option[String] = None): DataFrame = {
-    // Materialize the input once (optimization r18, guide §2.4/§3.3):
-    // this shape consumes `df` THREE times — the driver-side quantile
-    // sample, the cumsum branch, and the offsets branch — and without
-    // lineage truncation each consumer re-derives the full upstream
-    // subtree (q149's plan paid a lineitem scan + aggregate PER BRANCH,
-    // and twice more for its separate grand-total derivation). The
-    // frame here is already reduced (one row per order key / doc), so
-    // the materialization is small by construction; isolate()/unpersist
-    // hygiene is the caller session's, as with any persisted
-    // intermediate.
-    val mat = df.localCheckpoint()
+                       totalCol: Option[String] = None,
+                       materializeInput: Boolean = false): DataFrame = {
+    // `materializeInput` — measured BOTH ways at sf0.1 AND sf1
+    // (optimization r18). The shape consumes `df` three times (driver
+    // quantile sample, cumsum branch, offsets branch). When the input
+    // is already a shuffle-reduced frame (q149: one row per distinct
+    // value), a localCheckpoint wins at every scale (sf0.1 3.62 ->
+    // 2.23 s, sf1 4.87 -> 4.28 s) because re-deriving it re-runs a
+    // scan + aggregation per consumer. When the input is a narrow
+    // map-heavy pipeline (q63/q64/q168's per-doc token counts, with a
+    // tokenizer pass embedded), the checkpoint LOSES (q168 0.92 ->
+    // 2.05 s at sf1): the duplicated branches stream through codegen
+    // concurrently, while materialization serializes them behind a
+    // barrier. Callers choose; default is the lazy form.
+    val mat = if (materializeInput) df.localCheckpoint() else df
     val probs = (1 until partitions).map(_.toDouble / partitions).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]

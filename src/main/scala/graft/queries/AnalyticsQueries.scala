@@ -1200,7 +1200,7 @@ object AnalyticsQueries {
     // r18: 4 lineitem scans -> 1)
     val cum = graft.operators.Packing
       .withRunningTotal(vals, "price_c", "cnt", "cum",
-        totalCol = Some("n_total"))
+        totalCol = Some("n_total"), materializeInput = true)
     cum
       .withColumn("bkt",
         least(lit(buckets - 1),
